@@ -1,0 +1,11 @@
+"""dx — the Pallas TPU kernel library (≙ the MathDx device-side tier).
+
+Where MathDx composes CUDA device functions into user kernels
+(cuBLASDx/cuFFTDx/cuSolverDx/cuRANDDx), this package holds the Pallas
+kernels the host-level APIs lower to: the tiled MXU GEMM with fused
+epilogues, FFT stages, quantization, reductions, and the remote-DMA
+collective kernels used by the mp tier.
+"""
+
+from tpumathlib.dx.pallas_utils import interpret_mode, on_tpu  # noqa: F401
+from tpumathlib.dx.gemm import pallas_matmul, MatmulConfig  # noqa: F401
