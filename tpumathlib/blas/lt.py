@@ -1,0 +1,435 @@
+"""blas.lt — the descriptor matmul engine (≙ cuBLASLt, SURVEY.md §2.2 — "the
+single most important API to rebuild").
+
+Flow parity (cuBLASLt/LtSgemm/sample_cublasLt_LtSgemm.cu:54-84):
+  MatmulDesc + MatrixLayout(+Preference) → heuristic/search → matmul.
+
+Descriptor surface:
+- ``MatmulDesc``: trans flags, epilogue (CUBLASLT_EPILOGUE_*), compute dtype,
+  scale modes for A/B/D (per-tensor | 1×32 "MXFP8" | 1×16 "NVFP4" | 128×128
+  block — LtFp8Matmul / LtMxfp8Matmul / LtNvfp4Matmul / LtBlk128x128Fp8Matmul),
+  D-amax request (D_AMAX_POINTER).
+- ``MatrixLayout``: dtype/shape/batch (order is always row-major here; the
+  reference's col-major layouts map by transposition).
+- ``Algo``: backend ("pallas" | "xla") + MatmulConfig tile sizes. The Lt algo
+  enumeration (AlgoGetIds/CapGetAttribute tile/stage sweep,
+  cuBLASLt/Common/LtMatmulCustomFind.h:189-274) becomes
+  ``matmul_algo_candidates``; ``matmul_autotune`` is the timed CustomFind
+  sweep; the default heuristic (AlgoGetHeuristic) picks XLA for plain f32/bf16
+  matmuls and the Pallas engine for fused/narrow-precision cases.
+
+Scale-tensor layouts are natural (not swizzled): per-tensor = scalar;
+1×32/1×16 block scales along K: A (M, K/bs), B (K/bs, N); 128×128: A
+(⌈M/128⌉, ⌈K/128⌉), B (⌈K/128⌉, ⌈N/128⌉) — ≙ getScaleTensorSize,
+cuBLASLt/Common/helpers.h:77-111.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from tpumathlib.core.dtypes import cdiv, traits
+from tpumathlib.core.errors import NotSupportedError, check
+from tpumathlib.core.plan import PlanCache
+from tpumathlib.core.tuning import global_autotune_cache
+from tpumathlib.dx.gemm import MatmulConfig, apply_epilogue, default_configs, pallas_matmul
+
+
+class Epilogue(enum.Enum):
+    DEFAULT = "default"
+    RELU = "relu"
+    GELU = "gelu"
+    BIAS = "bias"
+    RELU_BIAS = "relu_bias"
+    GELU_BIAS = "gelu_bias"
+    RELU_AUX = "relu_aux"
+    GELU_AUX = "gelu_aux"
+    RELU_AUX_BIAS = "relu_aux_bias"
+    GELU_AUX_BIAS = "gelu_aux_bias"
+    # backward-pass epilogues (CUBLASLT_EPILOGUE_{DRELU,DGELU,BGRADB})
+    DRELU = "drelu"
+    DGELU = "dgelu"
+    BGRADB = "bgradb"
+
+
+class ScaleMode(enum.Enum):
+    """≙ CUBLASLT_MATMUL_MATRIX_SCALE_* (LtMxfp8Matmul…cu:71-75)."""
+
+    TENSOR = "tensor"            # per-tensor f32 scalar
+    VEC32_UE8M0 = "vec32_ue8m0"  # 1×32 blocks, power-of-two (MXFP8)
+    VEC16_E4M3 = "vec16_e4m3"    # 1×16 blocks, e4m3 scales (NVFP4)
+    BLK128_F32 = "blk128_f32"    # 128×128 blocks, f32 (DeepSeek-style)
+
+    @property
+    def block(self) -> int | None:
+        return {"tensor": None, "vec32_ue8m0": 32, "vec16_e4m3": 16,
+                "blk128_f32": 128}[self.value]
+
+
+@dataclasses.dataclass(frozen=True)
+class MatrixLayout:
+    """≙ cublasLtMatrixLayout_t (row-major)."""
+
+    dtype: Any
+    rows: int
+    cols: int
+    batch: int = 1
+
+    def shape(self):
+        return (self.batch, self.rows, self.cols) if self.batch > 1 else (self.rows, self.cols)
+
+
+@dataclasses.dataclass(frozen=True)
+class MatmulDesc:
+    """≙ cublasLtMatmulDesc_t + its Set/GetAttribute surface."""
+
+    compute_dtype: Any = jnp.float32
+    transa: str = "N"
+    transb: str = "N"
+    epilogue: Epilogue = Epilogue.DEFAULT
+    a_scale_mode: ScaleMode = ScaleMode.TENSOR
+    b_scale_mode: ScaleMode = ScaleMode.TENSOR
+    d_scale_mode: ScaleMode = ScaleMode.TENSOR
+    amax_d: bool = False  # request D-amax output (D_AMAX_POINTER)
+
+
+@dataclasses.dataclass(frozen=True)
+class Algo:
+    """≙ cublasLtMatmulAlgo_t: a fully-specified execution recipe."""
+
+    backend: str = "auto"  # "pallas" | "xla" | "auto"
+    config: MatmulConfig | None = None
+
+
+@dataclasses.dataclass(frozen=True)
+class MatmulPreference:
+    """≙ cublasLtMatmulPreference_t. Workspace ceilings don't exist on TPU
+    (XLA owns memory); retained for API parity / future VMEM caps."""
+
+    max_workspace_bytes: int = 128 * 1024 * 1024
+
+
+def scale_tensor_shape(mode: ScaleMode, rows: int, cols: int, operand: str):
+    """≙ getScaleTensorSize (cuBLASLt/Common/helpers.h:77-111): shape of the
+    scale tensor for an (rows, cols) operand. ``operand``: 'a'|'b'|'d'."""
+    if mode == ScaleMode.TENSOR:
+        return ()
+    bs = mode.block
+    if mode == ScaleMode.BLK128_F32:
+        return (cdiv(rows, 128), cdiv(cols, 128))
+    # vector modes scale along the contraction dim (cols of A, rows of B)
+    if operand == "a":
+        return (rows, cdiv(cols, bs))
+    if operand == "b":
+        return (cdiv(rows, bs), cols)
+    return (rows, cdiv(cols, bs))
+
+
+def _expand_scale(x_shape, scale, mode: ScaleMode, operand: str):
+    """Broadcast a scale tensor to elementwise over the operand."""
+    if scale is None:
+        return None
+    scale = jnp.asarray(scale, jnp.float32)
+    if mode == ScaleMode.TENSOR:
+        return scale.reshape(())
+    r, c = x_shape[-2], x_shape[-1]
+    if mode == ScaleMode.BLK128_F32:
+        return jnp.repeat(jnp.repeat(scale, 128, axis=-2)[..., :r, :], 128, axis=-1)[..., :c]
+    bs = mode.block
+    if operand == "a":  # (r, c/bs) → (r, c)
+        return jnp.repeat(scale, bs, axis=-1)[..., :c]
+    return jnp.repeat(scale, bs, axis=-2)[..., :r, :]  # b: (r/bs, c) → (r, c)
+
+
+def _dequant(x, scale, mode: ScaleMode, operand: str, compute_dtype):
+    xs = x.astype(jnp.float32 if traits(x.dtype).itemsize <= 2 else compute_dtype)
+    s = _expand_scale(x.shape, scale, mode, operand)
+    if s is not None:
+        xs = xs * s
+    return xs.astype(compute_dtype)
+
+
+def matmul_algo_candidates(desc: MatmulDesc, a_layout: MatrixLayout,
+                           b_layout: MatrixLayout) -> Sequence[Algo]:
+    """≙ AlgoGetIds + AlgoInit sweep: every algo worth timing."""
+    cands = [Algo("xla"), Algo("pallas", None)]
+    cands += [Algo("pallas", cfg) for cfg in default_configs(a_layout.dtype)]
+    return cands
+
+
+def matmul_algo_get_heuristic(desc: MatmulDesc, a_layout: MatrixLayout,
+                              b_layout: MatrixLayout,
+                              pref: MatmulPreference | None = None,
+                              n: int = 1) -> list[Algo]:
+    """≙ cublasLtMatmulAlgoGetHeuristic: model-based pick, no timing.
+
+    XLA's own GEMM emitter wins for plain large matmuls; the Pallas engine
+    wins when epilogues/scales must fuse (XLA won't fuse through a reduction
+    into the matmul epilogue on its own for all cases) or for narrow types.
+    """
+    plain = (
+        desc.epilogue == Epilogue.DEFAULT
+        and desc.a_scale_mode == ScaleMode.TENSOR
+        and desc.b_scale_mode == ScaleMode.TENSOR
+    )
+    small = a_layout.rows * b_layout.cols < 128 * 128
+    if plain or small:
+        algos = [Algo("xla"), Algo("pallas")]
+    else:
+        algos = [Algo("pallas"), Algo("xla")]
+    return algos[:n]
+
+
+_plan_cache = PlanCache(maxsize=512)
+
+
+def matmul(
+    desc: MatmulDesc,
+    a,
+    b,
+    c=None,
+    *,
+    alpha: float = 1.0,
+    beta: float = 0.0,
+    bias=None,
+    a_scale=None,
+    b_scale=None,
+    d_scale=None,
+    out_dtype=None,
+    aux=None,
+    algo: Algo | None = None,
+):
+    """≙ cublasLtMatmul: D = scale_d(epilogue(alpha·op(A)s_a @ op(B)s_b +
+    beta·C + bias)).
+
+    Returns D, or a tuple growing with requested outputs:
+    (D[, aux][, amax]) — aux for *_AUX epilogues, amax when desc.amax_d.
+    For DRELU/DGELU epilogues, ``aux`` is the forward pre-activation input.
+    """
+    if algo is None:
+        algo = matmul_algo_get_heuristic(
+            desc,
+            MatrixLayout(a.dtype, a.shape[-2], a.shape[-1]),
+            MatrixLayout(b.dtype, b.shape[-2], b.shape[-1]),
+        )[0]
+
+    if desc.transa.upper() != "N":
+        a = jnp.swapaxes(a, -1, -2)
+        a = a.conj() if desc.transa.upper() == "C" else a
+    if desc.transb.upper() != "N":
+        b = jnp.swapaxes(b, -1, -2)
+        b = b.conj() if desc.transb.upper() == "C" else b
+
+    compute_dtype = jnp.dtype(desc.compute_dtype)
+    out_dtype = jnp.dtype(out_dtype) if out_dtype is not None else (
+        c.dtype if c is not None else a.dtype
+    )
+
+    epi = desc.epilogue
+    if epi in (Epilogue.DRELU, Epilogue.DGELU, Epilogue.BGRADB):
+        return _backward_epilogue_matmul(desc, a, b, c, alpha, beta, aux, out_dtype)
+
+    narrow = traits(a.dtype).itemsize < 2 or traits(b.dtype).itemsize < 2
+    scaled = (
+        a_scale is not None or b_scale is not None
+        or desc.a_scale_mode != ScaleMode.TENSOR
+        or desc.b_scale_mode != ScaleMode.TENSOR
+    )
+
+    if scaled or narrow:
+        # Dequantize-to-compute-dtype path. Per-tensor scales fold into alpha;
+        # block scales expand to elementwise (XLA fuses the expansion into the
+        # matmul operand read).
+        if (desc.a_scale_mode == ScaleMode.TENSOR
+                and desc.b_scale_mode == ScaleMode.TENSOR):
+            av = a.astype(compute_dtype)
+            bv = b.astype(compute_dtype)
+            if a_scale is not None:
+                alpha = alpha * jnp.asarray(a_scale, jnp.float32)
+            if b_scale is not None:
+                alpha = alpha * jnp.asarray(b_scale, jnp.float32)
+        else:
+            av = _dequant(a, a_scale, desc.a_scale_mode, "a", compute_dtype)
+            bv = _dequant(b, b_scale, desc.b_scale_mode, "b", compute_dtype)
+    else:
+        av, bv = a, b
+
+    want_aux = "aux" in epi.value
+    static_alpha = isinstance(alpha, (int, float))
+
+    if algo.backend == "pallas" and not traits(av.dtype).is_complex:
+        if static_alpha:
+            r = pallas_matmul(
+                av, bv, c=c, bias=bias, config=algo.config,
+                out_dtype=jnp.float32, epilogue=epi.value,
+                alpha=float(alpha), beta=float(beta), return_aux=want_aux,
+            )
+        else:
+            # traced alpha (from scale tensors): apply scaling outside
+            r = pallas_matmul(
+                av, bv, c=None, bias=None, config=algo.config,
+                out_dtype=jnp.float32, epilogue="default",
+            )
+            acc = alpha * r
+            if c is not None:
+                acc = acc + beta * c.astype(jnp.float32)
+            bb = bias.astype(jnp.float32) if bias is not None else None
+            d, auxv = apply_epilogue(acc, epi.value, bb)
+            r = (d, auxv) if want_aux else d
+    else:
+        acc = alpha * jnp.matmul(
+            av, bv, preferred_element_type=(
+                compute_dtype if not traits(av.dtype).is_complex else None)
+        ).astype(jnp.float32 if not traits(av.dtype).is_complex else av.dtype)
+        if c is not None:
+            acc = acc + beta * c.astype(acc.dtype)
+        bb = bias.astype(acc.dtype) if bias is not None else None
+        d, auxv = apply_epilogue(acc, epi.value, bb)
+        r = (d, auxv) if want_aux else d
+
+    d = r[0] if want_aux else r
+    outs = []
+    if desc.amax_d:
+        amax = jnp.max(jnp.abs(d)).astype(jnp.float32)
+    if d_scale is not None:
+        d = d * jnp.asarray(d_scale, jnp.float32)
+    d = d.astype(out_dtype)
+    outs.append(d)
+    if want_aux:
+        outs.append(r[1])
+    if desc.amax_d:
+        outs.append(amax)
+    return tuple(outs) if len(outs) > 1 else outs[0]
+
+
+def _backward_epilogue_matmul(desc, a, b, c, alpha, beta, aux, out_dtype):
+    """CUBLASLT_EPILOGUE_{DRELU, DGELU, BGRADB} semantics.
+
+    DRELU/DGELU: D = act'(aux) ⊙ (alpha·A@B + beta·C); BGRADB: returns
+    (D, bgrad) with bgrad = column-sums of B (bias gradient)."""
+    acc = alpha * jnp.matmul(a.astype(jnp.float32), b.astype(jnp.float32))
+    if c is not None:
+        acc = acc + beta * c.astype(jnp.float32)
+    if desc.epilogue == Epilogue.BGRADB:
+        bgrad = jnp.sum(b.astype(jnp.float32), axis=-2)
+        return acc.astype(out_dtype), bgrad
+    check(aux is not None, f"{desc.epilogue} requires aux (forward pre-activation)")
+    x = aux.astype(jnp.float32)
+    if desc.epilogue == Epilogue.DRELU:
+        dact = (x > 0).astype(jnp.float32)
+    else:  # DGELU (tanh approx derivative)
+        k0, k1 = 0.7978845608028654, 0.044715
+        u = k0 * (x + k1 * x**3)
+        t = jnp.tanh(u)
+        dact = 0.5 * (1.0 + t) + 0.5 * x * (1.0 - t**2) * k0 * (1.0 + 3 * k1 * x**2)
+    return (acc * dact).astype(out_dtype)
+
+
+def matmul_autotune(
+    desc: MatmulDesc,
+    a,
+    b,
+    *,
+    candidates: Sequence[Algo] | None = None,
+    **kwargs,
+) -> Algo:
+    """≙ LtMatmulCustomFind / GemmExAutoTuning: timed sweep over the algo
+    space, cached on disk keyed by (problem, device)."""
+    from tpumathlib.core.timer import benchmark
+
+    if candidates is None:
+        candidates = matmul_algo_candidates(
+            desc,
+            MatrixLayout(a.dtype, a.shape[-2], a.shape[-1]),
+            MatrixLayout(b.dtype, b.shape[-2], b.shape[-1]),
+        )
+    problem = (
+        a.shape, b.shape, str(a.dtype), str(b.dtype), desc.epilogue.value,
+        desc.a_scale_mode.value, desc.b_scale_mode.value,
+    )
+    cache = global_autotune_cache()
+
+    def build(algo: Algo):
+        def run():
+            return matmul(desc, a, b, algo=algo, **kwargs)
+        return run
+
+    def measure(run):
+        return benchmark(run, warmup=1, iters=3)["med"]
+
+    cfgs = {repr(al): al for al in candidates}
+    win = cache.tune("lt_matmul", tuple(map(str, problem)), list(cfgs.keys()),
+                     lambda k: build(cfgs[k]), measure=measure)
+    return cfgs[win]
+
+
+class Matmul:
+    """Plan object: descriptor + chosen algo → callable (≙ holding a
+    heuristic result and reusing it across cublasLtMatmul calls)."""
+
+    def __init__(self, desc: MatmulDesc, algo: Algo | None = None, **defaults):
+        self.desc = desc
+        self.algo = algo
+        self.defaults = defaults
+
+    def __call__(self, a, b, c=None, **kwargs):
+        kw = dict(self.defaults)
+        kw.update(kwargs)
+        return matmul(self.desc, a, b, c, algo=self.algo, **kw)
+
+
+# ---------- quantization helpers (the Pallas quantize kernels' host API) ----------
+
+def quantize(x, dtype, mode: ScaleMode = ScaleMode.TENSOR, operand: str = "a"):
+    """Quantize x to a narrow dtype with the given scale mode; returns
+    (values, scales). Scales are chosen so values fill the target range
+    (amax-based, ≙ the reference samples' scale setup)."""
+    dt = jnp.dtype(dtype)
+    finfo_max = {
+        jnp.dtype(jnp.float8_e4m3fn): 448.0,
+        jnp.dtype(jnp.float8_e5m2): 57344.0,
+        jnp.dtype(jnp.int8): 127.0,
+    }.get(dt, None)
+    if finfo_max is None:
+        try:
+            finfo_max = float(jnp.finfo(dt).max)
+        except Exception:
+            raise NotSupportedError(f"quantize to {dt}")
+    xf = jnp.asarray(x, jnp.float32)
+    if mode == ScaleMode.TENSOR:
+        amax = jnp.max(jnp.abs(xf))
+        scale = jnp.maximum(amax / finfo_max, 1e-12)
+        return (xf / scale).astype(dt), scale
+    r, c = xf.shape[-2], xf.shape[-1]
+    if mode == ScaleMode.BLK128_F32:
+        pr, pc = cdiv(r, 128) * 128, cdiv(c, 128) * 128
+        xp = jnp.pad(xf, [(0, pr - r), (0, pc - c)])
+        blocks = xp.reshape(pr // 128, 128, pc // 128, 128)
+        amax = jnp.max(jnp.abs(blocks), axis=(1, 3))
+        scale = jnp.maximum(amax / finfo_max, 1e-12)
+        q = (xp / jnp.repeat(jnp.repeat(scale, 128, 0), 128, 1)).astype(dt)
+        return q[:r, :c], scale
+    bs = mode.block
+    if operand == "a":  # scale blocks along cols
+        pc = cdiv(c, bs) * bs
+        xp = jnp.pad(xf, [(0, 0)] * (xf.ndim - 1) + [(0, pc - c)])
+        blocks = xp.reshape(xp.shape[:-1] + (pc // bs, bs))
+        amax = jnp.max(jnp.abs(blocks), axis=-1)
+    else:  # operand b: scale blocks along rows
+        pr = cdiv(r, bs) * bs
+        xp = jnp.pad(xf, [(0, 0)] * (xf.ndim - 2) + [(0, pr - r), (0, 0)])
+        blocks = xp.reshape(xp.shape[:-2] + (pr // bs, bs, c))
+        amax = jnp.max(jnp.abs(blocks), axis=-2)
+    scale = jnp.maximum(amax / finfo_max, 1e-12)
+    if mode == ScaleMode.VEC32_UE8M0:
+        # UE8M0: power-of-two scales (exponent-only), rounded up
+        scale = jnp.exp2(jnp.ceil(jnp.log2(scale)))
+    elif mode == ScaleMode.VEC16_E4M3:
+        scale = scale.astype(jnp.float8_e4m3fn).astype(jnp.float32)
+    sexp = _expand_scale(xf.shape, scale, mode, operand)
+    return (xf / sexp).astype(dt), scale
