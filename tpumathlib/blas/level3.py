@@ -30,9 +30,11 @@ def gemm(alpha, a, b, beta=0.0, c=None, transa: str = "N", transb: str = "N",
     dims (gemmStridedBatched when both operands carry them)."""
     a = _op_nd(a, transa)
     b = _op_nd(b, transb)
-    use_xla = backend == "xla" or (backend == "auto" and (
-        _is_complex(a, b) or a.ndim != b.ndim
-    ))
+    # L3 gemm is always "plain" (no fused epilogue/scales): the Lt heuristic
+    # (lt.matmul_algo_get_heuristic) picks the XLA emitter for this case —
+    # fastest on MXU; the Pallas engine serves the fused paths. backend=
+    # "pallas" forces the Pallas kernel.
+    use_xla = backend in ("xla", "auto") or _is_complex(a, b) or a.ndim != b.ndim
     if use_xla:
         r = alpha * _bmm(a, b)
         return r if c is None else r + beta * jnp.asarray(c)
