@@ -1,0 +1,178 @@
+"""FFT stack oracles.
+
+Tolerances per the reference: rel L2 < 1e-6 for f64/C2C sample-class checks
+(cuFFTMp/samples/common/error_checks.hpp:61-69), < 1e-4 for complex64
+(JAX_FFT/tests/fft_test.py:91).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tpumathlib.core import rel_l2
+from tpumathlib.fft import (
+    Direction,
+    DistributedFftPlan,
+    FftType,
+    fft_pencil,
+    fft_slab,
+    local_box,
+    plan_1d,
+    plan_2d,
+    plan_3d,
+    plan_many,
+)
+from tpumathlib.fft.distributed import ifft_pencil, ifft_slab, irfft_slab, rfft_slab
+from tpumathlib.mp import Grid
+
+
+def _cplx(rng, shape, dtype=np.complex64):
+    return (rng.normal(size=shape) + 1j * rng.normal(size=shape)).astype(dtype)
+
+
+# ---------------- local plans ----------------
+
+def test_plan_1d_c2c_roundtrip(rng):
+    """≙ cuFFT/1d_c2c: forward + unnormalized inverse."""
+    n, batch = 256, 4
+    x = jnp.asarray(_cplx(rng, (batch, n)))
+    plan = plan_1d(n, FftType.C2C, batch)
+    y = plan(x)
+    assert rel_l2(y, np.fft.fft(np.asarray(x), axis=-1)) < 1e-4
+    # cuFFT semantics: inverse(forward(x)) == N * x
+    z = plan(y, Direction.INVERSE)
+    assert rel_l2(z, n * np.asarray(x)) < 1e-4
+
+
+def test_plan_1d_r2c_c2r(rng):
+    """≙ cuFFT/1d_r2c_c2r."""
+    n = 128
+    x = jnp.asarray(rng.normal(size=(3, n)), jnp.float32)
+    fwd = plan_1d(n, FftType.R2C)
+    y = fwd(x)
+    assert y.shape == (3, n // 2 + 1)
+    assert rel_l2(y, np.fft.rfft(np.asarray(x), axis=-1)) < 1e-4
+    bwd = plan_1d(n, FftType.C2R)
+    z = bwd(y, Direction.INVERSE)
+    assert rel_l2(z, n * np.asarray(x)) < 1e-4
+
+
+def test_plan_2d_3d(rng):
+    x2 = jnp.asarray(_cplx(rng, (32, 16)))
+    assert rel_l2(plan_2d(32, 16)(x2), np.fft.fft2(np.asarray(x2))) < 1e-4
+    x3 = jnp.asarray(_cplx(rng, (8, 16, 32), np.complex128))
+    assert rel_l2(plan_3d(8, 16, 32)(x3), np.fft.fftn(np.asarray(x3))) < 1e-6
+
+
+def test_plan_cache():
+    p1 = plan_1d(64, FftType.C2C)
+    p2 = plan_1d(64, FftType.C2C)
+    assert p1 is p2  # cached (≙ plan reuse)
+
+
+def test_callback_window(rng):
+    """≙ lto_callback_window_1d: low-pass window fused as a load callback."""
+    n = 128
+    keep = 16
+    x = jnp.asarray(rng.normal(size=(n,)), jnp.float32)
+    window = jnp.where(jnp.arange(n) < keep, 1.0, 0.0)
+    plan = plan_many((n,), FftType.R2C, pre=lambda v: v * window)
+    y = plan(x)
+    want = np.fft.rfft(np.asarray(x) * np.asarray(window))
+    assert rel_l2(y, want) < 1e-4
+    # post callback (store-callback analogue): scaling
+    plan2 = plan_many((n,), FftType.C2C, post=lambda v: v / n)
+    xz = x.astype(jnp.complex64)
+    assert rel_l2(plan2(xz), np.fft.fft(np.asarray(xz)) / n) < 1e-4
+
+
+def test_ortho_norm(rng):
+    n = 64
+    x = jnp.asarray(_cplx(rng, (n,)))
+    p = plan_many((n,), FftType.C2C, norm="ortho")
+    y = p(x)
+    assert rel_l2(y, np.fft.fft(np.asarray(x), norm="ortho")) < 1e-4
+    z = p(y, Direction.INVERSE)
+    assert rel_l2(z, np.asarray(x)) < 1e-4
+
+
+# ---------------- distributed ----------------
+
+@pytest.fixture(scope="module")
+def grid1():
+    return Grid.create(jax.devices())
+
+
+@pytest.fixture(scope="module")
+def grid2():
+    devs = jax.devices()
+    return Grid.create(devs, nprow=4, npcol=2)
+
+
+def test_fft_slab_3d(grid1, rng):
+    """Slab-decomposed 3D C2C vs local reference (≙ cufftmp_c2c)."""
+    shape = (16, 16, 8)
+    x = _cplx(rng, shape)
+    xs = jax.device_put(jnp.asarray(x), NamedSharding(grid1.mesh, P("x", None, None)))
+    y = fft_slab(xs, grid1)
+    assert y.sharding.spec == P(None, "x", None)
+    assert rel_l2(y, np.fft.fftn(x)) < 1e-4
+    # unnormalized inverse roundtrip, landing back on the input layout
+    z = ifft_slab(y, grid1)
+    n = float(np.prod(shape))
+    assert rel_l2(z, n * x) < 1e-4
+
+
+def test_fft_slab_callback(grid1, rng):
+    """User kernel between stages (≙ BoxIterator scaling)."""
+    shape = (8, 16, 4)
+    x = _cplx(rng, shape)
+    xs = jax.device_put(jnp.asarray(x), NamedSharding(grid1.mesh, P("x", None, None)))
+    y = fft_slab(xs, grid1, callback_between=lambda b: b * 2.0)
+    assert rel_l2(y, 2.0 * np.fft.fftn(x)) < 1e-4
+
+
+def test_fft_pencil_3d(grid2, rng):
+    """Pencil-decomposed 3D C2C on a 4x2 mesh (≙ cufftmp_c2c_pencils)."""
+    shape = (16, 16, 8)
+    x = _cplx(rng, shape)
+    xs = jax.device_put(jnp.asarray(x), NamedSharding(grid2.mesh, P("x", "y", None)))
+    y = fft_pencil(xs, grid2)
+    assert y.sharding.spec == P(None, "x", "y")
+    assert rel_l2(y, np.fft.fftn(x)) < 1e-4
+    z = ifft_pencil(y, grid2)
+    assert rel_l2(z, float(np.prod(shape)) * x) < 1e-4
+
+
+def test_rfft_slab_roundtrip(grid1, rng):
+    """R2C/C2R slab cycle (≙ r2c_c2r_slabs samples incl. GROMACS shape)."""
+    shape = (16, 8, 8)
+    x = rng.normal(size=shape).astype(np.float32)
+    xs = jax.device_put(jnp.asarray(x), NamedSharding(grid1.mesh, P("x", None, None)))
+    y = rfft_slab(xs, grid1)
+    assert y.shape == (16, 8, 5)
+    assert rel_l2(y, np.fft.rfftn(x)) < 1e-4
+    z = irfft_slab(y, grid1, nz=8)
+    assert rel_l2(z, float(np.prod(shape)) * x) < 1e-4
+
+
+def test_distributed_plan_api(grid1, rng):
+    shape = (16, 8, 8)
+    plan = DistributedFftPlan(grid1, shape, "slab")
+    x = _cplx(rng, shape)
+    xs = jax.device_put(jnp.asarray(x), plan.input_sharding())
+    y = plan(xs)
+    assert rel_l2(y, np.fft.fftn(x)) < 1e-4
+
+
+def test_local_box(grid1):
+    """≙ cufftXtSetDistribution boxes / BoxIterator bounds."""
+    shape = (16, 8, 8)
+    sh = NamedSharding(grid1.mesh, P("x", None, None))
+    n = len(grid1.mesh.devices.ravel())
+    boxes = [local_box(shape, sh, d) for d in grid1.mesh.devices.ravel()]
+    assert boxes[0][0] == (0, 0, 0)
+    assert boxes[0][1] == (16 // n, 8, 8)
+    assert boxes[-1][1] == (16, 8, 8)

@@ -1,0 +1,230 @@
+"""Distributed FFT: slab and pencil decompositions over device meshes.
+
+Parity: cuFFTMp (SURVEY.md §2.4) — slab X/Y C2C + R2C/C2R, pencil
+decomposition (cufftXtSetDistribution, c2c_pencils.cu:106-146), the
+standalone ``reshape`` redistribution API (samples/reshape/cufftmp_reshape.cu:
+103-142), and box distributions (box_iterator.hpp:44-64). The design follows
+the reference's own pure-JAX formulation (JAX_FFT/src/xfft/xfft.py:60-109):
+local FFTs on unsharded axes + an all-to-all reshard between stages — here
+written explicitly with shard_map so the collective schedule is visible and
+Pallas-overlappable.
+
+Data layout: global shape (X, Y, Z).
+- slab:   input P(axis, None, None)  → output P(None, axis, None)
+          stage 1: local FFT over (Y, Z); all-to-all X↔Y; stage 2: FFT over X.
+- pencil: 2D mesh (x, y); input P('x', 'y', None) (Z-pencils) → output
+          Z-pencils of the transform with X,Y roles rotated:
+          FFT(Z) → a2a(y): Y↔Z → FFT(Y) → a2a(x): X↔Y → FFT(X);
+          output sharded P(None, 'x', 'y') (X full, Y over x, Z over y).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tpumathlib.mp.grid import Grid
+
+
+def _fftn_local(x, axes, inverse: bool):
+    # cuFFT-style unnormalized transforms in both directions
+    if inverse:
+        return jnp.fft.ifftn(x, axes=axes, norm="forward")
+    return jnp.fft.fftn(x, axes=axes)
+
+
+def fft_slab(x, grid: Grid, axis: str | None = None, *, inverse: bool = False,
+             callback_between=None):
+    """3D (or 2D) C2C FFT with slab (1D) decomposition.
+
+    ``x`` sharded P(axis, ...) on its first dim; returns the transform
+    sharded P(None, axis, ...) on its second dim (≙ cuFFTMp's
+    INPLACE→INPLACE_SHUFFLED format change — the output stays distributed,
+    permuted, exactly like cufftXtExecDescriptor leaves it).
+
+    ``callback_between`` runs on the (X-complete, Y-sharded) intermediate —
+    the user-kernel-between-stages hook (≙ BoxIterator scaling kernels).
+    """
+    axis = axis or grid.axes[0]
+    ndim = x.ndim
+
+    def f(blk):
+        # blk: (X/P, Y, Z...) — transform all non-first dims locally
+        blk = _fftn_local(blk, tuple(range(1, ndim)), inverse)
+        # redistribute: split Y over ranks, gather X
+        blk = jax.lax.all_to_all(blk, axis, split_axis=1, concat_axis=0,
+                                 tiled=True)
+        # blk: (X, Y/P, Z...) — transform X
+        if callback_between is not None:
+            blk = callback_between(blk)
+        blk = _fftn_local(blk, (0,), inverse)
+        return blk
+
+    return jax.shard_map(
+        f, mesh=grid.mesh,
+        in_specs=P(axis, *([None] * (ndim - 1))),
+        out_specs=P(None, axis, *([None] * (ndim - 2))),
+    )(x)
+
+
+def ifft_slab(x, grid: Grid, axis: str | None = None):
+    """Inverse slab FFT accepting the shuffled layout fft_slab produces:
+    input P(None, axis, ...) → output P(axis, None, ...)."""
+    axis = axis or grid.axes[0]
+    ndim = x.ndim
+
+    def f(blk):
+        # blk: (X, Y/P, Z...) — inverse transform X first
+        blk = _fftn_local(blk, (0,), True)
+        blk = jax.lax.all_to_all(blk, axis, split_axis=0, concat_axis=1,
+                                 tiled=True)
+        # blk: (X/P, Y, Z...) — inverse transform the rest
+        blk = _fftn_local(blk, tuple(range(1, ndim)), True)
+        return blk
+
+    return jax.shard_map(
+        f, mesh=grid.mesh,
+        in_specs=P(None, axis, *([None] * (ndim - 2))),
+        out_specs=P(axis, *([None] * (ndim - 1))),
+    )(x)
+
+
+def fft_pencil(x, grid: Grid, *, inverse: bool = False):
+    """3D C2C FFT with pencil (2D) decomposition over mesh axes (x, y).
+
+    Input Z-pencils P('x', 'y', None); output P(None, 'x', 'y')
+    (X complete, Y sharded over mesh-x, Z over mesh-y) — the pencil
+    layout rotation of cufftmp_c2c_pencils.
+    """
+    ax, ay = grid.axes[0], grid.axes[1]
+
+    def f(blk):
+        # blk: (X/Px, Y/Py, Z)
+        blk = _fftn_local(blk, (2,), inverse)
+        # exchange within rows (y): split Z, gather Y → (X/Px, Y, Z/Py)
+        blk = jax.lax.all_to_all(blk, ay, split_axis=2, concat_axis=1, tiled=True)
+        blk = _fftn_local(blk, (1,), inverse)
+        # exchange within cols (x): split Y, gather X → (X, Y/Px, Z/Py)
+        blk = jax.lax.all_to_all(blk, ax, split_axis=1, concat_axis=0, tiled=True)
+        blk = _fftn_local(blk, (0,), inverse)
+        return blk
+
+    return jax.shard_map(
+        f, mesh=grid.mesh,
+        in_specs=P(ax, ay, None),
+        out_specs=P(None, ax, ay),
+    )(x)
+
+
+def ifft_pencil(x, grid: Grid):
+    """Inverse pencil FFT accepting fft_pencil's output layout."""
+    ax, ay = grid.axes[0], grid.axes[1]
+
+    def f(blk):
+        # blk: (X, Y/Px, Z/Py)
+        blk = _fftn_local(blk, (0,), True)
+        blk = jax.lax.all_to_all(blk, ax, split_axis=0, concat_axis=1, tiled=True)
+        # (X/Px, Y, Z/Py)
+        blk = _fftn_local(blk, (1,), True)
+        blk = jax.lax.all_to_all(blk, ay, split_axis=1, concat_axis=2, tiled=True)
+        # (X/Px, Y/Py, Z)
+        blk = _fftn_local(blk, (2,), True)
+        return blk
+
+    return jax.shard_map(
+        f, mesh=grid.mesh,
+        in_specs=P(None, ax, ay),
+        out_specs=P(ax, ay, None),
+    )(x)
+
+
+def rfft_slab(x, grid: Grid, axis: str | None = None):
+    """R2C slab FFT: real input P(axis, None, None) → half-spectrum
+    (Z → Z/2+1) sharded P(None, axis, None) (≙ cuFFTMp r2c samples)."""
+    axis = axis or grid.axes[0]
+    ndim = x.ndim
+
+    def f(blk):
+        blk = jnp.fft.rfft(blk, axis=-1)
+        blk = jnp.fft.fftn(blk, axes=tuple(range(1, ndim - 1)))
+        blk = jax.lax.all_to_all(blk, axis, split_axis=1, concat_axis=0, tiled=True)
+        return jnp.fft.fft(blk, axis=0)
+
+    return jax.shard_map(
+        f, mesh=grid.mesh,
+        in_specs=P(axis, *([None] * (ndim - 1))),
+        out_specs=P(None, axis, *([None] * (ndim - 2))),
+    )(x)
+
+
+def irfft_slab(x, grid: Grid, nz: int, axis: str | None = None):
+    """C2R slab inverse of rfft_slab (unnormalized, ifft·N semantics)."""
+    axis = axis or grid.axes[0]
+    ndim = x.ndim
+
+    def f(blk):
+        blk = jnp.fft.ifft(blk, axis=0, norm="forward")
+        blk = jax.lax.all_to_all(blk, axis, split_axis=0, concat_axis=1, tiled=True)
+        blk = jnp.fft.ifftn(blk, axes=tuple(range(1, ndim - 1)), norm="forward")
+        return jnp.fft.irfft(blk, n=nz, axis=-1, norm="forward")
+
+    return jax.shard_map(
+        f, mesh=grid.mesh,
+        in_specs=P(None, axis, *([None] * (ndim - 2))),
+        out_specs=P(axis, *([None] * (ndim - 1))),
+    )(x)
+
+
+@dataclasses.dataclass
+class DistributedFftPlan:
+    """≙ cufftMp plan: grid + decomposition choice, exec fwd/inv.
+
+    decomposition: "slab" (1D mesh) | "pencil" (2D mesh).
+    """
+
+    grid: Grid
+    shape: tuple[int, ...]
+    decomposition: str = "slab"
+
+    def __call__(self, x, inverse: bool = False):
+        if self.decomposition == "pencil":
+            return fft_pencil(x, self.grid, inverse=inverse) if not inverse \
+                else ifft_pencil(x, self.grid)
+        return fft_slab(x, self.grid, inverse=inverse) if not inverse \
+            else ifft_slab(x, self.grid)
+
+    def input_sharding(self):
+        g = self.grid
+        if self.decomposition == "pencil":
+            return NamedSharding(g.mesh, P(g.axes[0], g.axes[1], None))
+        return NamedSharding(g.mesh, P(g.axes[0], *([None] * (len(self.shape) - 1))))
+
+    def output_sharding(self):
+        g = self.grid
+        if self.decomposition == "pencil":
+            return NamedSharding(g.mesh, P(None, g.axes[0], g.axes[1]))
+        return NamedSharding(g.mesh, P(None, g.axes[0], *([None] * (len(self.shape) - 2))))
+
+
+def reshape(x, dst_sharding: NamedSharding):
+    """Standalone redistribution (≙ cufftMpCreateReshape/ExecReshapeAsync):
+    XLA lowers the reshard to all-to-all over ICI."""
+    return jax.device_put(x, dst_sharding)
+
+
+def local_box(global_shape: Sequence[int], sharding: NamedSharding,
+              device) -> tuple[tuple[int, ...], tuple[int, ...]]:
+    """(lower, upper) bounds of ``device``'s shard (≙ the (lower, upper,
+    strides) boxes of cufftXtSetDistribution / BoxIterator)."""
+    idx = sharding.devices_indices_map(tuple(global_shape))[device]
+    lower = tuple(0 if s.start is None else int(s.start) for s in idx)
+    upper = tuple(
+        int(n) if s.stop is None else int(s.stop)
+        for s, n in zip(idx, global_shape)
+    )
+    return lower, upper

