@@ -1,0 +1,181 @@
+"""cuSOLVER X-API oracles vs SciPy/NumPy LAPACK (SURVEY.md §4 tier 3/4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg
+
+from tpumathlib.core import assert_allclose
+from tpumathlib.solver import (
+    irs_gesv,
+    potrf_batched,
+    xgeev,
+    xgeqrf,
+    xgesvd,
+    xgesvdp,
+    xgesvdr,
+    xgetrf,
+    xgetrs,
+    xormqr,
+    xpotrf,
+    xpotrs,
+    xsyevd,
+    xsyevdx,
+    xsygvd,
+    xtrtri,
+)
+
+N = 24
+
+
+@pytest.fixture
+def spd(rng):
+    a = rng.normal(size=(N, N))
+    return (a @ a.T / N + 2 * np.eye(N)).astype(np.float64)
+
+
+@pytest.fixture
+def gen(rng):
+    return (rng.normal(size=(N, N)) + 3 * np.eye(N)).astype(np.float64)
+
+
+def test_xpotrf_potrs(spd, rng):
+    for uplo in ("L", "U"):
+        f, info = xpotrf(jnp.asarray(spd), uplo)
+        assert int(info) == 0
+        fn = np.asarray(f)
+        if uplo == "L":
+            assert_allclose(np.tril(fn) @ np.tril(fn).T, spd, rtol=1e-12)
+        else:
+            assert_allclose(np.triu(fn).T @ np.triu(fn), spd, rtol=1e-12)
+        b = rng.normal(size=(N, 2))
+        x = xpotrs(f, jnp.asarray(b), uplo)
+        assert_allclose(spd @ np.asarray(x), b, rtol=1e-10)
+
+
+def test_xpotrf_not_spd(rng):
+    a = jnp.asarray(-np.eye(4))
+    _, info = xpotrf(a)
+    assert int(info) > 0  # ≙ d_info reporting the failing minor
+
+
+def test_potrf_batched(rng):
+    a = rng.normal(size=(3, 8, 8))
+    spd = np.einsum("bij,bkj->bik", a, a) + 8 * np.eye(8)
+    f, info = potrf_batched(jnp.asarray(spd))
+    assert np.all(np.asarray(info) == 0)
+    fn = np.tril(np.asarray(f))
+    assert_allclose(np.einsum("bij,bkj->bik", fn, fn), spd, rtol=1e-10)
+
+
+def test_xgetrf_getrs(gen, rng):
+    lu, piv, info = xgetrf(jnp.asarray(gen))
+    assert int(info) == 0
+    b = rng.normal(size=(N, 3))
+    x = xgetrs(lu, piv, jnp.asarray(b))
+    assert_allclose(gen @ np.asarray(x), b, rtol=1e-10)
+
+
+def test_xgetrf_nopivot(rng):
+    # diagonally dominant → stable without pivoting (the reference's no-pivot
+    # path is only valid for such matrices too)
+    a = rng.normal(size=(12, 12)) + 12 * np.eye(12)
+    lu, piv, info = xgetrf(jnp.asarray(a), pivot=False)
+    lun = np.asarray(lu)
+    l = np.tril(lun, -1) + np.eye(12)
+    u = np.triu(lun)
+    assert_allclose(l @ u, a, rtol=1e-10)
+
+
+def test_xgeqrf_ormqr(gen, rng):
+    q, r, info = xgeqrf(jnp.asarray(gen))
+    assert int(info) == 0
+    assert_allclose(np.asarray(q) @ np.asarray(r), gen, rtol=1e-10)
+    assert_allclose(np.asarray(q).T @ np.asarray(q), np.eye(N), rtol=1e-10)
+    c = rng.normal(size=(N, 4))
+    qc = xormqr(q, jnp.asarray(c), "L", "T")
+    assert_allclose(qc, np.asarray(q).T @ c, rtol=1e-10)
+
+
+def test_xtrtri(gen):
+    t = np.tril(gen)
+    inv, info = xtrtri(jnp.asarray(t), "L")
+    assert int(info) == 0
+    assert_allclose(np.asarray(inv) @ t, np.eye(N), rtol=1e-9)
+
+
+def test_xsyevd(spd):
+    w, v, info = xsyevd(jnp.asarray(np.tril(spd)), uplo="L")
+    ww = scipy.linalg.eigvalsh(spd)
+    assert_allclose(w, ww, rtol=1e-10)
+    assert_allclose(spd @ np.asarray(v), np.asarray(v) * np.asarray(w), rtol=1e-9)
+    w2, v2, _ = xsyevd(jnp.asarray(np.triu(spd)), uplo="U", vectors=False)
+    assert v2 is None
+    assert_allclose(w2, ww, rtol=1e-10)
+
+
+def test_xsyevdx_ranges(spd):
+    ww = scipy.linalg.eigvalsh(spd)
+    w, v, nf, info = xsyevdx(jnp.asarray(spd), range_="I", il=2, iu=5)
+    assert nf == 4
+    assert_allclose(w, ww[2:6], rtol=1e-10)
+    mid = (ww[4] + ww[-1]) / 2
+    w2, v2, nf2, _ = xsyevdx(jnp.asarray(spd), range_="V", vl=float(ww[4]), vu=float(mid) + 1e308)
+    # (vl, vu] with vu=inf-ish: everything strictly above ww[4]
+    found = np.asarray(w2)[: int(nf2)]
+    assert_allclose(found, ww[ww > ww[4]], rtol=1e-10)
+
+
+def test_xsygvd(spd, rng):
+    a0 = rng.normal(size=(N, N))
+    a = (a0 + a0.T) / 2
+    w, x, info = xsygvd(jnp.asarray(a), jnp.asarray(spd))
+    ww = scipy.linalg.eigvalsh(a, spd)
+    assert_allclose(w, ww, rtol=1e-9)
+    # generalized residual: A x = λ B x
+    assert_allclose(a @ np.asarray(x), spd @ np.asarray(x) * np.asarray(w), rtol=1e-8)
+
+
+def test_xgesvd(rng):
+    a = rng.normal(size=(32, 20))
+    u, s, vh, info = xgesvd(jnp.asarray(a))
+    assert_allclose(s, scipy.linalg.svdvals(a), rtol=1e-10)
+    assert_allclose(np.asarray(u) @ np.diag(np.asarray(s)) @ np.asarray(vh), a, rtol=1e-10)
+
+
+def test_xgesvdp(rng):
+    a = rng.normal(size=(16, 16))
+    u, s, vh, err = xgesvdp(jnp.asarray(a))
+    assert_allclose(np.sort(np.asarray(s))[::-1], scipy.linalg.svdvals(a), rtol=1e-8)
+    assert_allclose(np.asarray(u) @ np.diag(np.asarray(s)) @ np.asarray(vh), a, rtol=1e-8)
+
+
+def test_xgesvdr(rng):
+    # low-rank + noise: randomized SVD captures the dominant subspace
+    u0 = np.linalg.qr(rng.normal(size=(64, 5)))[0]
+    v0 = np.linalg.qr(rng.normal(size=(40, 5)))[0]
+    a = (u0 * np.array([100, 50, 20, 10, 5])) @ v0.T + 1e-3 * rng.normal(size=(64, 40))
+    u, s, vh = xgesvdr(jnp.asarray(a, jnp.float32), rank=5, p=8, niters=2)
+    sv = scipy.linalg.svdvals(a)[:5]
+    assert_allclose(s, sv, rtol=1e-3)
+
+
+def test_xgeev(rng):
+    a = rng.normal(size=(12, 12))
+    w, v = xgeev(jnp.asarray(a))
+    wn = np.asarray(w)
+    ww = np.linalg.eigvals(a)
+    assert_allclose(np.sort_complex(wn), np.sort_complex(ww), rtol=1e-6)
+    assert_allclose(a @ np.asarray(v), np.asarray(v) * wn[None, :], rtol=1e-5)
+
+
+@pytest.mark.parametrize("refinement", ["classical", "gmres"])
+def test_irs_gesv(gen, rng, refinement):
+    """≙ cusolverDnIRSXgesv: f64 solve from f32 LU + refinement."""
+    b = rng.normal(size=(N,))
+    x, iters, info = irs_gesv(jnp.asarray(gen), jnp.asarray(b), refinement=refinement)
+    assert int(info) == 0
+    # f64-class accuracy from an f32 factorization
+    assert np.linalg.norm(gen @ np.asarray(x) - b) / np.linalg.norm(b) < 1e-12
+    assert int(iters) >= 1
