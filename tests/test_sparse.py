@@ -1,0 +1,271 @@
+"""cuSPARSE parity oracles. Where the reference checks exact match vs
+precomputed host results (spmv_csr_example.c:123-131), we compare against
+scipy.sparse/NumPy dense references."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from tpumathlib.core import assert_allclose
+from tpumathlib.sparse import (
+    CSR,
+    axpby,
+    bicgstab,
+    cg,
+    coo_sort,
+    coo_to_csr,
+    coo_to_dense,
+    csr_to_coo,
+    csr_to_dense,
+    dense_to_blocked_ell,
+    dense_to_coo,
+    dense_to_csr,
+    gpsv_interleaved_batch,
+    gtsv,
+    ic0,
+    ilu0,
+    prune_dense,
+    sddmm,
+    sp_gather,
+    sp_rot,
+    sp_scatter,
+    spgemm,
+    spmm,
+    spmv,
+    spsm,
+    spsv,
+    spvv,
+)
+from tpumathlib.sparse.convert import blocked_ell_to_dense
+from tpumathlib.sparse.spgemm import spgemm_plan
+
+
+def rand_sparse(rng, m, n, density=0.3):
+    a = rng.normal(size=(m, n)) * (rng.uniform(size=(m, n)) < density)
+    return a
+
+
+@pytest.fixture
+def amat(rng):
+    return rand_sparse(rng, 16, 20)
+
+
+def test_dense_csr_roundtrip(amat):
+    a = dense_to_csr(amat)
+    assert_allclose(csr_to_dense(a), amat, rtol=1e-12)
+    a_cap = dense_to_csr(amat, nnz_cap=a.nnz + 17)  # static-capacity padding
+    assert a_cap.nnz == a.nnz + 17
+    assert_allclose(csr_to_dense(a_cap), amat, rtol=1e-12)
+
+
+def test_coo_roundtrip_and_sort(amat, rng):
+    a = dense_to_coo(amat)
+    assert_allclose(coo_to_dense(a), amat, rtol=1e-12)
+    perm = rng.permutation(a.nnz)
+    shuffled = type(a)(a.row[perm], a.col[perm], a.data[perm], a.shape)
+    sorted_ = coo_sort(shuffled)
+    assert_allclose(coo_to_dense(sorted_), amat, rtol=1e-12)
+    assert np.all(np.diff(np.asarray(sorted_.row)) >= 0)
+    back = coo_to_csr(sorted_)
+    assert_allclose(csr_to_dense(back), amat, rtol=1e-12)
+
+
+@pytest.mark.parametrize("fmt", ["csr", "coo"])
+def test_spmv(amat, rng, fmt):
+    a = dense_to_csr(amat, nnz_cap=None) if fmt == "csr" else dense_to_coo(amat)
+    x = rng.normal(size=20)
+    y = rng.normal(size=16)
+    got = spmv(a, jnp.asarray(x), jnp.asarray(y), alpha=2.0, beta=-1.0)
+    assert_allclose(got, 2 * amat @ x - y, rtol=1e-10)
+    # transpose op
+    gt = spmv(a, jnp.asarray(y), transpose=True)
+    assert_allclose(gt, amat.T @ y, rtol=1e-10)
+
+
+def test_spmv_custom_op(amat, rng):
+    """≙ spmvop_csr: custom combine operator."""
+    a = dense_to_csr(amat)
+    x = rng.normal(size=20)
+    got = spmv(a, jnp.asarray(x), combine=lambda av, xv: jnp.maximum(av, xv))
+    dense = np.asarray(csr_to_dense(a))
+    want = np.zeros(16)
+    rows, cols = np.nonzero(dense)
+    for i, j in zip(rows, cols):
+        want[i] += max(dense[i, j], x[j])
+    assert_allclose(got, want, rtol=1e-10)
+
+
+def test_spmm_csr_batched(amat, rng):
+    a = dense_to_csr(amat)
+    b = rng.normal(size=(20, 8))
+    assert_allclose(spmm(a, jnp.asarray(b)), amat @ b, rtol=1e-10)
+    bb = rng.normal(size=(3, 20, 8))
+    got = spmm(a, jnp.asarray(bb))
+    assert_allclose(got, np.einsum("ij,bjk->bik", amat, bb), rtol=1e-10)
+
+
+def test_blocked_ell(rng):
+    """Blocked-ELL — the MXU format (≙ spmm_blockedell)."""
+    m, n, bs = 16, 24, 4
+    blocks = rng.uniform(size=(m // bs, n // bs)) < 0.4
+    a = np.kron(blocks, np.ones((bs, bs))) * rng.normal(size=(m, n))
+    bell = dense_to_blocked_ell(a, bs)
+    assert_allclose(blocked_ell_to_dense(bell), a, rtol=1e-12)
+    b = rng.normal(size=(n, 8)).astype(np.float32)
+    got = spmm(bell, jnp.asarray(b))
+    assert_allclose(got, a @ b, rtol=1e-4)
+
+
+def test_spgemm_and_reuse(rng):
+    a = rand_sparse(rng, 10, 14)
+    b = rand_sparse(rng, 14, 12)
+    c = spgemm(dense_to_csr(a), dense_to_csr(b))
+    assert_allclose(csr_to_dense(c), a @ b, rtol=1e-10)
+    # reuse: same pattern, new values (≙ spgemm_reuse)
+    plan = spgemm_plan(dense_to_csr(a), dense_to_csr(b))
+    a2 = a * 3.0
+    b2 = b * -1.0
+    c2 = plan.execute(dense_to_csr(a2).data, dense_to_csr(b2).data)
+    assert_allclose(csr_to_dense(c2), a2 @ b2, rtol=1e-10)
+
+
+def test_spsv_spsm(rng):
+    n = 12
+    l = np.tril(rand_sparse(rng, n, n, 0.4)) + 3 * np.eye(n)
+    b = rng.normal(size=n)
+    x = spsv(dense_to_csr(l), jnp.asarray(b))
+    assert_allclose(l @ np.asarray(x), b, rtol=1e-10)
+    u = l.T
+    xu = spsv(dense_to_csr(u), jnp.asarray(b), lower=False)
+    assert_allclose(u @ np.asarray(xu), b, rtol=1e-10)
+    bm = rng.normal(size=(n, 3))
+    xm = spsm(dense_to_csr(l), jnp.asarray(bm), alpha=2.0)
+    assert_allclose(l @ np.asarray(xm), 2 * bm, rtol=1e-10)
+    # unit diagonal
+    lu = np.tril(rand_sparse(rng, n, n, 0.4), -1) + np.eye(n)
+    xud = spsv(dense_to_csr(lu), jnp.asarray(b), unit_diag=True)
+    assert_allclose(lu @ np.asarray(xud), b, rtol=1e-10)
+
+
+def test_sddmm(rng):
+    m, n, k = 10, 12, 6
+    a = rng.normal(size=(m, k))
+    b = rng.normal(size=(k, n))
+    pat = dense_to_csr(rand_sparse(rng, m, n, 0.3))
+    got = sddmm(jnp.asarray(a), jnp.asarray(b), pat, alpha=1.5, beta=0.5)
+    mask = np.asarray(csr_to_dense(pat)) != 0
+    want = np.where(mask, 1.5 * a @ b + 0.5 * np.asarray(csr_to_dense(pat)), 0)
+    assert_allclose(csr_to_dense(got), want, rtol=1e-10)
+
+
+def test_vector_ops(rng):
+    y = rng.normal(size=16)
+    idx = np.array([1, 4, 7, 13], np.int32)
+    xv = rng.normal(size=4)
+    got = axpby(2.0, jnp.asarray(xv), jnp.asarray(idx), 0.5, jnp.asarray(y))
+    want = 0.5 * y.copy()
+    want[idx] += 2.0 * xv
+    assert_allclose(got, want, rtol=1e-12)
+    assert_allclose(sp_gather(jnp.asarray(y), jnp.asarray(idx)), y[idx], rtol=0)
+    got2 = sp_scatter(jnp.asarray(xv), jnp.asarray(idx), jnp.asarray(y))
+    want2 = y.copy()
+    want2[idx] = xv
+    assert_allclose(got2, want2, rtol=0)
+    assert_allclose(spvv(jnp.asarray(xv), jnp.asarray(idx), jnp.asarray(y)),
+                    xv @ y[idx], rtol=1e-12)
+    c, s = 0.6, 0.8
+    xr, yr = sp_rot(jnp.asarray(xv), jnp.asarray(idx), jnp.asarray(y), c, s)
+    assert_allclose(xr, c * xv + s * y[idx], rtol=1e-12)
+
+
+def test_prune(rng):
+    a = rng.normal(size=(6, 6))
+    p = prune_dense(jnp.asarray(a), threshold=0.5)
+    assert np.all((np.abs(np.asarray(p)) > 0.5) | (np.asarray(p) == 0))
+
+
+def test_gtsv(rng):
+    n = 32
+    dl = rng.normal(size=n)
+    d = 4 + rng.uniform(size=n)
+    du = rng.normal(size=n)
+    b = rng.normal(size=n)
+    x = gtsv(jnp.asarray(dl), jnp.asarray(d), jnp.asarray(du), jnp.asarray(b))
+    amat = np.diag(d) + np.diag(dl[1:], -1) + np.diag(du[:-1], 1)
+    assert_allclose(amat @ np.asarray(x), b, rtol=1e-8)
+
+
+def test_gpsv_interleaved_batch(rng):
+    n, batch = 24, 3
+    ds = rng.normal(size=(batch, n)) * 0.3
+    dl = rng.normal(size=(batch, n)) * 0.3
+    d = 5 + rng.uniform(size=(batch, n))
+    du = rng.normal(size=(batch, n)) * 0.3
+    dw = rng.normal(size=(batch, n)) * 0.3
+    b = rng.normal(size=(batch, n))
+    x = gpsv_interleaved_batch(*[jnp.asarray(v) for v in (ds, dl, d, du, dw, b)])
+    for i in range(batch):
+        amat = (np.diag(d[i]) + np.diag(dl[i][1:], -1) + np.diag(du[i][:-1], 1)
+                + np.diag(ds[i][2:], -2) + np.diag(dw[i][:-2], 2))
+        assert_allclose(amat @ np.asarray(x[i]), b[i], rtol=1e-8)
+
+
+def test_cg_ic0(rng):
+    """≙ cuSPARSE/cg: SPD system, IC0-preconditioned CG."""
+    n = 24
+    g = rand_sparse(rng, n, n, 0.2)
+    a = g @ g.T * 0.1 + np.diag(2 + rng.uniform(size=n))
+    a = np.where(np.abs(a) > 0.05, a, 0)
+    a = (a + a.T) / 2 + 3 * np.eye(n)
+    b = rng.normal(size=n)
+    x, iters, res = cg(dense_to_csr(a), jnp.asarray(b), tol=1e-10)
+    assert float(res) <= 1e-9 * np.linalg.norm(b) * 10
+    assert_allclose(a @ np.asarray(x), b, rtol=1e-7)
+    # unpreconditioned takes more iterations
+    x2, iters2, _ = cg(dense_to_csr(a), jnp.asarray(b), tol=1e-10, precond=None)
+    assert int(iters) <= int(iters2) + 2
+
+
+def test_bicgstab_ilu0(rng):
+    """≙ cuSPARSE/bicgstab: nonsymmetric system, ILU0-preconditioned."""
+    n = 20
+    a = rand_sparse(rng, n, n, 0.25) + np.diag(5 + rng.uniform(size=n))
+    b = rng.normal(size=n)
+    x, iters, res = bicgstab(dense_to_csr(a), jnp.asarray(b), tol=1e-10)
+    assert_allclose(a @ np.asarray(x), b, rtol=1e-6)
+
+
+def test_ilu0_ic0_factors(rng):
+    n = 12
+    a = rand_sparse(rng, n, n, 0.3) + np.diag(4 + rng.uniform(size=n))
+    l, u = ilu0(dense_to_csr(a))
+    ln, un = np.asarray(csr_to_dense(l)), np.asarray(csr_to_dense(u))
+    # ILU0: (LU) matches A on A's pattern
+    prod = ln @ un
+    mask = a != 0
+    assert_allclose(prod[mask], a[mask], rtol=1e-8)
+    spd = a @ a.T * 0.05 + 4 * np.eye(n)
+    spd = np.where(np.abs(spd) > 0.01, spd, 0)
+    spd = (spd + spd.T) / 2
+    lc = ic0(dense_to_csr(spd))
+    lcn = np.asarray(csr_to_dense(lc))
+    assert_allclose((lcn @ lcn.T)[spd != 0], spd[spd != 0], rtol=1e-6)
+
+
+def test_graph_capture_equivalent(amat, rng):
+    """≙ cuSPARSE/graph_capture: a chain of sparse ops traces into ONE
+    compiled executable (jit = the CUDA-graph analogue, for free)."""
+    a = dense_to_csr(amat)
+    x = jnp.asarray(rng.normal(size=20))
+
+    @jax.jit
+    def chain(x):
+        y = spmv(a, x)
+        z = spmv(a, x, y, alpha=0.5, beta=1.0)
+        return jnp.sum(z)
+
+    v1 = chain(x)
+    v2 = chain(x)  # replay
+    assert np.isclose(float(v1), float(v2))

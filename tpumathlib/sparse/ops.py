@@ -1,0 +1,151 @@
+"""Sparse BLAS ops: SpMV / SpMM / SDDMM + the sparse vector ops.
+
+Parity (cuSPARSE generic API):
+  cusparseSpMV  (csr/coo)           → spmv
+  cusparseSpMM  (csr/coo/blockedell, batched)  → spmm
+  cusparseSDDMM (csr, batched)      → sddmm
+  axpby / gather / scatter / rot / spvv → sp_* / axpby / spvv
+  custom-operator variants (spmvop/spmm_op) → the ``combine``/``reduce``
+  lambdas on spmv/spmm (fused into the kernel by XLA).
+
+TPU formulation: CSR/COO lower to gather(x by col) · data → segment-sum by
+row — XLA compiles this to a fused one-pass scatter-add. Blocked-ELL lowers
+to a batched dense-tile einsum: each block row contracts ellw dense
+(bs × bs) tiles on the MXU — the format to use when throughput matters.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from tpumathlib.core.errors import check
+from tpumathlib.sparse.containers import CSR, COO, BSR, BlockedELL
+
+
+def _row_ids(a) -> jnp.ndarray:
+    if isinstance(a, COO):
+        return a.row
+    return a.row_ids()
+
+
+@functools.partial(jax.jit, static_argnames=("combine", "transpose"))
+def spmv(a, x, y=None, alpha=1.0, beta=0.0, combine: Callable | None = None,
+         transpose: bool = False):
+    """y = alpha·op(A)x + beta·y for CSR/COO A.
+
+    ``combine(a_val, x_val)`` replaces the product — the custom-operator
+    hook (≙ cuSPARSE spmvop_csr sample)."""
+    m, n = a.shape
+    rows = _row_ids(a)
+    cols = a.indices if isinstance(a, CSR) else a.col
+    if transpose:
+        rows, cols = cols, rows
+        m, n = n, m
+    xv = x[cols]
+    prod = combine(a.data, xv) if combine is not None else a.data * xv
+    out = jax.ops.segment_sum(prod, rows, num_segments=m)
+    out = alpha * out
+    if y is not None:
+        out = out + beta * y
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("transpose",))
+def _spmm_csrcoo(a, b, alpha, transpose):
+    m, n = a.shape
+    rows = _row_ids(a)
+    cols = a.indices if isinstance(a, CSR) else a.col
+    if transpose:
+        rows, cols = cols, rows
+        m, n = n, m
+    # (nnz, k) = data[:, None] * B[cols]
+    prod = a.data[:, None] * b[cols, :]
+    return alpha * jax.ops.segment_sum(prod, rows, num_segments=m)
+
+
+def _spmm_bell(a: BlockedELL, b, alpha):
+    mb, ellw = a.cols.shape
+    bs = a.blocksize
+    k = b.shape[-1]
+    safe_cols = jnp.maximum(a.cols, 0)
+    # gather B tiles: (mb, ellw, bs, k)
+    btiles = b.reshape(-1, bs, k)[safe_cols]
+    mask = (a.cols >= 0).astype(b.dtype)[..., None, None]
+    # MXU contraction per block-row: sum over ellw of (bs×bs)@(bs×k)
+    out = jnp.einsum("mebc,meck->mbk", a.data, btiles * mask,
+                     preferred_element_type=jnp.float32)
+    return (alpha * out.reshape(mb * bs, k)[: a.shape[0]]).astype(b.dtype)
+
+
+def spmm(a, b, c=None, alpha=1.0, beta=0.0, transpose_a: bool = False):
+    """C = alpha·op(A)B + beta·C; A sparse (CSR/COO/BlockedELL), B dense.
+
+    B with leading batch dims gives the batched variant
+    (≙ cusparseSpMM_batched)."""
+    if isinstance(a, BlockedELL):
+        check(not transpose_a, "blocked-ELL transpose not supported")
+        if b.ndim == 3:
+            out = jax.vmap(lambda bb: _spmm_bell(a, bb, alpha))(b)
+        else:
+            out = _spmm_bell(a, b, alpha)
+    else:
+        if b.ndim == 3:
+            out = jax.vmap(lambda bb: _spmm_csrcoo(a, bb, alpha, transpose_a))(b)
+        else:
+            out = _spmm_csrcoo(a, b, alpha, transpose_a)
+    if c is not None:
+        out = out + beta * c
+    return out.astype(b.dtype)
+
+
+@jax.jit
+def sddmm(a, b, pattern, alpha=1.0, beta=0.0):
+    """Sampled dense-dense matmul (≙ cusparseSDDMM): C = alpha·(A@B)∘spy(S)
+    + beta·S, returning a sparse matrix with S's pattern.
+
+    Only the sampled dot products are computed: per-nnz gather of A-rows and
+    B-cols + contraction (no dense m×n intermediate)."""
+    rows = _row_ids(pattern)
+    cols = pattern.indices if isinstance(pattern, CSR) else pattern.col
+    av = a[rows, :]           # (nnz, k)
+    bv = b[:, cols]           # (k, nnz)
+    vals = alpha * jnp.sum(av * bv.T, axis=-1) + beta * pattern.data
+    if isinstance(pattern, CSR):
+        return CSR(pattern.indptr, pattern.indices, vals.astype(pattern.dtype),
+                   pattern.shape)
+    return COO(pattern.row, pattern.col, vals.astype(pattern.dtype), pattern.shape)
+
+
+# ---------------- sparse vector ops (≙ cusparseAxpby/Gather/Scatter/Rot/SpVV) ----------------
+
+def axpby(alpha, x_vals, x_idx, beta, y):
+    """y = alpha·X + beta·y with X sparse (values, indices)."""
+    y = beta * y
+    return y.at[x_idx].add(alpha * x_vals)
+
+
+def sp_gather(y, x_idx):
+    """Xval = y[idx] (cusparseGather)."""
+    return y[x_idx]
+
+
+def sp_scatter(x_vals, x_idx, y):
+    """y[idx] = Xval (cusparseScatter)."""
+    return y.at[x_idx].set(x_vals)
+
+
+def sp_rot(x_vals, x_idx, y, c, s):
+    """Givens rotation between sparse X and dense y (cusparseRot)."""
+    yg = y[x_idx]
+    x_new = c * x_vals + s * yg
+    y = y.at[x_idx].set(-s * x_vals + c * yg)
+    return x_new, y
+
+
+def spvv(x_vals, x_idx, y):
+    """Sparse-dense dot product (cusparseSpVV)."""
+    return jnp.sum(x_vals * y[x_idx])
