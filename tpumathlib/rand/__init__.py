@@ -1,0 +1,36 @@
+"""rand — the cuRAND capability surface, TPU-native.
+
+Generator families (≙ cuRAND/Host/ 9 families × 4 distributions):
+- philox:   exact Philox4x32-10 (counter-based → embarrassingly parallel on
+            the VPU; bitwise-verified against the Random123 known-answer
+            vectors, matching the reference's device-vs-host bitwise check)
+- threefry: JAX's native counter-based PRNG, wrapped with cuRAND
+            seed/offset/ordering semantics
+- xorwow / mrg32k3a: exact sequential recurrences under lax.scan (these
+            families are inherently serial; offset = skip-ahead)
+- mt19937 / mtgp32: host-side via NumPy's Mersenne Twister (≙
+            curandCreateGeneratorHost — the reference itself runs these on
+            host for comparison)
+- sobol32 (+scrambled): quasi-random with direction vectors, Gray-code
+            device generation, digital-shift scrambling
+
+Distributions: uniform, normal (Box–Muller), lognormal, poisson — transforms
+over raw bits from any generator (≙ curandGenerateUniform/Normal/LogNormal/
+Poisson).
+"""
+
+from tpumathlib.rand.generators import (  # noqa: F401
+    PhiloxGenerator,
+    ThreefryGenerator,
+    XorwowGenerator,
+    Mrg32k3aGenerator,
+    Mt19937Generator,
+    philox4x32_10,
+)
+from tpumathlib.rand.distributions import (  # noqa: F401
+    bits_to_uniform,
+    bits_to_normal,
+    bits_to_lognormal,
+    bits_to_poisson,
+)
+from tpumathlib.rand.sobol import SobolGenerator  # noqa: F401
