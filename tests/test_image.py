@@ -1,0 +1,159 @@
+"""Image tier oracles (NPP / nvJPEG / nvTIFF class)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpumathlib.core import assert_allclose
+from tpumathlib.image import (
+    canny,
+    dct8x8,
+    distance_transform,
+    find_contours,
+    flood_fill,
+    idct8x8,
+    jpeg_decode,
+    jpeg_encode,
+    label_compress,
+    label_markers,
+    resize_bilinear,
+    rgb_to_ycbcr,
+    tiff_info,
+    tiff_read,
+    tiff_write,
+    watermark,
+    watershed,
+    ycbcr_to_rgb,
+)
+
+
+def test_label_markers_and_compress():
+    mask = np.zeros((12, 12), bool)
+    mask[1:4, 1:4] = True        # component 1
+    mask[6:9, 6:10] = True       # component 2
+    mask[10, 0:3] = True         # component 3
+    labels = np.asarray(label_markers(jnp.asarray(mask)))
+    assert (labels > 0).sum() == mask.sum()
+    vals = {labels[2, 2], labels[7, 7], labels[10, 1]}
+    assert len(vals) == 3  # three distinct labels
+    assert labels[0, 0] == 0
+    comp, count = label_compress(jnp.asarray(labels))
+    assert int(count) == 3
+    assert set(np.unique(np.asarray(comp))) == {0, 1, 2, 3}
+
+
+def test_label_markers_connectivity():
+    # diagonal touch: connected in 8-conn, separate in 4-conn
+    mask = np.zeros((4, 4), bool)
+    mask[0, 0] = mask[1, 1] = True
+    l8 = np.asarray(label_markers(jnp.asarray(mask), eight=True))
+    l4 = np.asarray(label_markers(jnp.asarray(mask), eight=False))
+    assert l8[0, 0] == l8[1, 1]
+    assert l4[0, 0] != l4[1, 1]
+
+
+def test_distance_transform():
+    mask = np.ones((16, 16), bool)
+    mask[0, 0] = False  # single background pixel
+    d = np.asarray(distance_transform(jnp.asarray(mask)))
+    yy, xx = np.mgrid[0:16, 0:16]
+    want = np.sqrt(yy**2.0 + xx**2)
+    want[0, 0] = 0
+    assert_allclose(d, want, rtol=1e-5, msg="EDT")
+
+
+def test_watershed():
+    img = np.zeros((16, 16), np.float32)
+    img[:, 8] = 10.0  # ridge splits the image
+    markers = np.zeros((16, 16), np.int32)
+    markers[8, 2] = 1
+    markers[8, 13] = 2
+    seg = np.asarray(watershed(jnp.asarray(img), jnp.asarray(markers)))
+    assert (seg[:, :8] == 1).all()
+    assert (seg[:, 9:] == 2).all()
+
+
+def test_flood_fill():
+    img = np.zeros((10, 10), np.float32)
+    img[:5, :5] = 1.0
+    out, mask = flood_fill(jnp.asarray(img), (2, 2), 7.0, tol=0.1)
+    assert np.asarray(mask).sum() == 25
+    assert np.asarray(out)[0, 0] == 7.0
+    assert np.asarray(out)[9, 9] == 0.0
+
+
+def test_find_contours():
+    mask = np.zeros((8, 8), bool)
+    mask[2:6, 2:6] = True
+    c = np.asarray(find_contours(jnp.asarray(mask)))
+    assert c[2, 2] and c[2, 5] and c[5, 5]
+    assert not c[3, 3]  # interior
+    assert c.sum() == 12  # 4x4 square boundary
+
+
+def test_canny():
+    img = np.zeros((32, 32), np.float32)
+    img[:, 16:] = 255.0  # vertical step edge
+    edges = np.asarray(canny(jnp.asarray(img)))
+    cols = np.nonzero(edges.any(axis=0))[0]
+    assert len(cols) > 0 and np.all(np.abs(cols - 15.5) < 3)
+    # no edges in flat regions
+    assert not edges[:, :10].any() and not edges[:, 22:].any()
+
+
+def test_resize_watermark(rng):
+    img = rng.integers(0, 255, (16, 24), np.uint8)
+    up = np.asarray(resize_bilinear(jnp.asarray(img), 32, 48))
+    assert up.shape == (32, 48)
+    # downscale back ≈ original (low-pass sanity)
+    back = np.asarray(resize_bilinear(jnp.asarray(up), 16, 24))
+    assert np.abs(back.astype(float) - img.astype(float)).mean() < 30
+    mark = np.full((4, 4), 255, np.uint8)
+    wm = np.asarray(watermark(jnp.asarray(img), jnp.asarray(mark), alpha=1.0))
+    assert (wm[:4, :4] == 255).all()
+
+
+def test_dct_roundtrip(rng):
+    b = jnp.asarray(rng.normal(size=(5, 8, 8)), jnp.float32)
+    assert_allclose(idct8x8(dct8x8(b)), np.asarray(b), rtol=1e-4, msg="DCT")
+    # DCT of constant block concentrates in DC
+    const = jnp.ones((1, 8, 8), jnp.float32) * 37.0
+    co = np.asarray(dct8x8(const))
+    assert abs(co[0, 0, 0] - 37.0 * 8) < 1e-3
+    assert np.abs(co[0].ravel()[1:]).max() < 1e-3
+
+
+def test_ycbcr_roundtrip(rng):
+    rgb = jnp.asarray(rng.integers(0, 255, (8, 8, 3)), jnp.float32)
+    back = ycbcr_to_rgb(rgb_to_ycbcr(rgb))
+    assert_allclose(back, np.asarray(rgb), rtol=1e-3, atol=0.1)
+
+
+@pytest.mark.parametrize("chans", [1, 3])
+def test_jpeg_roundtrip(rng, chans):
+    shape = (32, 40) if chans == 1 else (32, 40, 3)
+    # smooth image (JPEG is for natural images)
+    base = np.cumsum(np.cumsum(rng.normal(size=(32, 40)), 0), 1)
+    base = (base - base.min()) / (base.max() - base.min()) * 255
+    img = (np.stack([base] * chans, -1).reshape(shape)).astype(np.uint8)
+    blob = jpeg_encode(img, quality=90)
+    assert len(blob) < img.size  # compresses
+    out = jpeg_decode(blob)
+    assert out.shape == img.shape
+    err = np.abs(out.astype(float) - img.astype(float)).mean()
+    assert err < 6.0, err  # q90 near-lossless on smooth data
+
+
+def test_tiff_roundtrip(tmp_path, rng):
+    path = str(tmp_path / "t.tif")
+    img = rng.integers(0, 255, (20, 30, 3), np.uint8)
+    tiff_write(path, img)
+    info = tiff_info(path)
+    assert info["width"] == 30 and info["height"] == 20 and info["samples_per_pixel"] == 3
+    back = tiff_read(path)
+    np.testing.assert_array_equal(back, img)
+    region = tiff_read(path, region=(5, 10, 8, 12))
+    np.testing.assert_array_equal(region, img[5:13, 10:22])
+    gray = rng.integers(0, 255, (10, 10), np.uint8)
+    tiff_write(path, gray)
+    np.testing.assert_array_equal(tiff_read(path), gray)

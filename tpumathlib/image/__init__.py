@@ -1,0 +1,39 @@
+"""image — the NPP / NPP+ / nvJPEG / nvJPEG2000 / nvTIFF capability surface.
+
+- ops: connected-component label markers + compression (≙ NPP
+  batchedLabelMarkersAndCompression), watershed segmentation, Euclidean
+  distance transform via jump-flooding (the parallel-banding-algorithm
+  class NPP's distanceTransform implements), Canny edges (≙ nppCanny /
+  NPP+ cannyEdgeDetector), flood fill (≙ NPP+ floodFill), contours
+  (≙ findContour), resize + watermark (≙ nvJPEG Image-Resize-WaterMark)
+- jpeg: TPU pixel pipeline (8×8 DCT on the MXU, quantization, YCbCr) with a
+  host rANS entropy stage — the "host codec + TPU pixel pipeline" split
+  SURVEY.md §2.10 prescribes for entropy-coded formats
+- tiff: minimal baseline TIFF reader/writer (uncompressed), region decode,
+  image info (≙ nvTIFF decode/encode/imageinfo samples)
+
+Everything in ops is data-parallel jnp (VPU) with iteration expressed as
+lax.while_loop/fori_loop — the TPU formulation of these queue-based CPU/GPU
+algorithms.
+"""
+
+from tpumathlib.image.ops import (  # noqa: F401
+    canny,
+    distance_transform,
+    flood_fill,
+    find_contours,
+    label_markers,
+    label_compress,
+    resize_bilinear,
+    watermark,
+    watershed,
+)
+from tpumathlib.image.jpeg import (  # noqa: F401
+    dct8x8,
+    idct8x8,
+    jpeg_decode,
+    jpeg_encode,
+    rgb_to_ycbcr,
+    ycbcr_to_rgb,
+)
+from tpumathlib.image.tiff import tiff_read, tiff_write, tiff_info  # noqa: F401
