@@ -1,0 +1,209 @@
+"""nvMatmulHeuristics, gemm_grading, csrqr/csreigvsi, MathDx fused ops,
+cuPQC primitives, and the cuEST-class SCF app."""
+
+import hashlib
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from tpumathlib.blas.grading import (
+    classify_gemm,
+    fixedpoint_matmul,
+    strassen_matmul,
+)
+from tpumathlib.core import assert_allclose, rel_l2
+from tpumathlib.dx.fused import fft_convolution, gemm_fft, gemm_gemm
+from tpumathlib.dx.gemm import MatmulConfig
+from tpumathlib.heuristics import (
+    PREDEFINED,
+    detect_hardware,
+    estimate_runtime,
+    get_configs,
+)
+from tpumathlib.pqc import kyber_intt, kyber_ntt, kyber_polymul, merkle_root, sha256
+from tpumathlib.sparse.convert import dense_to_csr
+from tpumathlib.sparse.lsq import csreigvsi, csrqr_batched
+
+
+# ---------------- heuristics ----------------
+
+def test_heuristics_configs():
+    cfgs = get_configs(4096, 4096, 4096, jnp.bfloat16, count=5)
+    assert len(cfgs) == 5
+    assert all(isinstance(c, MatmulConfig) for c in cfgs)
+    # big square problems should prefer large tiles
+    assert cfgs[0].bm >= 256 and cfgs[0].bn >= 256
+
+
+def test_heuristics_roofline_sanity():
+    hw = PREDEFINED["TPU v5e"]
+    big = estimate_runtime(8192, 8192, 8192, jnp.bfloat16, MatmulConfig(512, 512, 512), hw)
+    small = estimate_runtime(512, 512, 512, jnp.bfloat16, MatmulConfig(512, 512, 512), hw)
+    assert big > small
+    # compute-bound lower bound: ≥ flops/peak
+    assert big >= 2 * 8192**3 / (hw.bf16_tflops * 1e12)
+    assert detect_hardware().name.startswith("TPU")
+
+
+# ---------------- grading ----------------
+
+def test_strassen_and_fixedpoint_oracles(rng):
+    a = rng.normal(size=(128, 128))
+    b = rng.normal(size=(128, 128))
+    assert rel_l2(strassen_matmul(a, b, leaf=32), a @ b) < 1e-12
+    assert rel_l2(fixedpoint_matmul(a, b), a @ b) < 1e-3
+
+
+def test_classify_gemm_classes(rng):
+    r64 = classify_gemm(lambda a, b: a @ b)
+    assert r64["precision_class"] == "fp64" and r64["grade"] == "A"
+    r32 = classify_gemm(lambda a, b: (a.astype(np.float32) @ b.astype(np.float32)))
+    assert r32["precision_class"] == "fp32"
+    # extended-precision GEMM → indistinguishable from exact
+    rex = classify_gemm(
+        lambda a, b: (a.astype(np.longdouble) @ b.astype(np.longdouble)).astype(np.float64))
+    assert rex["precision_class"] == "exact"
+    # input-quantized (fixed-point-style) GEMM lands in the low-precision class
+    rq = classify_gemm(lambda a, b: (np.round(a * 8) @ np.round(b * 8)) / 64)
+    assert rq["precision_class"] in ("fp16", "bf16")
+
+    def bf16ish(a, b):
+        # input-truncated GEMM: error is an input perturbation (√K
+        # cancellation), so it classifies at-or-above its storage precision
+        def trunc(x):
+            v = x.astype(np.float32)
+            u = v.view(np.uint32) & 0xFFFF0000
+            return u.view(np.float32)
+        return trunc(a) @ trunc(b)
+
+    rb = classify_gemm(bf16ish)
+    assert rb["unit_roundoff_estimate"] > r32["unit_roundoff_estimate"]
+
+
+# ---------------- csrqr / csreigvsi ----------------
+
+def test_csrqr_batched(rng):
+    m, n = 30, 12
+    a = sp.random(m, n, 0.4, random_state=5).toarray() + np.pad(
+        np.eye(n), ((0, m - n), (0, 0)))
+    bs = rng.normal(size=(3, m))
+    xs = csrqr_batched(dense_to_csr(a), bs)
+    for b, x in zip(bs, xs):
+        want = np.linalg.lstsq(a, b, rcond=None)[0]
+        assert_allclose(x, want, rtol=1e-8, msg="csrqr")
+
+
+def test_csreigvsi(rng):
+    n = 20
+    g = rng.normal(size=(n, n))
+    a = (g + g.T) / 2
+    w = np.linalg.eigvalsh(a)
+    target = w[3]
+    mu, x, iters = csreigvsi(dense_to_csr(a), float(target + 0.05))
+    assert abs(mu - target) < 1e-8
+    assert_allclose(a @ x, mu * x, rtol=1e-6)
+
+
+# ---------------- fused (MathDx) ----------------
+
+def test_gemm_fft(rng):
+    a = jnp.asarray(rng.normal(size=(16, 32)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(32, 64)), jnp.float32)
+    yr, yi = gemm_fft(a, b)
+    want = np.fft.fft(np.asarray(a) @ np.asarray(b), axis=-1)
+    assert rel_l2(np.asarray(yr) + 1j * np.asarray(yi), want) < 1e-5
+
+
+def test_gemm_gemm(rng):
+    a = jnp.asarray(rng.normal(size=(8, 16)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(16, 24)), jnp.float32)
+    c = jnp.asarray(rng.normal(size=(24, 8)), jnp.float32)
+    assert_allclose(gemm_gemm(a, b, c),
+                    np.asarray(a) @ np.asarray(b) @ np.asarray(c), rtol=1e-4)
+
+
+def test_fft_convolution(rng):
+    n = 128
+    x = rng.normal(size=(4, n)).astype(np.float32)
+    k = np.zeros(n, np.float32)
+    k[:5] = rng.normal(size=5)
+    got = np.asarray(fft_convolution(jnp.asarray(x), jnp.asarray(k)))
+    want = np.stack([np.real(np.fft.ifft(np.fft.fft(r) * np.fft.fft(k))) for r in x])
+    assert rel_l2(got, want) < 1e-4
+
+
+# ---------------- pqc ----------------
+
+def test_sha256_vs_hashlib(rng):
+    msgs = [bytes(rng.integers(0, 256, 100, dtype=np.uint8)) for _ in range(8)]
+    got = sha256(msgs)
+    for m, d in zip(msgs, got):
+        assert d == hashlib.sha256(m).digest()
+    # single-message API, block boundary cases
+    for ln in (0, 55, 56, 64, 119):
+        m = bytes(range(ln % 256))[:ln]
+        assert sha256(m) == hashlib.sha256(m).digest()
+
+
+def test_merkle_root():
+    leaves = [b"leaf%d" % i for i in range(5)]
+    root = merkle_root(leaves)
+    # reference: duplicate-last binary tree over hashlib
+    lvl = [hashlib.sha256(l).digest() for l in leaves]
+    while len(lvl) > 1:
+        if len(lvl) % 2:
+            lvl.append(lvl[-1])
+        lvl = [hashlib.sha256(lvl[i] + lvl[i + 1]).digest()
+               for i in range(0, len(lvl), 2)]
+    assert root == lvl[0]
+
+
+def test_kyber_ntt(rng):
+    from tpumathlib.pqc.ntt import N, Q
+
+    a = rng.integers(0, Q, N).astype(np.int32)
+    b = rng.integers(0, Q, N).astype(np.int32)
+    r = np.asarray(kyber_intt(kyber_ntt(jnp.asarray(a)))) % Q
+    np.testing.assert_array_equal(r, a % Q)
+    c = np.zeros(N, np.int64)
+    for i in range(N):
+        c[i:] += a[i] * b[: N - i]
+        c[:i] -= a[i] * b[N - i:]
+    c %= Q
+    got = np.asarray(kyber_polymul(jnp.asarray(a), jnp.asarray(b))) % Q
+    np.testing.assert_array_equal(got, c)
+    # batched polynomials (the Kyber k×k matrix case)
+    ab = rng.integers(0, Q, (3, N)).astype(np.int32)
+    rb = np.asarray(kyber_intt(kyber_ntt(jnp.asarray(ab)))) % Q
+    np.testing.assert_array_equal(rb, ab % Q)
+
+
+# ---------------- scf ----------------
+
+def test_rhf_h2():
+    """Szabo–Ostlund benchmark: H₂/STO-3G at R = 1.4 a₀ → −1.1167 Ha."""
+    from tpumathlib.apps import Molecule, rhf
+
+    mol = Molecule(["H", "H"], np.array([[0, 0, 0], [0, 0, 1.4]]))
+    out = rhf(mol)
+    assert out["converged"]
+    assert abs(out["energy"] - (-1.11671)) < 2e-4
+    # density idempotency in the S metric: D S D = D
+    from tpumathlib.apps.scf import overlap, sto3g_basis
+
+    s = overlap(sto3g_basis(mol))
+    d = out["density"]
+    assert_allclose(d @ s @ d, d, rtol=1e-6)
+
+
+def test_rhf_heh_plus():
+    from tpumathlib.apps import Molecule, rhf
+
+    mol = Molecule(["He", "H"], np.array([[0, 0, 0], [0, 0, 1.4632]]), charge=1)
+    out = rhf(mol)
+    assert out["converged"]
+    # 2 electrons in the bonding orbital, energy in the physical range
+    assert -2.95 < out["energy"] < -2.7
+    assert out["orbital_energies"][0] < out["orbital_energies"][1]

@@ -1,0 +1,117 @@
+"""GEMM algorithm detection + accuracy grading.
+
+Parity: cuBLAS/Emulation/gemm_grading (README.md:1-14 — "detects the
+algorithm class from result numerics and grades error bounds", with host
+Strassen and fixed-point oracles, test_blas3.cpp / grade_blas3.cpp).
+
+Method (à la Demmel et al.'s "grading" papers, implemented independently):
+feed the GEMM-under-test probe matrices and compare against an exact f64
+reference.
+
+- precision class: the componentwise relative error ‖C−Ĉ‖ / (|A||B| K)
+  lands near the unit roundoff of the compute arithmetic → classify
+  {fp64, fp32, bf16/fp16, fixed-point/exact-int}.
+- Grade A check: error ≤ c·K·u·(|A||B|)_ij elementwise — the classical
+  forward bound; algorithms that violate it (e.g. aggressive Strassen at
+  depth) fail the grade.
+- Strassen detection: Strassen's bound grows with norm products rather than
+  elementwise |A||B|; a probe with one huge row/column makes Strassen's
+  error leak into entries whose classical bound is tiny.
+
+Host oracles: ``strassen_matmul`` (recursive, f64) and ``fixedpoint_matmul``
+(scaled-int32) mirror the reference's strassen.hxx / fix_strassen.hxx.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+_UNIT_ROUNDOFF = {
+    "fp64": 2.0**-52,
+    "fp32": 2.0**-23,
+    "bf16": 2.0**-8,
+    "fp16": 2.0**-10,
+}
+
+
+def strassen_matmul(a: np.ndarray, b: np.ndarray, leaf: int = 64) -> np.ndarray:
+    """Recursive Strassen GEMM (host oracle, ≙ strassen.hxx)."""
+    n = a.shape[0]
+    if n <= leaf or n % 2:
+        return a @ b
+    h = n // 2
+    a11, a12, a21, a22 = a[:h, :h], a[:h, h:], a[h:, :h], a[h:, h:]
+    b11, b12, b21, b22 = b[:h, :h], b[:h, h:], b[h:, :h], b[h:, h:]
+    m1 = strassen_matmul(a11 + a22, b11 + b22, leaf)
+    m2 = strassen_matmul(a21 + a22, b11, leaf)
+    m3 = strassen_matmul(a11, b12 - b22, leaf)
+    m4 = strassen_matmul(a22, b21 - b11, leaf)
+    m5 = strassen_matmul(a11 + a12, b22, leaf)
+    m6 = strassen_matmul(a21 - a11, b11 + b12, leaf)
+    m7 = strassen_matmul(a12 - a22, b21 + b22, leaf)
+    c = np.empty((n, n), a.dtype)
+    c[:h, :h] = m1 + m4 - m5 + m7
+    c[:h, h:] = m3 + m5
+    c[h:, :h] = m2 + m4
+    c[h:, h:] = m1 - m2 + m3 + m6
+    return c
+
+
+def fixedpoint_matmul(a: np.ndarray, b: np.ndarray, bits: int = 15) -> np.ndarray:
+    """Fixed-point GEMM oracle (≙ fix_strassen.hxx): per-matrix scaling to
+    int, exact integer product, rescale."""
+    sa = (2.0**bits - 1) / max(np.abs(a).max(), 1e-300)
+    sb = (2.0**bits - 1) / max(np.abs(b).max(), 1e-300)
+    ai = np.round(a * sa).astype(np.int64)
+    bi = np.round(b * sb).astype(np.int64)
+    return (ai @ bi).astype(np.float64) / (sa * sb)
+
+
+def classify_gemm(gemm_fn: Callable, n: int = 128, seed: int = 0) -> dict:
+    """Run probes against ``gemm_fn(a, b) -> c`` (numpy in/out, f64 inputs).
+
+    Returns {"precision_class", "grade", "strassen_like", "max_ratio"} where
+    grade "A" means the classical componentwise bound holds with modest
+    constant (≙ the reference's Grade A compliance)."""
+    rng = np.random.default_rng(seed)
+    a = rng.normal(size=(n, n))
+    b = rng.normal(size=(n, n))
+    # extended-precision reference (x86 80-bit) so even fp64 GEMMs show
+    # their roundoff signature
+    exact = (a.astype(np.longdouble) @ b.astype(np.longdouble)).astype(np.float64)
+    got = np.asarray(gemm_fn(a, b), np.float64)
+    bound = (np.abs(a) @ np.abs(b)) * n
+    ratio = np.abs(got - exact) / np.maximum(bound, 1e-300)
+    u_est = float(np.median(ratio[ratio > 0])) if np.any(ratio > 0) else 0.0
+
+    if u_est == 0.0:
+        precision = "exact"
+    else:
+        precision = min(_UNIT_ROUNDOFF, key=lambda k: abs(
+            np.log(max(u_est, 1e-300)) - np.log(_UNIT_ROUNDOFF[k])))
+
+    u_class = _UNIT_ROUNDOFF.get(precision, 2.0**-52)
+    max_ratio = float(ratio.max())
+    grade = "A" if max_ratio <= 64.0 * u_class else (
+        "B" if max_ratio <= 4096.0 * u_class else "C")
+
+    # Strassen probe: huge first column of A — classical bound stays tiny
+    # for entries not involving it; Strassen smears the large magnitudes.
+    a2 = rng.normal(size=(n, n))
+    a2[:, 0] *= 1e8
+    b2 = rng.normal(size=(n, n))
+    exact2 = a2 @ b2
+    got2 = np.asarray(gemm_fn(a2, b2), np.float64)
+    bound2 = (np.abs(a2) @ np.abs(b2)) * n
+    r2 = np.abs(got2 - exact2) / np.maximum(bound2, 1e-300)
+    strassen_like = bool(r2.max() > 1e4 * max(u_est, _UNIT_ROUNDOFF["fp64"]))
+
+    return {
+        "precision_class": precision,
+        "grade": grade,
+        "strassen_like": strassen_like,
+        "max_ratio": max_ratio,
+        "unit_roundoff_estimate": u_est,
+    }
