@@ -58,3 +58,16 @@ def test_planar_plan_with_callback(rng):
     yr, yi = plan((jnp.asarray(x.real), jnp.asarray(x.imag)))
     w = np.fft.fft(x * np.asarray(win))
     assert rel_l2(np.asarray(yr) + 1j * np.asarray(yi), w) < 1e-5
+
+
+def test_pallas_fused_fft(rng):
+    """The fused Pallas four-step tile kernel (interpret mode on CPU; the
+    compiled path is the TPU production kernel)."""
+    from tpumathlib.fft.kernels import pallas_fft
+
+    x = (rng.normal(size=(12, 4096)) + 1j * rng.normal(size=(12, 4096))).astype(np.complex64)
+    yr, yi = pallas_fft(jnp.asarray(x.real), jnp.asarray(x.imag), tile=4)
+    w = np.fft.fft(x, axis=-1)
+    assert rel_l2(np.asarray(yr) + 1j * np.asarray(yi), w) < 1e-4
+    zr, zi = pallas_fft(yr, yi, inverse=True, tile=4)
+    assert rel_l2(np.asarray(zr) + 1j * np.asarray(zi), 4096 * x) < 1e-4

@@ -1,0 +1,165 @@
+"""benchmarks — the measurement harness (SURVEY.md §5/§6).
+
+Reproduces the reference's self-measuring conventions:
+- GEMM: GFlop/s = 2·m·n·k/t (cuBLASMp/gemm.cu:501)
+- FFT: GFlop/s = 5·N·log₂N/t, GB/s = 8·N/t, median over ≥10 cycles
+  (cuFFTMp/JAX_FFT/tests/fft_test.py:148-158)
+- SpMV: GB/s effective bandwidth
+- Compression: comp/decomp GB/s + ratio (nvCOMP NVBench reports)
+- Canny: ms vs torch/OpenCV-class CPU baselines across resolutions
+  (NPP+/cannyEdgeDetectorPython)
+
+Each function returns a dict record; ``run_all`` prints one JSON line per
+benchmark (the PASSED/FAILED + metric record contract). Timing uses the
+readback-amortized protocol (tunnel-safe — see .claude/skills/verify).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _amortized_seconds(step_fn, x, chain: int = 50, repeats: int = 3):
+    """Median seconds per op with fori_loop amortization + scalar readback."""
+    import jax
+    import jax.numpy as jnp
+
+    def run(v):
+        def body(_, c):
+            return step_fn(c)
+        out = jax.lax.fori_loop(0, chain, body, v)
+        leaves = jax.tree_util.tree_leaves(out)
+        return sum(jnp.sum(jnp.abs(l).astype(jnp.float32)) for l in leaves)
+
+    g = jax.jit(run)
+    float(g(x))
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(g(x))
+        times.append((time.perf_counter() - t0) / chain)
+    return float(np.median(times))
+
+
+def bench_gemm(m=4096, n=4096, k=4096, dtype="bfloat16") -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from tpumathlib.blas import level3
+
+    key = jax.random.key(0)
+    a = jax.random.normal(key, (m, k), jnp.dtype(dtype))
+    b = jax.random.normal(key, (k, n), jnp.dtype(dtype))
+    t = _amortized_seconds(lambda x: level3.gemm(1.0, x, b).astype(a.dtype), a,
+                           chain=200)
+    return {"bench": "gemm", "m": m, "n": n, "k": k, "dtype": dtype,
+            "ms": t * 1e3, "tflops": 2.0 * m * n * k / t / 1e12}
+
+
+def bench_fft(batch=4096, n=4096) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from tpumathlib.fft.kernels import _fft_planar
+
+    key = jax.random.key(0)
+    xr = jax.random.normal(key, (batch, n), jnp.float32)
+    xi = jax.random.normal(key, (batch, n), jnp.float32)
+    t = _amortized_seconds(lambda c: _fft_planar(c[0], c[1], False), (xr, xi),
+                           chain=30)
+    total = batch * n
+    return {"bench": "fft_c2c_batch", "batch": batch, "n": n, "ms": t * 1e3,
+            "gflops": 5.0 * total * np.log2(n) / t / 1e9,
+            "gbps": 2.0 * total * 8 / t / 1e9}
+
+
+def bench_spmv(n=100_000, nnz_per_row=32) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from tpumathlib.sparse import CSR, spmv
+
+    rng = np.random.default_rng(0)
+    nnz = n * nnz_per_row
+    indptr = jnp.asarray(np.arange(n + 1) * nnz_per_row, jnp.int32)
+    indices = jnp.asarray(rng.integers(0, n, nnz), jnp.int32)
+    data = jnp.asarray(rng.normal(size=nnz), jnp.float32)
+    a = CSR(indptr, indices, data, (n, n))
+    x = jnp.asarray(rng.normal(size=n), jnp.float32)
+    t = _amortized_seconds(lambda v: spmv(a, v), x, chain=20)
+    bytes_moved = nnz * (4 + 4 + 4) + n * 8
+    return {"bench": "spmv_csr", "n": n, "nnz": nnz, "ms": t * 1e3,
+            "gbps": bytes_moved / t / 1e9}
+
+
+def bench_compression(codec="lz4", size=1 << 22) -> dict:
+    """≙ NVBench chunked benchmark: comp GB/s, decomp GB/s, ratio."""
+    from tpumathlib import comp
+
+    rng = np.random.default_rng(0)
+    data = np.repeat(rng.integers(0, 64, size // 8), 8).astype(np.uint8).tobytes()
+    chunk = 1 << 16
+    chunks = [data[i:i + chunk] for i in range(0, len(data), chunk)]
+    t0 = time.perf_counter()
+    cs = comp.batched_compress(codec, chunks)
+    tc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ds = comp.batched_decompress(codec, cs, [len(c) for c in chunks])
+    td = time.perf_counter() - t0
+    assert b"".join(ds) == data
+    ratio = len(data) / sum(len(c) for c in cs)
+    return {"bench": f"comp_{codec}", "bytes": len(data),
+            "comp_gbps": len(data) / tc / 1e9,
+            "decomp_gbps": len(data) / td / 1e9,
+            "ratio": ratio}
+
+
+def bench_canny(sizes=((512, 512), (1024, 1024))) -> list[dict]:
+    """≙ NPP+ cannyEdgeDetectorPython: ms across resolutions vs a CPU
+    baseline (torch, if available)."""
+    import jax.numpy as jnp
+
+    from tpumathlib.image import canny
+
+    rng = np.random.default_rng(0)
+    out = []
+    for h, w in sizes:
+        img = jnp.asarray(rng.normal(size=(h, w)).astype(np.float32))
+        t = _amortized_seconds(lambda v: canny(v).astype(jnp.float32), img, chain=5)
+        rec = {"bench": "canny", "size": f"{h}x{w}", "ms": t * 1e3}
+        try:
+            import torch
+            import torch.nn.functional as F
+
+            timg = torch.from_numpy(np.asarray(img))[None, None]
+            kx = torch.tensor([[-1., 0, 1], [-2, 0, 2], [-1, 0, 1]])[None, None]
+            t0 = time.perf_counter()
+            for _ in range(5):
+                gx = F.conv2d(timg, kx, padding=1)
+                gy = F.conv2d(timg, kx.transpose(2, 3), padding=1)
+                (gx**2 + gy**2).sqrt()
+            rec["torch_sobel_ms"] = (time.perf_counter() - t0) / 5 * 1e3
+        except ImportError:
+            pass
+        out.append(rec)
+    return out
+
+
+def run_all() -> list[dict]:
+    records = []
+    records.append(bench_gemm())
+    records.append(bench_fft())
+    records.append(bench_spmv())
+    for codec in ("lz4", "cascaded", "ans"):
+        records.append(bench_compression(codec, size=1 << 20))
+    records.extend(bench_canny(sizes=((512, 512),)))
+    for r in records:
+        print(json.dumps(r))
+    return records
+
+
+if __name__ == "__main__":
+    run_all()

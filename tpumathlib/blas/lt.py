@@ -383,6 +383,25 @@ class Matmul:
         return matmul(self.desc, a, b, c, algo=self.algo, **kw)
 
 
+def matmul_planar(ar, ai, br, bi, *, alpha=1.0, use_3m: bool = True):
+    """Planar-complex matmul (≙ cuBLASLt LtPlanarComplex): separate re/im
+    operands — the required layout on TPU backends without complex dtypes
+    (see fft.kernels). 3-multiplication Karatsuba by default.
+
+    Returns (dr, di)."""
+    if use_3m:
+        t1 = jnp.matmul(ar, br, preferred_element_type=jnp.float32)
+        t2 = jnp.matmul(ai, bi, preferred_element_type=jnp.float32)
+        t3 = jnp.matmul(ar + ai, br + bi, preferred_element_type=jnp.float32)
+        dr, di = t1 - t2, t3 - t1 - t2
+    else:
+        dr = jnp.matmul(ar, br, preferred_element_type=jnp.float32) - \
+            jnp.matmul(ai, bi, preferred_element_type=jnp.float32)
+        di = jnp.matmul(ar, bi, preferred_element_type=jnp.float32) + \
+            jnp.matmul(ai, br, preferred_element_type=jnp.float32)
+    return alpha * dr, alpha * di
+
+
 # ---------- quantization helpers (the Pallas quantize kernels' host API) ----------
 
 def quantize(x, dtype, mode: ScaleMode = ScaleMode.TENSOR, operand: str = "a"):

@@ -110,6 +110,120 @@ def _fft_planar(xr, xi, inverse: bool):
     return dr, di
 
 
+# ---------------- fused Pallas four-step kernel ----------------
+#
+# The composed jnp four-step makes ~5 HBM round trips (stage outputs,
+# twiddle, digit-reversal transpose). This kernel keeps the whole transform
+# of a row-tile in VMEM: load (tile, N) once, run both DFT stages + twiddle
+# + transpose on MXU/VPU values, store once — the cuFFTDx-style fused block
+# FFT, which is what gets FFT to the HBM roofline.
+
+def _make_fft_tile_kernel(n1: int, n2: int, inverse: bool):
+    n = n1 * n2
+
+    def kernel(xr_ref, xi_ref, w1r, w1i, twr, twi, w2r, w2i, or_ref, oi_ref):
+        # Mosaic constraints honored: 2D matmuls only; reshapes only
+        # collapse/expand the LEADING pair; transposes via swapaxes.
+        # Blocks are 3D: in (t, n1, n2), out (t, n2, n1); the (b, n)↔3D
+        # reshapes happen outside in XLA where they're free (contiguous).
+        t = xr_ref.shape[0]
+
+        def mm(a, b):
+            # Mosaic supports DEFAULT (bf16, too coarse for c64 accuracy)
+            # and HIGHEST (true f32) only
+            return jnp.matmul(a, b, preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+
+        def cmm(lr, li, rr, ri):
+            t1 = mm(lr, rr)
+            t2 = mm(li, ri)
+            t3 = mm(lr + li, rr + ri)
+            return t1 - t2, t3 - t1 - t2
+
+        # stage 1 over n1 as right-multiplication (DFT matrices are
+        # symmetric): B[(t,n2), k1] = Aᵀ₍ₙ₂₎ @ W1
+        ar = xr_ref[:].swapaxes(1, 2).reshape(t * n2, n1)
+        ai = xi_ref[:].swapaxes(1, 2).reshape(t * n2, n1)
+        br, bi = cmm(ar, ai, w1r[:], w1i[:])
+        br = br.reshape(t, n2, n1)
+        bi = bi.reshape(t, n2, n1)
+        # twiddle ω^{k1·n2} in (n2, k1) layout, broadcast over t
+        tr = twr[:][None, :, :]
+        ti = twi[:][None, :, :]
+        cr = br * tr - bi * ti
+        ci = br * ti + bi * tr
+        # stage 2 over n2: D[(t,k1), k2] = Cᵀ₍ₖ₁₎ @ W2
+        cr = cr.swapaxes(1, 2).reshape(t * n1, n2)
+        ci = ci.swapaxes(1, 2).reshape(t * n1, n2)
+        dr, di = cmm(cr, ci, w2r[:], w2i[:])
+        # (t, k1, k2) → out block (t, k2, k1); output index k = k2·n1+k1
+        or_ref[:] = dr.reshape(t, n1, n2).swapaxes(1, 2)
+        oi_ref[:] = di.reshape(t, n1, n2).swapaxes(1, 2)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("inverse", "tile"))
+def pallas_fft(xr, xi, inverse: bool = False, tile: int = 256):
+    """Fused planar-complex FFT over the last axis for N = n1·n2 with
+    n1, n2 ≤ 128 (N ≤ 16384). One HBM round trip per element."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tpumathlib.dx.pallas_utils import interpret_mode
+
+    n = xr.shape[-1]
+    n1, n2 = _best_split(n)
+    batch_shape = xr.shape[:-1]
+    xr2 = xr.reshape(-1, n)
+    xi2 = xi.reshape(-1, n)
+    b = xr2.shape[0]
+    tile = min(tile, b)
+    pad = (-b) % tile
+    if pad:
+        xr2 = jnp.pad(xr2, ((0, pad), (0, 0)))
+        xi2 = jnp.pad(xi2, ((0, pad), (0, 0)))
+    bp = xr2.shape[0]
+    nb = bp // tile
+    # 3D views — free in XLA (contiguous), required by the kernel's
+    # leading-collapse-only reshape discipline
+    xr3 = xr2.reshape(bp, n1, n2).astype(jnp.float32)
+    xi3 = xi2.reshape(bp, n1, n2).astype(jnp.float32)
+
+    w1r, w1i = (jnp.asarray(v) for v in _dft_mats(n1, inverse))
+    twr_, twi_ = _twiddle(n1, n2, inverse)
+    twr = jnp.asarray(twr_.T.copy())  # (n2, k1) layout for the kernel
+    twi = jnp.asarray(twi_.T.copy())
+    w2r, w2i = (jnp.asarray(v) for v in _dft_mats(n2, inverse))
+
+    kernel = _make_fft_tile_kernel(n1, n2, inverse)
+    small = [
+        pl.BlockSpec((n1, n1), lambda i: (0, 0)),
+        pl.BlockSpec((n1, n1), lambda i: (0, 0)),
+        pl.BlockSpec((n2, n1), lambda i: (0, 0)),
+        pl.BlockSpec((n2, n1), lambda i: (0, 0)),
+        pl.BlockSpec((n2, n2), lambda i: (0, 0)),
+        pl.BlockSpec((n2, n2), lambda i: (0, 0)),
+    ]
+    yr, yi = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((tile, n1, n2), lambda i: (i, 0, 0)),
+                  pl.BlockSpec((tile, n1, n2), lambda i: (i, 0, 0))] + small,
+        out_specs=[pl.BlockSpec((tile, n2, n1), lambda i: (i, 0, 0)),
+                   pl.BlockSpec((tile, n2, n1), lambda i: (i, 0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((bp, n2, n1), jnp.float32),
+                   jax.ShapeDtypeStruct((bp, n2, n1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret_mode(),
+    )(xr3, xi3, w1r, w1i, twr, twi, w2r, w2i)
+    yr = yr.reshape(bp, n)[:b].reshape(batch_shape + (n,))
+    yi = yi.reshape(bp, n)[:b].reshape(batch_shape + (n,))
+    return yr, yi
+
+
 @functools.partial(jax.jit, static_argnames=("inverse",))
 def mxu_fft(x, inverse: bool = False):
     """Unnormalized C2C FFT over the last axis via MXU matmul stages.

@@ -283,3 +283,30 @@ def mp_gesvd(a, grid, axis: str | None = None, sweeps: int = 12):
     """≙ cusolverMpGesvd (polar-based in the reference; direct distributed
     Jacobi here). Returns (U rows-sharded, s, V replicated)."""
     return mp_gesvdj(a, grid, axis, sweeps)
+
+
+def mp_laset(shape, grid, alpha=0.0, beta=1.0, uplo: str = "A",
+             axis: str | None = None, dtype=jnp.float32):
+    """≙ cusolverMpLaset: initialize a distributed matrix with off-diagonal
+    alpha and diagonal beta ('A' full / 'L' lower / 'U' upper). Built
+    sharded — no single-device materialization."""
+    import numpy as np
+    from jax.sharding import NamedSharding
+
+    axis, nparts = _nparts(grid, axis)
+    m, n = shape
+
+    def local():
+        r = jax.lax.axis_index(axis)
+        nb = n // nparts
+        rows = jnp.arange(m)[:, None]
+        cols = r * nb + jnp.arange(nb)[None, :]
+        full = jnp.where(rows == cols, beta, alpha).astype(dtype)
+        if uplo.upper() == "L":
+            full = jnp.where(rows >= cols, full, 0.0).astype(dtype)
+        elif uplo.upper() == "U":
+            full = jnp.where(rows <= cols, full, 0.0).astype(dtype)
+        return full
+
+    return jax.jit(jax.shard_map(local, mesh=grid.mesh, in_specs=(),
+                                 out_specs=P(None, axis)))()
