@@ -207,3 +207,57 @@ def test_rhf_heh_plus():
     # 2 electrons in the bonding orbital, energy in the physical range
     assert -2.95 < out["energy"] < -2.7
     assert out["orbital_energies"][0] < out["orbital_energies"][1]
+
+
+def test_j2k_codec(rng):
+    """nvJPEG2000-class reversible wavelet codec."""
+    from tpumathlib.image.j2k import dwt53_2d, idwt53_2d, j2k_decode, j2k_encode
+    import jax.numpy as jnp
+
+    base = np.cumsum(np.cumsum(rng.normal(size=(64, 64)), 0), 1)
+    img = ((base - base.min()) / (base.max() - base.min()) * 255).astype(np.uint8)
+    co = dwt53_2d(jnp.asarray(img, jnp.int32), 3)
+    np.testing.assert_array_equal(np.asarray(idwt53_2d(co, 3)), img)
+    blob = j2k_encode(img)
+    assert len(blob) < img.size  # compresses
+    np.testing.assert_array_equal(j2k_decode(blob), img)  # lossless
+    np.testing.assert_array_equal(j2k_decode(blob, region=(8, 8, 16, 16)),
+                                  img[8:24, 8:24])
+
+
+def test_cuest_api_lifecycle(rng):
+    """cuEST context + plan/compute surface."""
+    from tpumathlib.apps.cuest_api import (
+        Context,
+        ContextParams,
+        IntegralPlan,
+        compute_coulomb,
+        compute_exchange,
+    )
+    from tpumathlib.apps import Molecule
+    from tpumathlib.core.errors import NotSupportedError
+    import jax.numpy as jnp
+
+    mol = Molecule(["H", "H"], np.array([[0, 0, 0], [0, 0, 1.4]]))
+    with Context(ContextParams(max_memory_mb=128)) as ctx:
+        assert ctx.version() == (0, 1, 0)
+        s = IntegralPlan(ctx, mol, "overlap").compute()
+        assert np.allclose(np.diag(np.asarray(s)), 1.0, atol=1e-6)
+        t = IntegralPlan(ctx, mol, "kinetic").compute()
+        assert np.asarray(t)[0, 0] > 0
+        d = IntegralPlan(ctx, mol, "dipole").compute()
+        assert d.shape == (3, 2, 2)
+        # dipole of center atom block ~ its z coordinate
+        assert abs(float(d[2, 1, 1]) - 1.4) < 1e-6
+        eri = IntegralPlan(ctx, mol, "eri").compute()
+        dm = jnp.asarray(np.eye(2) * 0.5)
+        j = compute_coulomb(eri, dm)
+        k = compute_exchange(eri, dm)
+        assert j.shape == (2, 2) and k.shape == (2, 2)
+        with pytest.raises(NotSupportedError):
+            IntegralPlan(ctx, mol, "pcm").compute()
+    # destroyed context refuses plans
+    ctx2 = Context()
+    ctx2.destroy()
+    with pytest.raises(NotSupportedError):
+        IntegralPlan(ctx2, mol, "overlap")

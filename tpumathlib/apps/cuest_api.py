@@ -1,0 +1,129 @@
+"""cuEST-style C/Python API surface over the SCF engine.
+
+Parity (cuEST c_examples/examples/* and python_examples — SURVEY.md §2.13):
+  0_context basic_usage (params → create → version → destroy,
+  main.c:36-61)            → Context lifecycle (+ user-owned "resources")
+  multi-stream / multi-GPU → no-ops on TPU (dataflow ordering; mesh arg
+                             accepted for the sharded path)
+  1_basic_data_structures  → Molecule / AOBasis (apps.scf) + GPUMatrix ≙
+                             device arrays (jnp)
+  2_one_electron_integrals → plan/compute pairs: overlap, kinetic,
+                             potential, dipole
+  3_density_fitting (J/K)  → compute_coulomb / compute_exchange (exact ERI
+                             contraction; DF-fitted path is a later round)
+  4_xc / 5_ecp / 6_pcm     → declared, NotSupported (round-2 scope)
+  cuest_scf rhf driver     → apps.scf.rhf
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpumathlib.core.errors import NotSupportedError, check
+from tpumathlib.apps.scf import (
+    Molecule,
+    Shell,
+    eri_tensor,
+    kinetic,
+    nuclear,
+    overlap,
+    sto3g_basis,
+)
+
+VERSION = (0, 1, 0)
+
+
+@dataclasses.dataclass
+class ContextParams:
+    """≙ cuestParams: creation-time knobs."""
+
+    max_memory_mb: int = 4096
+    screening_threshold: float = 1e-12
+
+
+class Context:
+    """≙ cuestContext: handle lifecycle (create → use → destroy)."""
+
+    def __init__(self, params: ContextParams | None = None, mesh=None):
+        self.params = params or ContextParams()
+        self.mesh = mesh
+        self._alive = True
+
+    @staticmethod
+    def version() -> tuple:
+        return VERSION
+
+    def destroy(self):
+        self._alive = False
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.destroy()
+
+    def _check(self):
+        check(self._alive, "context destroyed", err=NotSupportedError)
+
+
+class IntegralPlan:
+    """≙ cuest integral plan/compute pairs: the plan captures (molecule,
+    basis); compute executes (repeatable)."""
+
+    def __init__(self, ctx: Context, mol: Molecule, kind: str):
+        ctx._check()
+        self.ctx = ctx
+        self.mol = mol
+        self.kind = kind
+        self.basis = sto3g_basis(mol)
+
+    def compute(self):
+        self.ctx._check()
+        if self.kind == "overlap":
+            return jnp.asarray(overlap(self.basis))
+        if self.kind == "kinetic":
+            return jnp.asarray(kinetic(self.basis))
+        if self.kind == "potential":
+            return jnp.asarray(nuclear(self.basis, self.mol))
+        if self.kind == "dipole":
+            return jnp.asarray(_dipole(self.basis))
+        if self.kind == "eri":
+            return jnp.asarray(eri_tensor(self.basis))
+        raise NotSupportedError(f"integral kind {self.kind} (ecp/pcm/xc: round 2)")
+
+
+def _dipole(basis: list[Shell]) -> np.ndarray:
+    """⟨μ|r|ν⟩ for s-Gaussians: the Gaussian product center times S_μν."""
+    n = len(basis)
+    s = overlap(basis)
+    d = np.zeros((3, n, n))
+    for i, bi in enumerate(basis):
+        for j, bj in enumerate(basis):
+            a = bi.exps[:, None]
+            b = bj.exps[None, :]
+            p = a + b
+            r2 = np.sum((bi.center - bj.center) ** 2)
+            sab = (np.pi / p) ** 1.5 * np.exp(-a * b / p * r2)
+            cc = bi.coefs[:, None] * bj.coefs[None, :]
+            for ax in range(3):
+                pc = (a * bi.center[ax] + b * bj.center[ax]) / p
+                d[ax, i, j] = np.sum(cc * pc * sab)
+    return d
+
+
+def compute_coulomb(eri, density):
+    """J_{μν} = (μν|λσ) D_{λσ} (≙ cuest compute_coulomb — einsum on MXU)."""
+    from tpumathlib.tensor import einsum
+
+    return einsum("uvls,ls->uv", eri, density)
+
+
+def compute_exchange(eri, density):
+    """K_{μν} = (μλ|νσ) D_{λσ} (≙ cuest compute_exchange)."""
+    from tpumathlib.tensor import einsum
+
+    return einsum("ulvs,ls->uv", eri, density)
