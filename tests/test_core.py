@@ -90,3 +90,18 @@ def test_benchmark():
     stats = benchmark(lambda x: x + 1, jnp.ones((8,)), warmup=1, iters=3)
     assert stats["min"] <= stats["med"] <= stats["max"]
     assert len(stats["times"]) == 3
+
+
+def test_stage_timer():
+    import jax.numpy as jnp
+
+    from tpumathlib.core.profiler import StageTimer
+
+    t = StageTimer()
+    with t.stage("gemm", flops=2 * 64**3) as box:
+        box["out"] = jnp.ones((64, 64)) @ jnp.ones((64, 64))
+    with t.stage("scale") as box:
+        box["out"] = jnp.ones(8) * 2
+    rep = t.report()
+    assert "gemm" in rep and "total" in rep
+    assert t.stages[0][2]["gflops"] > 0

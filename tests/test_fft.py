@@ -176,3 +176,18 @@ def test_local_box(grid1):
     assert boxes[0][0] == (0, 0, 0)
     assert boxes[0][1] == (16 // n, 8, 8)
     assert boxes[-1][1] == (16, 8, 8)
+
+
+def test_fft1d_distributed(grid1, rng):
+    """Distributed single-vector 1D FFT (≙ cuFFT 1d_mgpu_c2c): four-step
+    with all-to-all transposes."""
+    from tpumathlib.fft.distributed import fft1d_distributed
+
+    n = 4096
+    x = _cplx(rng, (n,))
+    xs = jax.device_put(jnp.asarray(x), NamedSharding(grid1.mesh, P("x")))
+    y = fft1d_distributed(xs, grid1)
+    assert y.sharding.spec == P("x")
+    assert rel_l2(y, np.fft.fft(x)) < 1e-4
+    z = fft1d_distributed(y, grid1, inverse=True)
+    assert rel_l2(z, n * x) < 1e-4

@@ -174,3 +174,20 @@ def test_manager_self_describing(rng):
 
 def test_comp_crc32():
     assert comp.crc32(b"123456789") == 0xCBF43926
+
+
+def test_dss_save_load_factors(tmp_path, rng):
+    """Checkpoint/resume of the factorization state (≙ plan-cache
+    serialization, SURVEY.md §5)."""
+    from tpumathlib.dss import load_factors, save_factors
+
+    n = 20
+    a = _spd(rng, n)
+    s1 = Solver(dense_to_csr(a), Config(matrix_type=MatrixType.SPD))
+    s1.factorize()
+    path = str(tmp_path / "factors.npz")
+    save_factors(s1, path)
+    s2 = load_factors(path)
+    b = rng.normal(size=n)
+    x = s2.solve(b)  # no re-analysis/factorization
+    assert_allclose(a @ x, b, rtol=1e-9, msg="resumed solve")

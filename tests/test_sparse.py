@@ -269,3 +269,16 @@ def test_graph_capture_equivalent(amat, rng):
     v1 = chain(x)
     v2 = chain(x)  # replay
     assert np.isclose(float(v1), float(v2))
+
+
+def test_sell_spmv(rng):
+    """SELL (sliced-ELLPACK) format (≙ spmv_sell)."""
+    from tpumathlib.sparse.containers import SELL
+
+    a = rand_sparse(rng, 19, 24, 0.3)
+    sell = SELL.from_dense(a, slice_height=8)
+    assert sell.cols.shape[0] == 3  # ceil(19/8) slices
+    x = rng.normal(size=24)
+    y = rng.normal(size=19)
+    got = spmv(sell, jnp.asarray(x), jnp.asarray(y), alpha=2.0, beta=-1.0)
+    assert_allclose(got, 2 * a @ x - y, rtol=1e-10, msg="sell spmv")

@@ -341,3 +341,42 @@ def mgmn_solve(a_parts: list[CSR], b_parts: list[np.ndarray],
         out.append(x[off:off + m])
         off += m
     return out
+
+
+def save_factors(solver: Solver, path: str) -> None:
+    """Serialize analysis + factorization state (≙ the checkpoint/resume
+    surface SURVEY.md §5 maps to plan-cache serialization): an .npz with
+    perm, factors, prow, and config — reload with load_factors and solve
+    without re-analyzing."""
+    d = solver.data
+    blobs = {"perm": d.perm, "prow": d.prow,
+             "l_indptr": d.l_fac[0], "l_indices": d.l_fac[1], "l_data": d.l_fac[2],
+             "matrix_type": np.array(solver.config.matrix_type.value),
+             "hybrid": np.array(int(solver.config.hybrid_execute)),
+             "a_indptr": np.asarray(solver.a.indptr),
+             "a_indices": np.asarray(solver.a.indices),
+             "a_data": np.asarray(solver.a.data),
+             "shape": np.asarray(solver.a.shape)}
+    if d.u_fac is not None:
+        blobs.update({"u_indptr": d.u_fac[0], "u_indices": d.u_fac[1],
+                      "u_data": d.u_fac[2]})
+    np.savez_compressed(path, **blobs)
+
+
+def load_factors(path: str) -> Solver:
+    """Rebuild a ready-to-solve Solver from save_factors output."""
+    import jax.numpy as jnp_
+
+    z = np.load(path)
+    csr = CSR(jnp_.asarray(z["a_indptr"]), jnp_.asarray(z["a_indices"]),
+              jnp_.asarray(z["a_data"]), tuple(int(v) for v in z["shape"]))
+    cfg = Config(matrix_type=MatrixType(str(z["matrix_type"])),
+                 hybrid_execute=bool(int(z["hybrid"])))
+    s = Solver(csr, cfg)
+    s.data.perm = z["perm"]
+    s.data.prow = z["prow"]
+    s.data.l_fac = (z["l_indptr"], z["l_indices"], z["l_data"])
+    s.data.u_fac = ((z["u_indptr"], z["u_indices"], z["u_data"])
+                    if "u_indptr" in z.files else None)
+    s._build_solve()
+    return s

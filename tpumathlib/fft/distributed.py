@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from tpumathlib.core.errors import check
 from tpumathlib.mp.grid import Grid
 
 
@@ -177,6 +178,54 @@ def irfft_slab(x, grid: Grid, nz: int, axis: str | None = None):
         f, mesh=grid.mesh,
         in_specs=P(None, axis, *([None] * (ndim - 2))),
         out_specs=P(axis, *([None] * (ndim - 1))),
+    )(x)
+
+
+def fft1d_distributed(x, grid: Grid, axis: str | None = None,
+                      inverse: bool = False):
+    """Distributed 1D C2C FFT of a single huge vector (≙ cuFFT 1d_mgpu_c2c
+    and cuFFTMp 1D slabs): four-step with the inter-stage transpose as an
+    all-to-all.
+
+    x: length N = n1·n2 (complex on CPU meshes), sharded P(axis) →
+    output sharded P(axis) in natural order.
+    """
+    import math
+
+    axis = axis or grid.axes[0]
+    nproc = grid.mesh.shape[axis]
+    n = x.shape[0]
+    # n1 near sqrt(n) with both factors divisible by the grid
+    n1 = None
+    for cand in range(int(math.isqrt(n)), 0, -1):
+        if n % cand == 0 and cand % nproc == 0 and (n // cand) % nproc == 0:
+            n1 = cand
+            break
+    check(n1 is not None, "need an n = n1·n2 split with n1, n2 divisible by P")
+    n2 = n // n1
+
+    def f(blk):
+        # view x as A[i1, i2] (n = i1·n2 + i2); this rank: rows (n1/P, n2)
+        a = blk.reshape(n1 // nproc, n2)
+        # transpose to column slabs (n1, n2/P); DFT over i1
+        c = jax.lax.all_to_all(a, axis, split_axis=1, concat_axis=0, tiled=True)
+        c = _fftn_local(c, (0,), inverse)
+        # twiddle ω_N^{k1·i2}
+        me = jax.lax.axis_index(axis)
+        k1 = jnp.arange(n1)[:, None]
+        i2 = me * (n2 // nproc) + jnp.arange(n2 // nproc)[None, :]
+        sign = 2j if inverse else -2j
+        c = c * jnp.exp(sign * jnp.pi * (k1 * i2) / n).astype(c.dtype)
+        # back to row slabs (n1/P, n2); DFT over i2
+        d = jax.lax.all_to_all(c, axis, split_axis=0, concat_axis=1, tiled=True)
+        d = _fftn_local(d, (1,), inverse)
+        # X[k2·n1 + k1] = D[k1, k2]: transpose to natural output order
+        out = jax.lax.all_to_all(d.T, axis, split_axis=0, concat_axis=1,
+                                 tiled=True)  # (n2/P, n1)
+        return out.reshape(-1)
+
+    return jax.shard_map(
+        f, mesh=grid.mesh, in_specs=P(axis), out_specs=P(axis),
     )(x)
 
 

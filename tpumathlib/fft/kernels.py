@@ -117,6 +117,13 @@ def _fft_planar(xr, xi, inverse: bool):
 # of a row-tile in VMEM: load (tile, N) once, run both DFT stages + twiddle
 # + transpose on MXU/VPU values, store once — the cuFFTDx-style fused block
 # FFT, which is what gets FFT to the HBM roofline.
+#
+# STATUS: correct under interpret mode (tested); on the current axon
+# remote-compile service the full kernel is rejected with an opaque
+# tpu_compile_helper failure even though every constituent op (2D HIGHEST
+# matmul, minor-pair swapaxes, leading-pair reshapes, broadcast multiply)
+# compiles in isolation — tracked for the next round; the composed-XLA
+# _fft_planar below is the production TPU path meanwhile.
 
 def _make_fft_tile_kernel(n1: int, n2: int, inverse: bool):
     n = n1 * n2

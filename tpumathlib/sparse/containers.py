@@ -105,6 +105,47 @@ class BlockedELL:
         return self.cols.shape[1]
 
 
+@dataclasses.dataclass
+class SELL:
+    """Sliced-ELLPACK (≙ cusparseCreateSlicedEll, spmv_sell/spsv_sell):
+    rows grouped in slices of ``slice_height``; each slice padded to its own
+    max row length. data/cols: (nslices, slice_height, width_max) with
+    per-slice valid width in ``widths`` (padding: col clamped, val 0).
+
+    TPU note: the slice layout keeps memory regular (VPU-friendly gathers);
+    ``row_ids``/flat views feed the same segment-sum kernel as CSR."""
+
+    cols: Any          # (nslices, sh, wmax) int32
+    data: Any          # (nslices, sh, wmax)
+    widths: Any        # (nslices,) int32 — valid width per slice
+    shape: tuple[int, int]
+    slice_height: int
+
+    @classmethod
+    def from_dense(cls, a, slice_height: int = 8):
+        an = np.asarray(a)
+        m, n = an.shape
+        sh = slice_height
+        nslices = -(-m // sh)
+        row_nnz = (an != 0).sum(axis=1)
+        wmax = max(int(row_nnz.max()), 1)
+        cols = np.full((nslices, sh, wmax), n - 1, np.int32)
+        data = np.zeros((nslices, sh, wmax), an.dtype)
+        widths = np.zeros(nslices, np.int32)
+        for s in range(nslices):
+            rows = range(s * sh, min((s + 1) * sh, m))
+            w = max((int(row_nnz[r]) for r in rows), default=1)
+            widths[s] = max(w, 1)
+            for li, r in enumerate(rows):
+                js = np.nonzero(an[r])[0]
+                cols[s, li, :len(js)] = js
+                data[s, li, :len(js)] = an[r, js]
+        import jax.numpy as jnp_
+
+        return cls(jnp_.asarray(cols), jnp_.asarray(data),
+                   jnp_.asarray(widths), (m, n), sh)
+
+
 # register as pytrees so containers pass through jit
 import jax.tree_util as _tu
 
@@ -122,4 +163,9 @@ _tu.register_pytree_node(
     BlockedELL,
     lambda s: ((s.cols, s.data), (s.shape, s.blocksize)),
     lambda aux, leaves: BlockedELL(*leaves, *aux),
+)
+_tu.register_pytree_node(
+    SELL,
+    lambda s: ((s.cols, s.data, s.widths), (s.shape, s.slice_height)),
+    lambda aux, leaves: SELL(*leaves, *aux),
 )

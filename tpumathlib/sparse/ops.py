@@ -23,13 +23,23 @@ import jax
 import jax.numpy as jnp
 
 from tpumathlib.core.errors import check
-from tpumathlib.sparse.containers import CSR, COO, BSR, BlockedELL
+from tpumathlib.sparse.containers import CSR, COO, BSR, BlockedELL, SELL
 
 
 def _row_ids(a) -> jnp.ndarray:
     if isinstance(a, COO):
         return a.row
     return a.row_ids()
+
+
+def _sell_spmv(a: SELL, x, alpha):
+    """SELL SpMV (≙ cusparseSpMV over sliced-ELL): per-slice dense gather +
+    row reduction — regular VPU work, no scatter."""
+    m, n = a.shape
+    vals = a.data * x[a.cols]                    # (ns, sh, wmax)
+    rowsum = jnp.sum(vals, axis=-1)              # (ns, sh)
+    out = rowsum.reshape(-1)[:m]
+    return alpha * out
 
 
 @functools.partial(jax.jit, static_argnames=("combine", "transpose"))
@@ -39,6 +49,9 @@ def spmv(a, x, y=None, alpha=1.0, beta=0.0, combine: Callable | None = None,
 
     ``combine(a_val, x_val)`` replaces the product — the custom-operator
     hook (≙ cuSPARSE spmvop_csr sample)."""
+    if isinstance(a, SELL):
+        out = _sell_spmv(a, x, alpha)
+        return out if y is None else out + beta * y
     m, n = a.shape
     rows = _row_ids(a)
     cols = a.indices if isinstance(a, CSR) else a.col
