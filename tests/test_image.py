@@ -157,3 +157,45 @@ def test_tiff_roundtrip(tmp_path, rng):
     gray = rng.integers(0, 255, (10, 10), np.uint8)
     tiff_write(path, gray)
     np.testing.assert_array_equal(tiff_read(path), gray)
+
+
+def test_label_markers_batched():
+    from tpumathlib.image import label_markers_batched
+
+    masks = np.zeros((2, 8, 8), bool)
+    masks[0, 1:3, 1:3] = True
+    masks[1, 4:6, 4:6] = True
+    masks[1, 0, 0] = True
+    labels = np.asarray(label_markers_batched(jnp.asarray(masks)))
+    assert (labels[0] > 0).sum() == 4
+    assert len(set(labels[1][labels[1] > 0])) == 2
+
+
+def test_jpeg_decode_batched(rng):
+    from tpumathlib.image import jpeg_decode_batched, jpeg_encode
+
+    imgs = [rng.integers(0, 255, (16, 16), np.uint8) for _ in range(3)]
+    blobs = [jpeg_encode(i, quality=95) for i in imgs]
+    outs = jpeg_decode_batched(blobs)
+    for o, i in zip(outs, imgs):
+        assert o.shape == i.shape
+
+
+def test_inkernel_rng(rng):
+    """cuRANDDx parity: RNG inside a Pallas kernel (interpret on CPU)."""
+    from tpumathlib.dx.rng import dropout_matmul_kernel, random_uniform_kernel
+
+    u = np.asarray(random_uniform_kernel(42, (64, 128)))
+    assert 0.0 < u.min() and u.max() <= 1.0
+    assert abs(u.mean() - 0.5) < 0.05
+    # determinism by seed
+    u2 = np.asarray(random_uniform_kernel(42, (64, 128)))
+    np.testing.assert_array_equal(u, u2)
+    a = jnp.asarray(rng.normal(size=(32, 64)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(64, 16)), jnp.float32)
+    d = np.asarray(dropout_matmul_kernel(a, b, 7, rate=0.5))
+    full = np.asarray(a) @ np.asarray(b)
+    zeros = (d == 0).mean()
+    assert 0.3 < zeros < 0.7
+    nz = d != 0
+    assert np.allclose(d[nz], 2 * full[nz], rtol=1e-4)

@@ -23,6 +23,7 @@ from tpumathlib.image.ops import (  # noqa: F401
     flood_fill,
     find_contours,
     label_markers,
+    label_markers_batched,
     label_compress,
     resize_bilinear,
     watermark,
@@ -32,6 +33,7 @@ from tpumathlib.image.jpeg import (  # noqa: F401
     dct8x8,
     idct8x8,
     jpeg_decode,
+    jpeg_decode_batched,
     jpeg_encode,
     rgb_to_ycbcr,
     ycbcr_to_rgb,

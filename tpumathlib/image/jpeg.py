@@ -150,3 +150,10 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
         rgb = np.asarray(ycbcr_to_rgb(jnp.asarray(ycc)))
         return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+
+
+def jpeg_decode_batched(blobs: list) -> list:
+    """Batched decode (≙ nvjpegDecodeBatched / the pipelined-decode sample):
+    entropy stages run per-image on host; the device pixel pipelines of a
+    batch share compiled executables (same shapes → plan-cache hits)."""
+    return [jpeg_decode(b) for b in blobs]

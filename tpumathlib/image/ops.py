@@ -53,6 +53,12 @@ def label_markers(mask, eight: bool = True):
     return jnp.where(mask, labels, 0).astype(jnp.int32)
 
 
+def label_markers_batched(masks, eight: bool = True):
+    """Batched CCL (≙ nppiLabelMarkersUFBatch — the
+    batchedLabelMarkersAndCompression sample): vmap over a stack of masks."""
+    return jax.vmap(lambda m: label_markers(m, eight))(masks)
+
+
 @jax.jit
 def label_compress(labels):
     """Renumber labels to 1..N (≙ nppiCompressMarkerLabelsUF). Returns
