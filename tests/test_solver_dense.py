@@ -179,3 +179,34 @@ def test_irs_gesv(gen, rng, refinement):
     # f64-class accuracy from an f32 factorization
     assert np.linalg.norm(gen @ np.asarray(x) - b) / np.linalg.norm(b) < 1e-12
     assert int(iters) >= 1
+
+
+def test_sytrd_stedc_ormtr_chain(rng):
+    """≙ cusolverDnXsytrd/Xstedc/Xormtr and the cuSOLVERMp
+    mp_sytrd_stedc_ormtr pipeline."""
+    from tpumathlib.solver.tridiag_eig import (
+        syevd_via_chain,
+        xormtr,
+        xstedc,
+        xsytrd,
+    )
+
+    n = 24
+    a0 = rng.normal(size=(n, n))
+    a = (a0 + a0.T) / 2
+    d, e, q = xsytrd(jnp.asarray(a))
+    qn = np.asarray(q)
+    # Q orthogonal, QᵀAQ tridiagonal matching (d, e)
+    assert_allclose(qn.T @ qn, np.eye(n), rtol=1e-10)
+    t = qn.T @ a @ qn
+    tri = np.diag(np.asarray(d)) + np.diag(np.asarray(e), 1) + np.diag(np.asarray(e), -1)
+    assert_allclose(t, tri, rtol=1e-8, atol=1e-10)
+    # full chain reproduces eigh
+    w, v = syevd_via_chain(jnp.asarray(a))
+    ww = scipy.linalg.eigvalsh(a)
+    assert_allclose(w, ww, rtol=1e-9)
+    assert_allclose(a @ np.asarray(v), np.asarray(v) * np.asarray(w), rtol=1e-8)
+    # ormtr side/trans variants
+    c = rng.normal(size=(n, 4))
+    assert_allclose(xormtr(q, jnp.asarray(c), "L", "T"), qn.T @ c, rtol=1e-10)
+    assert_allclose(xormtr(q, jnp.asarray(c).T, "R", "N"), c.T @ qn, rtol=1e-10)

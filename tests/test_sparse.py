@@ -282,3 +282,42 @@ def test_sell_spmv(rng):
     y = rng.normal(size=19)
     got = spmv(sell, jnp.asarray(x), jnp.asarray(y), alpha=2.0, beta=-1.0)
     assert_allclose(got, 2 * a @ x - y, rtol=1e-10, msg="sell spmv")
+
+
+def test_bsr_spmv_sddmm(rng):
+    """BSR SpMV + sddmm_bsr (≙ cusparse bsr samples)."""
+    from tpumathlib.sparse.containers import BSR
+    from tpumathlib.sparse.ops import sddmm_bsr
+
+    m = n = 16
+    bs = 4
+    blocks = rng.uniform(size=(m // bs, n // bs)) < 0.5
+    a = np.kron(blocks, np.ones((bs, bs))) * rng.normal(size=(m, n))
+    # build BSR from dense
+    indptr = [0]
+    indices = []
+    data = []
+    for i in range(m // bs):
+        for j in range(n // bs):
+            blk = a[i*bs:(i+1)*bs, j*bs:(j+1)*bs]
+            if np.abs(blk).sum() > 0:
+                indices.append(j)
+                data.append(blk)
+        indptr.append(len(indices))
+    bsr = BSR(jnp.asarray(np.asarray(indptr, np.int32)),
+              jnp.asarray(np.asarray(indices, np.int32)),
+              jnp.asarray(np.stack(data)), (m, n), bs)
+    x = rng.normal(size=n)
+    got = spmv(bsr, jnp.asarray(x), alpha=2.0)
+    assert_allclose(got, 2 * a @ x, rtol=1e-10, msg="bsr spmv")
+    # sddmm with the same block pattern
+    p = rng.normal(size=(m, 6))
+    q = rng.normal(size=(6, n))
+    pat = BSR(bsr.indptr, bsr.indices, jnp.zeros_like(bsr.data), (m, n), bs)
+    out = sddmm_bsr(jnp.asarray(p), jnp.asarray(q), pat, alpha=1.0)
+    full = p @ q
+    for bi, (i0, i1) in enumerate(zip(indptr[:-1], indptr[1:])):
+        for pidx in range(i0, i1):
+            j = indices[pidx]
+            want = full[bi*bs:(bi+1)*bs, j*bs:(j+1)*bs]
+            assert_allclose(np.asarray(out.data)[pidx], want, rtol=1e-10)

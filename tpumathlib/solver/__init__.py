@@ -20,3 +20,9 @@ from tpumathlib.solver.dense import (  # noqa: F401
 )
 from tpumathlib.solver.jacobi import gesvdj, syevj, sygvj, gesvdj_batched, syevj_batched  # noqa: F401
 from tpumathlib.solver.irs import irs_gesv  # noqa: F401
+from tpumathlib.solver.tridiag_eig import (  # noqa: F401
+    syevd_via_chain,
+    xormtr,
+    xstedc,
+    xsytrd,
+)

@@ -52,6 +52,9 @@ def spmv(a, x, y=None, alpha=1.0, beta=0.0, combine: Callable | None = None,
     if isinstance(a, SELL):
         out = _sell_spmv(a, x, alpha)
         return out if y is None else out + beta * y
+    if isinstance(a, BSR):
+        out = _bsr_spmv(a, x, alpha)
+        return out if y is None else out + beta * y
     m, n = a.shape
     rows = _row_ids(a)
     cols = a.indices if isinstance(a, CSR) else a.col
@@ -92,6 +95,32 @@ def _spmm_bell(a: BlockedELL, b, alpha):
     out = jnp.einsum("mebc,meck->mbk", a.data, btiles * mask,
                      preferred_element_type=jnp.float32)
     return (alpha * out.reshape(mb * bs, k)[: a.shape[0]]).astype(b.dtype)
+
+
+def _bsr_spmv(a: BSR, x, alpha):
+    """BSR SpMV: per-block dense (bs×bs)@(bs,) products + block-row
+    segment-sum (≙ cusparseSpMV over BSR; the dense blocks keep the VPU
+    busy the way Blocked-ELL keeps the MXU busy)."""
+    bs = a.blocksize
+    mb = len(a.indptr) - 1
+    block_rows = jnp.searchsorted(a.indptr, jnp.arange(a.nnzb), side="right") - 1
+    xblk = x.reshape(-1, bs)[a.indices]            # (nnzb, bs)
+    prod = jnp.einsum("nij,nj->ni", a.data, xblk)  # (nnzb, bs)
+    out = jax.ops.segment_sum(prod, block_rows, num_segments=mb)
+    return alpha * out.reshape(-1)[: a.shape[0]]
+
+
+def sddmm_bsr(a, b, pattern: BSR, alpha=1.0, beta=0.0):
+    """SDDMM with a BSR sampling pattern (≙ cuSPARSE sddmm_bsr): compute
+    only the sampled (bs×bs) blocks of A@B."""
+    bs = pattern.blocksize
+    block_rows = jnp.searchsorted(pattern.indptr, jnp.arange(pattern.nnzb),
+                                  side="right") - 1
+    arows = a.reshape(-1, bs, a.shape[-1])[block_rows]       # (nnzb, bs, k)
+    bcols = jnp.swapaxes(b, 0, 1).reshape(-1, bs, b.shape[0])[pattern.indices]
+    vals = alpha * jnp.einsum("nik,njk->nij", arows, bcols) + beta * pattern.data
+    return BSR(pattern.indptr, pattern.indices, vals.astype(pattern.data.dtype),
+               pattern.shape, bs)
 
 
 def spmm(a, b, c=None, alpha=1.0, beta=0.0, transpose_a: bool = False):
