@@ -18,7 +18,6 @@ Parity (cuEST c_examples/examples/* and python_examples — SURVEY.md §2.13):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
 
 import jax.numpy as jnp
 import numpy as np

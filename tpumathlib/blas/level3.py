@@ -15,7 +15,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from tpumathlib.blas.level2 import _op, herm_full, sym_full, tri_full
-from tpumathlib.core.errors import check
 from tpumathlib.dx.gemm import pallas_matmul
 
 

@@ -30,7 +30,6 @@ import dataclasses
 import enum
 from typing import Any, Sequence
 
-import jax
 import jax.numpy as jnp
 
 from tpumathlib.core.dtypes import cdiv, traits

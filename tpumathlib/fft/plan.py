@@ -17,13 +17,11 @@ from __future__ import annotations
 
 import dataclasses
 import enum
-import functools
 from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
 
-from tpumathlib.core.dtypes import complex_dtype, real_dtype
 from tpumathlib.core.errors import check
 from tpumathlib.core.plan import PlanCache
 

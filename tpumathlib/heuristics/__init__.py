@@ -107,7 +107,6 @@ def run_discovery(problems: Sequence[tuple] | None = None) -> dict:
     """Measured silicon scan (≙ nvMatmulHeuristicsLoadInternalDiscoverySet):
     times a small GEMM set on the attached device, stores the measured/
     predicted efficiency factor in the autotune cache."""
-    import jax
     import jax.numpy as jnp
 
     from tpumathlib.core.timer import benchmark

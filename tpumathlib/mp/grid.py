@@ -18,7 +18,6 @@ block-cyclic is equivalent to a reshaped tiled sharding
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
 
 import jax
 import numpy as np

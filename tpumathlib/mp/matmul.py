@@ -21,8 +21,6 @@ Sharding conventions (row-major):
 
 from __future__ import annotations
 
-import functools
-from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -290,9 +290,6 @@ def mp_laset(shape, grid, alpha=0.0, beta=1.0, uplo: str = "A",
     """≙ cusolverMpLaset: initialize a distributed matrix with off-diagonal
     alpha and diagonal beta ('A' full / 'L' lower / 'U' upper). Built
     sharded — no single-device materialization."""
-    import numpy as np
-    from jax.sharding import NamedSharding
-
     axis, nparts = _nparts(grid, axis)
     m, n = shape
 

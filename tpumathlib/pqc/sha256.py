@@ -10,7 +10,6 @@ compression runs on device under jit.
 
 from __future__ import annotations
 
-import functools
 import struct
 
 import jax

@@ -12,7 +12,6 @@ families (xorwow/mrg32k3a) advance with lax.scan.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -30,7 +30,6 @@ reference's samples exercise, here compiler-provided.
 from __future__ import annotations
 
 import functools
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpumathlib.core.errors import check
-from tpumathlib.sparse.containers import BSR, COO, CSR, BlockedELL
+from tpumathlib.sparse.containers import COO, CSR, BlockedELL
 
 
 def dense_to_csr(a, nnz_cap: int | None = None) -> CSR:

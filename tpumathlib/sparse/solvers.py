@@ -14,8 +14,6 @@ hybrid host execute). The factors then live on device for the solve loops.
 
 from __future__ import annotations
 
-import functools
-from typing import Callable
 
 import jax
 import jax.numpy as jnp

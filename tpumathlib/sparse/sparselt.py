@@ -14,7 +14,6 @@ bandwidth saving (weights stream compressed from HBM, expand in registers).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ batch dimension onto the VPU lanes).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -8,8 +8,6 @@ shape; general mode strings reduce to it via transposes.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 from tpumathlib.core.errors import check
 from tpumathlib.sparse.containers import BlockedELL
 from tpumathlib.sparse.ops import spmm
