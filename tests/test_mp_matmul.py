@@ -99,3 +99,16 @@ def test_numroc():
     assert [numroc(10, 3, p, 4) for p in range(4)] == [3, 3, 3, 1]
     assert [numroc(10, 2, p, 2) for p in range(2)] == [6, 4]
     assert sum(numroc(1000, 32, p, 8) for p in range(8)) == 1000
+
+
+def test_matmul_ag_overlapped(grid, data):
+    """Hand-overlapped ring AG+GEMM Pallas kernel vs the XLA-collective
+    path and the local reference (≙ cuBLASMp's NVSHMEM overlap)."""
+    from tpumathlib.mp.overlap import matmul_ag_overlapped
+
+    x, w1, _ = data
+    xs = _put(grid, x, P("x", None))
+    ws = _put(grid, w1, P(None, "x"))
+    d = matmul_ag_overlapped(xs, ws, grid)
+    assert d.sharding.spec == P(None, "x")
+    assert_allclose(d, x @ w1, rtol=1e-4, msg="overlapped AG+GEMM")

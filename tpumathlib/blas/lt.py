@@ -18,6 +18,12 @@ Descriptor surface:
   sweep; the default heuristic (AlgoGetHeuristic) picks XLA for plain f32/bf16
   matmuls and the Pallas engine for fused/narrow-precision cases.
 
+No-analogue notes: LtSgemmGreenContext (SM partitioning) has no TPU
+counterpart — the per-chip compute partitioning mechanism on TPU is
+megacore/core granularity owned by XLA, not user-carvable; multi-tenancy is
+expressed at the mesh level instead. Workspace preferences are retained as
+no-ops (XLA owns memory).
+
 Scale-tensor layouts are natural (not swizzled): per-tensor = scalar;
 1×32/1×16 block scales along K: A (M, K/bs), B (K/bs, N); 128×128: A
 (⌈M/128⌉, ⌈K/128⌉), B (⌈K/128⌉, ⌈N/128⌉) — ≙ getScaleTensorSize,

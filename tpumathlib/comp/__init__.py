@@ -13,6 +13,8 @@
 
 TPU note: entropy-coded formats are host-side (no TPU formulation wins);
 cascaded encode/decode are elementwise/scan ops that run as jnp device code.
+GPUDirect-Storage (nvcomp_gds) has no TPU analogue — host IO feeds device
+transfers through the runtime; CRC32 covers the integrity-check use-case.
 """
 
 from __future__ import annotations

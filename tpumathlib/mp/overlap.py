@@ -1,0 +1,108 @@
+"""Hand-overlapped AllGather+GEMM: a Pallas ring kernel with explicit
+remote DMA (≙ cuBLASMp's NVSHMEM-backed matmul_ag overlap — the
+communication hidden behind the MXU, SURVEY.md §7.8: "Pallas async
+remote-copy overlap").
+
+Ring schedule: P-1 steps; at step s every rank computes the GEMM for the
+A-chunk it already holds while its next chunk streams in from the left
+neighbor over ICI. Compute (MXU) and the RDMA overlap inside one kernel —
+the XLA-collective path (mp.matmul.matmul_ag) relies on the compiler to
+overlap; this kernel guarantees it.
+
+Runs compiled on TPU meshes and under the Pallas TPU interpreter on the
+CPU test mesh (which is how the correctness oracle exercises it).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import PartitionSpec as P
+
+from tpumathlib.dx.pallas_utils import interpret_mode
+from tpumathlib.mp.grid import Grid
+
+
+def _ring_ag_gemm_kernel(nranks: int, mloc: int, use_barrier: bool):
+    def kernel(a_ref, b_ref, out_ref, comm_buf, send_sem, recv_sem):
+        my = jax.lax.axis_index("x").astype(jnp.int32)
+        nr = jnp.int32(nranks)
+        right = jax.lax.rem(my + jnp.int32(1), nr)
+        left = jax.lax.rem(my - jnp.int32(1) + nr, nr)
+
+        if use_barrier:
+            # neighborhood barrier: both neighbors' comm buffers must be
+            # live before any remote write lands (guide's local-barrier
+            # pattern; unsupported by the interpreter, where the runtime
+            # orders the sends itself)
+            barrier = pltpu.get_barrier_semaphore()
+            pltpu.semaphore_signal(barrier, inc=1, device_id=left,
+                                   device_id_type=pltpu.DeviceIdType.LOGICAL)
+            pltpu.semaphore_signal(barrier, inc=1, device_id=right,
+                                   device_id_type=pltpu.DeviceIdType.LOGICAL)
+            pltpu.semaphore_wait(barrier, 2)
+
+        comm_buf[0] = a_ref[:]
+        for step in range(nranks - 1):  # static unroll
+            send_slot = step % 2
+            recv_slot = (step + 1) % 2
+            rdma = pltpu.make_async_remote_copy(
+                src_ref=comm_buf.at[send_slot],
+                dst_ref=comm_buf.at[recv_slot],
+                send_sem=send_sem.at[send_slot],
+                recv_sem=recv_sem.at[recv_slot],
+                device_id=right,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            )
+            rdma.start()
+            # compute with the chunk in hand while the next one streams in:
+            # chunk at step s originates from rank (my - s) mod P
+            src = jax.lax.rem(my - jnp.int32(step) + nr, nr)
+            out_ref[pl.ds(src * mloc, mloc), :] = jnp.dot(
+                comm_buf[send_slot], b_ref[:],
+                preferred_element_type=jnp.float32)
+            rdma.wait()
+        src = jax.lax.rem(my - jnp.int32(nranks - 1) + nr, nr)
+        out_ref[pl.ds(src * mloc, mloc), :] = jnp.dot(
+            comm_buf[(nranks - 1) % 2], b_ref[:],
+            preferred_element_type=jnp.float32)
+
+    return kernel
+
+
+def matmul_ag_overlapped(a, b, grid: Grid, axis: str | None = None):
+    """D = all_gather(A) @ B with the gather hand-overlapped in-kernel.
+
+    A: P(axis, None) (row chunks), B: P(None, axis) (column chunks) →
+    D: P(None, axis) — same contract as mp.matmul.matmul_ag."""
+    axis = axis or grid.axes[0]
+    nranks = grid.mesh.shape[axis]
+    m, k = a.shape
+    mloc = m // nranks
+
+    def per_device(a_loc, b_loc):
+        nloc = b_loc.shape[-1]
+        return pl.pallas_call(
+            _ring_ag_gemm_kernel(nranks, mloc, not interpret_mode()),
+            out_shape=jax.ShapeDtypeStruct((m, nloc), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, mloc, k), a_loc.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True, collective_id=7),
+            interpret=interpret_mode(),
+        )(a_loc, b_loc).astype(a_loc.dtype)
+
+    return jax.jit(jax.shard_map(
+        per_device, mesh=grid.mesh,
+        in_specs=(P(axis, None), P(None, axis)),
+        out_specs=P(None, axis),
+        check_vma=False,
+    ))(a, b)
