@@ -118,12 +118,14 @@ def _fft_planar(xr, xi, inverse: bool):
 # + transpose on MXU/VPU values, store once — the cuFFTDx-style fused block
 # FFT, which is what gets FFT to the HBM roofline.
 #
-# STATUS: correct under interpret mode (tested); on the current axon
-# remote-compile service the full kernel is rejected with an opaque
-# tpu_compile_helper failure even though every constituent op (2D HIGHEST
-# matmul, minor-pair swapaxes, leading-pair reshapes, broadcast multiply)
-# compiles in isolation — tracked for the next round; the composed-XLA
-# _fft_planar below is the production TPU path meanwhile.
+# STATUS: compiles and runs on the chip at tile<=32 (the opaque
+# remote-compile HTTP 500s at larger tiles are VMEM overflow: blocks are
+# double-buffered, so 2 in + 2 out blocks must fit well under 16 MB).
+# Measured 75 GB/s at N=4096 — on par with the composed-XLA path because
+# the DFT-as-matmul formulation is MXU-compute-bound (HIGHEST f32 = 6
+# passes x 3 Karatsuba products), not HBM-bound. The path to the >=80%%
+# HBM roofline target is a Stockham butterfly kernel (O(N log N) VPU work)
+# rather than O(N sqrt N) matmuls — round-2 item (NOTES_r1.md).
 
 def _make_fft_tile_kernel(n1: int, n2: int, inverse: bool):
     n = n1 * n2
@@ -171,7 +173,7 @@ def _make_fft_tile_kernel(n1: int, n2: int, inverse: bool):
 
 
 @functools.partial(jax.jit, static_argnames=("inverse", "tile"))
-def pallas_fft(xr, xi, inverse: bool = False, tile: int = 256):
+def pallas_fft(xr, xi, inverse: bool = False, tile: int = 32):
     """Fused planar-complex FFT over the last axis for N = n1·n2 with
     n1, n2 ≤ 128 (N ≤ 16384). One HBM round trip per element."""
     from jax.experimental import pallas as pl
