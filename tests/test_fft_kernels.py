@@ -71,3 +71,24 @@ def test_pallas_fused_fft(rng):
     assert rel_l2(np.asarray(yr) + 1j * np.asarray(yi), w) < 1e-4
     zr, zi = pallas_fft(yr, yi, inverse=True, tile=4)
     assert rel_l2(np.asarray(zr) + 1j * np.asarray(zi), 4096 * x) < 1e-4
+
+
+@pytest.mark.parametrize("n", [256, 1024, 4096])
+def test_dif_butterfly_fft(rng, n):
+    """Roll-based radix-2 DIF Pallas kernel (pure VPU butterflies) — the
+    memory-bound FFT engine. Natural and INPLACE_SHUFFLED output modes."""
+    from tpumathlib.fft.stockham import _bitrev_perm, dif_fft
+
+    x = (rng.normal(size=(4, n)) + 1j * rng.normal(size=(4, n))).astype(np.complex64)
+    yr, yi = dif_fft(jnp.asarray(x.real), jnp.asarray(x.imag), tile=4)
+    w = np.fft.fft(x, axis=-1)
+    assert rel_l2(np.asarray(yr) + 1j * np.asarray(yi), w) < 1e-5
+    # unnormalized inverse roundtrip
+    zr, zi = dif_fft(yr, yi, inverse=True, tile=4)
+    assert rel_l2(np.asarray(zr) + 1j * np.asarray(zi), n * x) < 1e-5
+    # shuffled mode == natural[bitrev] (cufftXt INPLACE_SHUFFLED contract)
+    sr, si = dif_fft(jnp.asarray(x.real), jnp.asarray(x.imag), tile=4,
+                     reorder=False)
+    perm = _bitrev_perm(n)
+    np.testing.assert_allclose(np.asarray(sr), np.asarray(yr)[:, perm],
+                               rtol=1e-5, atol=1e-3)

