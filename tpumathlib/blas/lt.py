@@ -360,9 +360,23 @@ def matmul_autotune(
     cache = global_autotune_cache()
 
     def build(algo: Algo):
-        def run():
-            return matmul(desc, a, b, algo=algo, **kwargs)
-        return run
+        # amortized chained runner: the dispatch tunnel adds ~35 ms of fixed
+        # latency and completion isn't awaited reliably — timing a single
+        # call would rank algos by noise (see .claude/skills/verify).
+        import jax
+
+        def chained():
+            def body(i, acc):
+                # per-iteration input perturbation defeats CSE so all 20
+                # matmuls really execute
+                ai = a + (i * jnp.asarray(1e-30, jnp.float32)).astype(a.dtype)
+                r = matmul(desc, ai, b, algo=algo, **kwargs)
+                d = r[0] if isinstance(r, tuple) else r
+                return acc + jnp.sum(jnp.abs(d).astype(jnp.float32))
+            out = jax.lax.fori_loop(0, 20, body, jnp.float32(0.0))
+            return float(out)
+
+        return chained
 
     def measure(run):
         return benchmark(run, warmup=1, iters=3)["med"]
