@@ -26,6 +26,7 @@ from tpumathlib.fft.plan import (  # noqa: F401
     rfft,
     irfft,
 )
+from tpumathlib.fft.stockham import dif_fft  # noqa: F401
 from tpumathlib.fft.distributed import (  # noqa: F401
     DistributedFftPlan,
     fft_slab,
