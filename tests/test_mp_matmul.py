@@ -112,3 +112,16 @@ def test_matmul_ag_overlapped(grid, data):
     d = matmul_ag_overlapped(xs, ws, grid)
     assert d.sharding.spec == P(None, "x")
     assert_allclose(d, x @ w1, rtol=1e-4, msg="overlapped AG+GEMM")
+
+
+def test_matmul_rs_overlapped(grid, data):
+    """Hand-overlapped ring GEMM+ReduceScatter (≙ cuBLASMp matmul_rs)."""
+    from tpumathlib.mp.overlap import matmul_rs_overlapped
+
+    a = np.random.default_rng(7).normal(size=(S, F)).astype(np.float32)
+    b = np.random.default_rng(8).normal(size=(F, H)).astype(np.float32)
+    as_ = _put(grid, a, P(None, "x"))
+    bs = _put(grid, b, P("x", None))
+    d = matmul_rs_overlapped(as_, bs, grid)
+    assert d.sharding.spec in (P("x", None), P("x"))
+    assert_allclose(d, a @ b, rtol=1e-4, msg="overlapped GEMM+RS")

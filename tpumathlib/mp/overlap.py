@@ -106,3 +106,86 @@ def matmul_ag_overlapped(a, b, grid: Grid, axis: str | None = None):
         out_specs=P(None, axis),
         check_vma=False,
     ))(a, b)
+
+
+def _ring_rs_gemm_kernel(nranks: int, sp: int, use_barrier: bool):
+    def kernel(a_ref, b_ref, out_ref, comm_buf, send_sem, recv_sem):
+        my = jax.lax.axis_index("x").astype(jnp.int32)
+        nr = jnp.int32(nranks)
+        right = jax.lax.rem(my + jnp.int32(1), nr)
+        left = jax.lax.rem(my - jnp.int32(1) + nr, nr)
+        if use_barrier:
+            barrier = pltpu.get_barrier_semaphore()
+            pltpu.semaphore_signal(barrier, inc=1, device_id=left,
+                                   device_id_type=pltpu.DeviceIdType.LOGICAL)
+            pltpu.semaphore_signal(barrier, inc=1, device_id=right,
+                                   device_id_type=pltpu.DeviceIdType.LOGICAL)
+            pltpu.semaphore_wait(barrier, 2)
+
+        def partial(c):
+            rows = a_ref[pl.ds(c * sp, sp), :]
+            return jnp.dot(rows, b_ref[:], preferred_element_type=jnp.float32)
+
+        # start: my contribution to chunk (my-1); it reaches rank (my-1)+... 
+        # after P-1 accumulate-and-forward hops every rank ends owning ITS chunk
+        c0 = jax.lax.rem(my - jnp.int32(1) + nr, nr)
+        comm_buf[0] = partial(c0)
+        for step in range(nranks - 1):
+            cur = step % 2
+            nxt = (step + 1) % 2
+            rdma = pltpu.make_async_remote_copy(
+                src_ref=comm_buf.at[cur],
+                dst_ref=comm_buf.at[nxt],
+                send_sem=send_sem.at[cur],
+                recv_sem=recv_sem.at[nxt],
+                device_id=right,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            )
+            rdma.start()
+            # overlap: compute my partial for the chunk about to arrive
+            c_in = jax.lax.rem(my - jnp.int32(step + 2) + nr * 2, nr)
+            mine = partial(c_in)
+            rdma.wait()
+            comm_buf[nxt] = comm_buf[nxt] + mine
+        out_ref[:] = comm_buf[(nranks - 1) % 2]
+
+    return kernel
+
+
+def matmul_rs_overlapped(a, b, grid: Grid, axis: str | None = None):
+    """D = reduce_scatter(A @ B) with the reduction hand-overlapped in a
+    remote-DMA ring (≙ cuBLASMp matmul_rs over NVSHMEM).
+
+    A: P(None, axis) (column chunks), B: P(axis, None) (row chunks) →
+    D: P(axis, None) — same contract as mp.matmul.matmul_rs. Per step the
+    next chunk's local GEMM runs while the accumulating chunk is in flight.
+    """
+    axis = axis or grid.axes[0]
+    nranks = grid.mesh.shape[axis]
+    m = a.shape[0]
+    sp = m // nranks
+
+    def per_device(a_loc, b_loc):
+        h = b_loc.shape[-1]
+        return pl.pallas_call(
+            _ring_rs_gemm_kernel(nranks, sp, not interpret_mode()),
+            out_shape=jax.ShapeDtypeStruct((sp, h), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, sp, h), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True, collective_id=8),
+            interpret=interpret_mode(),
+        )(a_loc, b_loc).astype(a_loc.dtype)
+
+    return jax.jit(jax.shard_map(
+        per_device, mesh=grid.mesh,
+        in_specs=(P(None, axis), P(axis, None)),
+        out_specs=P(axis, None),
+        check_vma=False,
+    ))(a, b)
