@@ -155,3 +155,17 @@ def test_lt_plan_and_autotune(ab, tmp_path, monkeypatch):
     assert algo in cands
     plan = lt.Matmul(desc, algo)
     assert_allclose(plan(jnp.asarray(a), jnp.asarray(b)), a @ b, rtol=1e-4)
+
+
+def test_lt_dgemm_emulated(rng):
+    """≙ LtDgemmEmulated: fp64 matmul through the Ozaki int8-slice engine."""
+    a = rng.normal(size=(24, 32))
+    b = rng.normal(size=(32, 16))
+    c = rng.normal(size=(24, 16))
+    desc = lt.MatmulDesc(compute_dtype=jnp.float64)
+    d = lt.matmul(desc, jnp.asarray(a), jnp.asarray(b), jnp.asarray(c),
+                  alpha=1.5, beta=0.5)
+    assert d.dtype == jnp.float64
+    want = 1.5 * a @ b + 0.5 * c
+    err = np.abs(np.asarray(d) - want).max() / np.abs(want).max()
+    assert err < 1e-12, err

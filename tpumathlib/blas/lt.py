@@ -239,6 +239,26 @@ def matmul(
     if epi in (Epilogue.DRELU, Epilogue.DGELU, Epilogue.BGRADB):
         return _backward_epilogue_matmul(desc, a, b, c, alpha, beta, aux, out_dtype)
 
+    if (jnp.dtype(a.dtype) == jnp.float64 and compute_dtype == jnp.dtype(jnp.float64)
+            and epi == Epilogue.DEFAULT):
+        # ≙ LtDgemmEmulated: fp64 matmul on int8 MXU slices (Ozaki scheme) —
+        # the TPU has no fp64 units, exactly the situation the reference's
+        # emulated-dgemm path exists for
+        from tpumathlib.blas.emulation import dgemm_emulated
+
+        d = alpha * dgemm_emulated(a, b)
+        if c is not None:
+            d = d + beta * c.astype(jnp.float64)
+        outs2 = []
+        if desc.amax_d:
+            amax2 = jnp.max(jnp.abs(d)).astype(jnp.float32)
+        if d_scale is not None:
+            d = d * jnp.asarray(d_scale, jnp.float64)
+        outs2.append(d.astype(out_dtype))
+        if desc.amax_d:
+            outs2.append(amax2)
+        return tuple(outs2) if len(outs2) > 1 else outs2[0]
+
     narrow = traits(a.dtype).itemsize < 2 or traits(b.dtype).itemsize < 2
     scaled = (
         a_scale is not None or b_scale is not None
