@@ -48,6 +48,11 @@ def test_dotc(rng):
 def test_rot_rotg():
     r, z, c, s = level1.rotg(3.0, 4.0)
     assert np.isclose(r, 5.0) and np.isclose(c, 0.6) and np.isclose(s, 0.8)
+    # netlib z convention: |a|<=|b| here → z = 1/c
+    assert np.isclose(z, 1.0 / c)
+    # |a|>|b| → z = s, so the rotation reconstructs from z alone
+    r2, z2, c2, s2 = level1.rotg(4.0, 3.0)
+    assert np.isclose(z2, s2)
     x = jnp.asarray([3.0])
     y = jnp.asarray([4.0])
     xr, yr = level1.rot(x, y, c, s)

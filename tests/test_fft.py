@@ -98,6 +98,23 @@ def test_ortho_norm(rng):
     assert rel_l2(z, np.asarray(x)) < 1e-4
 
 
+@pytest.mark.parametrize("norm", [None, "ortho", "backward"])
+def test_norm_planar_matches_complex(rng, norm):
+    """The planar (re, im) path must apply the same norm scaling as the
+    complex path — both directions (regression: planar ortho-inverse and
+    backward were mis-scaled)."""
+    n = 64
+    x = _cplx(rng, (3, n))
+    p = plan_many((n,), FftType.C2C, norm=norm)
+    xr = jnp.asarray(x.real, jnp.float32)
+    xi = jnp.asarray(x.imag, jnp.float32)
+    for direction in (Direction.FORWARD, Direction.INVERSE):
+        ref = np.asarray(p(jnp.asarray(x), direction))
+        pr, pi = p((xr, xi), direction)
+        got = np.asarray(pr) + 1j * np.asarray(pi)
+        assert rel_l2(got, ref) < 1e-4, (norm, direction)
+
+
 # ---------------- distributed ----------------
 
 @pytest.fixture(scope="module")

@@ -21,7 +21,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from tpumathlib.core.errors import check
+from tpumathlib.core.errors import NotSupportedError, check
 
 # ---------------- FP32 via bf16 multi-word arithmetic ----------------
 
@@ -115,6 +115,11 @@ def dgemm_emulated(
     recombined as Σ 2^(ea+eb-bits(i+j+2))·P_ij in f64.
     """
     check(bits <= 7, "int8 slices need bits<=7")
+    check(jax.config.jax_enable_x64,
+          "dgemm_emulated needs jax_enable_x64: without it the f64 "
+          "slicing/recombination silently demotes to f32 and the Ozaki "
+          "scheme loses its fp64-class accuracy",
+          NotSupportedError)
     a = jnp.asarray(a, jnp.float64)
     b = jnp.asarray(b, jnp.float64)
     kdim = a.shape[-1]

@@ -100,7 +100,10 @@ def rotg(a, b):
         r = scale * np.hypot(a / scale, b / scale)
         r = np.copysign(r, roe)
         c, s = a / r, b / r
-        z = 1.0 if abs(a) > abs(b) else (1.0 / c if c != 0.0 else 1.0)
+        # netlib/cuBLAS drotg z convention: z=s when |a|>|b|, z=1/c when
+        # |a|<=|b| and c!=0, z=1 when c==0 — so the rotation can be
+        # reconstructed from z alone.
+        z = s if abs(a) > abs(b) else (1.0 / c if c != 0.0 else 1.0)
         return r, z, c, s
     # complex crotg
     absa = abs(a)

@@ -22,7 +22,7 @@ from typing import Callable, Sequence
 import jax
 import jax.numpy as jnp
 
-from tpumathlib.core.errors import check
+from tpumathlib.core.errors import NotSupportedError, check
 from tpumathlib.core.plan import PlanCache
 
 
@@ -97,11 +97,22 @@ class FftPlan:
                 yr, yi = _axis_fft(xr_m, xi_m)
                 xr = jnp.moveaxis(yr, -1, ax)
                 xi = jnp.moveaxis(yi, -1, ax)
-            if desc.norm == "ortho":
+            # the planar engines are unnormalized in BOTH directions
+            # (cuFFT convention), so norm scaling is applied here:
+            #   ortho    → 1/√N each direction
+            #   backward → NumPy semantics: 1/N on the inverse only
+            if desc.norm is not None:
                 import numpy as np
 
-                s = float(np.prod(desc.shape)) ** (-0.5 if not inverse else 0.5)
-                xr, xi = xr * s, xi * s
+                ntot = float(np.prod(desc.shape))
+                if desc.norm == "ortho":
+                    s = ntot ** -0.5
+                elif desc.norm == "backward":
+                    s = 1.0 / ntot if inverse else 1.0
+                else:
+                    raise NotSupportedError(f"unknown norm {desc.norm!r}")
+                if s != 1.0:
+                    xr, xi = xr * s, xi * s
             if post is not None:
                 xr, xi = post((xr, xi))
             return xr, xi

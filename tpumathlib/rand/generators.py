@@ -29,8 +29,22 @@ _PHILOX_W1 = np.uint32(0xBB67AE85)
 
 
 def _mulhilo(a, b):
-    prod = a.astype(jnp.uint64) * b.astype(jnp.uint64)
-    return (prod >> 32).astype(jnp.uint32), prod.astype(jnp.uint32)
+    """Full 32×32→64 multiply as a (hi, lo) uint32 pair via 16-bit partial
+    products — exact regardless of jax_enable_x64 (uint64 is unavailable
+    under the default config, where astype(uint64) silently truncates)."""
+    a = a.astype(jnp.uint32)
+    b = b.astype(jnp.uint32)
+    mask = jnp.uint32(0xFFFF)
+    lo = a * b  # low word: exact mod 2^32
+    a_lo, a_hi = a & mask, a >> 16
+    b_lo, b_hi = b & mask, b >> 16
+    ll = a_lo * b_lo
+    lh = a_lo * b_hi
+    hl = a_hi * b_lo
+    hh = a_hi * b_hi
+    carry = ((ll >> 16) + (lh & mask) + (hl & mask)) >> 16
+    hi = hh + (lh >> 16) + (hl >> 16) + carry  # exact: true hi < 2^32
+    return hi, lo
 
 
 @jax.jit
@@ -152,41 +166,73 @@ class XorwowGenerator(_GeneratorBase):
         return outs[self.offset - count:]
 
 
-class Mrg32k3aGenerator(_GeneratorBase):
-    """≙ CURAND_RNG_PSEUDO_MRG32K3A — L'Ecuyer's combined MRG, exact
-    recurrence (float64 state arithmetic like the reference)."""
+def _mod_fold(hi, lo, c, m):
+    """(hi·2³² + lo) mod m for m = 2³² − c, in pure uint32 arithmetic.
 
-    M1 = 4294967087.0
-    M2 = 4294944443.0
+    Valid whenever hi·c < 2³⁶ (true for both MRG32k3a moduli: the multiplier
+    constants are < 2²¹ so hi < 2²¹ and c < 2¹⁵). Exactness here is why the
+    generator needs no float64/uint64 — it runs bit-exact under the default
+    JAX config."""
+    c = jnp.uint32(c)
+    m = jnp.uint32(m)
+    h2, l2 = _mulhilo(hi, c)          # hi·2³² ≡ hi·c = h2·2³² + l2 (mod m)
+    t = lo + l2                       # may wrap: +2³² ≡ +c
+    t2 = t + h2 * c + jnp.where(t < lo, c, jnp.uint32(0))
+    t3 = t2 + jnp.where(t2 < t, c, jnp.uint32(0))
+    return jnp.where(t3 >= m, t3 - m, t3)
+
+
+def _submod(x, y, m):
+    m = jnp.uint32(m)
+    return jnp.where(x >= y, x - y, x + (m - y))
+
+
+class Mrg32k3aGenerator(_GeneratorBase):
+    """≙ CURAND_RNG_PSEUDO_MRG32K3A — L'Ecuyer's combined MRG, exact integer
+    recurrence in uint32 (no float64/uint64 state, so it cannot silently
+    degrade when jax_enable_x64 is off)."""
+
+    M1 = 4294967087  # 2^32 - 209
+    M2 = 4294944443  # 2^32 - 22853
+    _C1 = 209
+    _C2 = 22853
 
     def random_bits(self, count: int):
-        u = self._uniform_raw(self.offset + count)[self.offset:]
+        """Bit-source view: the raw combined output z ∈ [1, m1] (the top 209
+        uint32 values never occur — negligible for the bit view)."""
+        z = self._raw(self.offset + count)[self.offset:]
         self.offset += count
-        # map (0,1) doubles to uint32 (the bit-source view)
-        return (u * 4294967296.0).astype(jnp.uint32)
+        return z
 
     def uniform(self, count: int, dtype=jnp.float32):
-        u = self._uniform_raw(self.offset + count)[self.offset:]
+        z = self._raw(self.offset + count)[self.offset:]
         self.offset += count
-        return u.astype(dtype)
+        return (z.astype(jnp.float32) * jnp.float32(1.0 / (self.M1 + 1.0))).astype(dtype)
 
-    def _uniform_raw(self, total: int):
-        seed = float(self.seed % 4294967087 or 12345)
-        s1 = jnp.asarray([seed, seed, seed], jnp.float64)
-        s2 = jnp.asarray([seed, seed, seed], jnp.float64)
+    def _raw(self, total: int):
+        seed1 = np.uint32(self.seed % self.M1 or 12345)
+        seed2 = np.uint32(self.seed % self.M2 or 12345)
+        s1 = jnp.full((3,), seed1, jnp.uint32)
+        s2 = jnp.full((3,), seed2, jnp.uint32)
+        m1, m2 = self.M1, self.M2
+        c1, c2 = self._C1, self._C2
 
         def step(carry, _):
             s1, s2 = carry
-            p1 = jnp.mod(1403580.0 * s1[1] - 810728.0 * s1[0], self.M1)
-            p2 = jnp.mod(527612.0 * s2[2] - 1370589.0 * s2[0], self.M2)
-            s1 = jnp.asarray([s1[1], s1[2], p1])
-            s2 = jnp.asarray([s2[1], s2[2], p2])
-            z = jnp.mod(p1 - p2, self.M1)
-            u = jnp.where(z > 0, z, self.M1) / (self.M1 + 1.0)
-            return (s1, s2), u
+            t11 = _mod_fold(*_mulhilo(jnp.uint32(1403580), s1[1]), c1, m1)
+            t10 = _mod_fold(*_mulhilo(jnp.uint32(810728), s1[0]), c1, m1)
+            p1 = _submod(t11, t10, m1)
+            t22 = _mod_fold(*_mulhilo(jnp.uint32(527612), s2[2]), c2, m2)
+            t20 = _mod_fold(*_mulhilo(jnp.uint32(1370589), s2[0]), c2, m2)
+            p2 = _submod(t22, t20, m2)
+            s1 = jnp.stack([s1[1], s1[2], p1])
+            s2 = jnp.stack([s2[1], s2[2], p2])
+            z = _submod(p1, p2, m1)  # p2 < m2 < m1
+            z = jnp.where(z > 0, z, jnp.uint32(m1))
+            return (s1, s2), z
 
-        (_, _), us = jax.lax.scan(step, (s1, s2), None, length=total)
-        return us
+        (_, _), zs = jax.lax.scan(step, (s1, s2), None, length=total)
+        return zs
 
 
 class Mt19937Generator(_GeneratorBase):
