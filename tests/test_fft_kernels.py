@@ -77,18 +77,23 @@ def test_pallas_fused_fft(rng):
 def test_dif_butterfly_fft(rng, n):
     """Roll-based radix-2 DIF Pallas kernel (pure VPU butterflies) — the
     memory-bound FFT engine. Natural and INPLACE_SHUFFLED output modes."""
-    from tpumathlib.fft.stockham import _bitrev_perm, dif_fft
+    from tpumathlib.fft.stockham import dif_fft, shuffle_perm
 
     x = (rng.normal(size=(4, n)) + 1j * rng.normal(size=(4, n))).astype(np.complex64)
     yr, yi = dif_fft(jnp.asarray(x.real), jnp.asarray(x.imag), tile=4)
     w = np.fft.fft(x, axis=-1)
     assert rel_l2(np.asarray(yr) + 1j * np.asarray(yi), w) < 1e-5
+    # HIGHEST-precision mode (6-pass MXU instead of bf16x2 3M)
+    er, ei = dif_fft(jnp.asarray(x.real), jnp.asarray(x.imag), tile=4,
+                     exact=True)
+    assert rel_l2(np.asarray(er) + 1j * np.asarray(ei), w) < 1e-6
     # unnormalized inverse roundtrip
     zr, zi = dif_fft(yr, yi, inverse=True, tile=4)
     assert rel_l2(np.asarray(zr) + 1j * np.asarray(zi), n * x) < 1e-5
-    # shuffled mode == natural[bitrev] (cufftXt INPLACE_SHUFFLED contract)
+    # shuffled mode: natural == raw[shuffle_perm] (≙ cufftXt
+    # INPLACE_SHUFFLED: a consistent permuted order, gather-free output)
     sr, si = dif_fft(jnp.asarray(x.real), jnp.asarray(x.imag), tile=4,
                      reorder=False)
-    perm = _bitrev_perm(n)
-    np.testing.assert_allclose(np.asarray(sr), np.asarray(yr)[:, perm],
+    perm = shuffle_perm(n)
+    np.testing.assert_allclose(np.asarray(sr)[:, perm], np.asarray(yr),
                                rtol=1e-5, atol=1e-3)

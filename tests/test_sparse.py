@@ -118,6 +118,26 @@ def test_blocked_ell(rng):
     assert_allclose(got, a @ b, rtol=1e-4)
 
 
+def test_blocked_ell_pallas_128(rng):
+    """bs=128 Blocked-ELL routes to the hand-pipelined Pallas kernel
+    (B stripe VMEM-resident, A ell-rows double-buffered, one K=ellw·bs MXU
+    dot per block-row) — SpMM and SpMV vs the dense oracle."""
+    from tpumathlib.sparse import spmv
+
+    bs, mb, nb = 128, 3, 5
+    m, n = mb * bs, nb * bs
+    blocks = rng.uniform(size=(mb, nb)) < 0.5
+    blocks[0, 0] = True  # at least one stored block per matrix
+    a = np.kron(blocks, np.ones((bs, bs))) * rng.normal(size=(m, n))
+    bell = dense_to_blocked_ell(a, bs)
+    b = rng.normal(size=(n, 200)).astype(np.float32)
+    got = spmm(bell, jnp.asarray(b))
+    assert_allclose(got, a @ b, rtol=2e-4, atol=1e-3)
+    x = rng.normal(size=n).astype(np.float32)
+    gv = spmv(bell, jnp.asarray(x))
+    assert_allclose(gv, a @ x, rtol=2e-4, atol=1e-3)
+
+
 def test_spgemm_and_reuse(rng):
     a = rand_sparse(rng, 10, 14)
     b = rand_sparse(rng, 14, 12)

@@ -9,3 +9,11 @@ collective kernels used by the mp tier.
 
 from tpumathlib.dx.pallas_utils import interpret_mode, on_tpu  # noqa: F401
 from tpumathlib.dx.gemm import pallas_matmul, MatmulConfig  # noqa: F401
+from tpumathlib.dx.solver import (  # noqa: F401
+    geqrf_batched,
+    gesv_batched,
+    getrf_batched,
+    posv_batched,
+    potrf_batched,
+    potrf_blocked,
+)

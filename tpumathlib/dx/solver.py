@@ -1,0 +1,413 @@
+"""In-kernel batched small factorizations — the cuSolverDx tier.
+
+≙ MathDx/cuSolverDx (README.md:37-71): batched potrf/posv, getrf (with and
+without pivoting), gesv, geqrf executed INSIDE one kernel per batch tile —
+the whole factorization runs out of VMEM with zero HBM traffic between
+steps, the natural Pallas analogue of cuSolverDx's
+`Size<N>() + Function<potrf>() + Block()` compile-time composition. The
+blocked large-matrix potrf that composes the dx GEMM mirrors
+MathDx/cuSolverDx/10_Advanced (blocked potrf via cuBLASDx).
+
+Formulation: each kernel instance holds a (bt, n, n) batch tile as one
+VMEM value and runs the O(n) factorization loop with fully vectorized
+masked rank-1 updates (row/column extraction by iota masks — no dynamic
+sublane indexing, which Mosaic lacks). Per-batch-element pivot rows are
+selected with one-hot reductions, so partial pivoting vectorizes across
+the batch too.
+
+Oracles: scipy/LAPACK at f32 tolerances (tests/test_dx_solver.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpumathlib.core.errors import check
+from tpumathlib.dx.pallas_utils import interpret_mode
+
+
+def _iotas(n):
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, n, n), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, n, n), 2)
+    vec = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    return row, col, vec
+
+
+def _get_col(a, col_ix, j):
+    """a[:, :, j] without dynamic lane indexing: masked reduction."""
+    return jnp.sum(jnp.where(col_ix == j, a, 0.0), axis=2)
+
+
+def _get_row(a, row_ix, j):
+    return jnp.sum(jnp.where(row_ix == j, a, 0.0), axis=1)
+
+
+# ----------------------------- potrf -----------------------------
+
+
+def _potrf_body(a, n):
+    row_ix, col_ix, vec_ix = _iotas(n)
+
+    def step(j, a):
+        colv = _get_col(a, col_ix, j)                       # (bt, n)
+        diag = jnp.sum(jnp.where(vec_ix == j, colv, 0.0), axis=1)
+        inv = jax.lax.rsqrt(diag)[:, None]
+        l = jnp.where(vec_ix >= j, colv * inv, 0.0)         # (bt, n)
+        a = jnp.where((col_ix == j) & (row_ix >= j), l[:, :, None], a)
+        upd = a - l[:, :, None] * l[:, None, :]
+        return jnp.where((row_ix > j) & (col_ix > j), upd, a)
+
+    a = jax.lax.fori_loop(0, n, step, a)
+    return jnp.where(row_ix >= col_ix, a, 0.0)
+
+
+# ----------------------------- getrf -----------------------------
+
+
+def _getrf_body(a, n, pivot: bool):
+    row_ix, col_ix, vec_ix = _iotas(n)
+
+    def step(j, carry):
+        a, piv = carry
+        if pivot:
+            colv = _get_col(a, col_ix, j)
+            cand = jnp.where(vec_ix >= j, jnp.abs(colv), -1.0)
+            # argmax via max + first-match (argmax doesn't lower in Mosaic)
+            cmax = jnp.max(cand, axis=1, keepdims=True)
+            p = jnp.min(jnp.where(cand == cmax, vec_ix, n), axis=1)
+            p = p.astype(jnp.int32)                          # (bt,)
+            piv = jnp.where(vec_ix == j, p[:, None], piv)
+            # (bt, n, 1) one-hot born 3D (Mosaic cannot reshape i1 masks)
+            row3 = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
+            onehot_p = row3 == p[:, None, None]
+            row_p = jnp.sum(jnp.where(onehot_p, a, 0.0), axis=1)
+            row_j = _get_row(a, row_ix, j)
+            a = jnp.where(row_ix == j, row_p[:, None, :], a)
+            a = jnp.where(onehot_p & (row_ix != j), row_j[:, None, :], a)
+        colv = _get_col(a, col_ix, j)
+        diag = jnp.sum(jnp.where(vec_ix == j, colv, 0.0), axis=1)
+        l = jnp.where(vec_ix > j, colv / diag[:, None], 0.0)
+        rowj = _get_row(a, row_ix, j)
+        upd = a - l[:, :, None] * rowj[:, None, :]
+        a = jnp.where((row_ix > j) & (col_ix > j), upd, a)
+        a = jnp.where((row_ix > j) & (col_ix == j), l[:, :, None], a)
+        return a, piv
+
+    bt = a.shape[0]
+    piv0 = jnp.broadcast_to(vec_ix, (bt, n)).astype(jnp.int32)
+    return jax.lax.fori_loop(0, n, step, (a, piv0))
+
+
+# ----------------------------- solves -----------------------------
+
+
+def _apply_piv(b, piv, n):
+    """Apply the recorded row-swap sequence to RHS b (bt, n, k)."""
+    row_ix = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
+    vec_ix = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+
+    def step(j, b):
+        p = jnp.sum(jnp.where(vec_ix == j, piv, 0), axis=1)  # (bt,)
+        onehot_p = row_ix == p[:, None, None]                # (bt, n, 1)
+        row_p = jnp.sum(jnp.where(onehot_p, b, 0.0), axis=1)
+        row_j = jnp.sum(jnp.where(row_ix == j, b, 0.0), axis=1)
+        b = jnp.where(row_ix == j, row_p[:, None, :], b)
+        return jnp.where(onehot_p & (row_ix != j), row_j[:, None, :], b)
+
+    return jax.lax.fori_loop(0, n, step, b)
+
+
+def _trsm_lower_unit(lu, b, n):
+    row_ix, col_ix, vec_ix = _iotas(n)
+    brow = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
+
+    def step(j, b):
+        bj = jnp.sum(jnp.where(brow == j, b, 0.0), axis=1)   # (bt, k)
+        lcol = jnp.where(vec_ix > j, _get_col(lu, col_ix, j), 0.0)
+        return b - lcol[:, :, None] * bj[:, None, :]
+
+    return jax.lax.fori_loop(0, n, step, b)
+
+
+def _trsm_upper(lu, b, n):
+    row_ix, col_ix, vec_ix = _iotas(n)
+    brow = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
+
+    def step(i, b):
+        j = n - 1 - i
+        ucol = _get_col(lu, col_ix, j)                       # (bt, n)
+        diag = jnp.sum(jnp.where(vec_ix == j, ucol, 0.0), axis=1)
+        bj = jnp.sum(jnp.where(brow == j, b, 0.0), axis=1) / diag[:, None]
+        b = jnp.where(brow == j, bj[:, None, :], b)
+        ucol = jnp.where(vec_ix < j, ucol, 0.0)
+        return b - ucol[:, :, None] * bj[:, None, :]
+
+    return jax.lax.fori_loop(0, n, step, b)
+
+
+# ----------------------------- geqrf -----------------------------
+
+
+def _geqrf_body(a, n):
+    row_ix, col_ix, vec_ix = _iotas(n)
+    bt = a.shape[0]
+
+    def step(j, carry):
+        a, taus = carry
+        colv = _get_col(a, col_ix, j)                        # (bt, n)
+        x = jnp.where(vec_ix >= j, colv, 0.0)
+        xj = jnp.sum(jnp.where(vec_ix == j, x, 0.0), axis=1)  # (bt,)
+        normx = jnp.sqrt(jnp.sum(x * x, axis=1))
+        # dlarfg convention: if the subdiagonal part is already zero,
+        # tau = 0 and the column is left untouched
+        tailsq = jnp.sum(jnp.where(vec_ix > j, x * x, 0.0), axis=1)
+        degenerate = tailsq == 0.0
+        alpha = jnp.where(degenerate, xj,
+                          -jnp.sign(jnp.where(xj == 0, 1.0, xj)) * normx)
+        v = jnp.where(vec_ix == j, x - alpha[:, None], x)
+        v = jnp.where(degenerate[:, None], 0.0, v)
+        vsq = jnp.sum(v * v, axis=1)
+        safe = vsq > 0
+        tau_h = jnp.where(safe, 2.0 / jnp.where(safe, vsq, 1.0), 0.0)
+        # w = tau * A^T v ; rank-1 update A -= v w^T, restricted to columns
+        # >= j (earlier columns hold stored reflectors, not zeros)
+        w = jnp.sum(a * v[:, :, None], axis=1) * tau_h[:, None]
+        a = a - jnp.where(col_ix >= j, v[:, :, None] * w[:, None, :], 0.0)
+        # store LAPACK-normalized reflector (v_j = 1) below the diagonal
+        vj = xj - alpha
+        vn = v / jnp.where(vj == 0, 1.0, vj)[:, None]
+        a = jnp.where((col_ix == j) & (row_ix > j), vn[:, :, None], a)
+        # LAPACK tau = 2 vj^2 / |v|^2
+        tau = jnp.where(safe, tau_h * vj * vj, 0.0)
+        taus = jnp.where(vec_ix == j, tau[:, None], taus)
+        return a, taus
+
+    taus0 = jnp.zeros((bt, n), a.dtype)
+    return jax.lax.fori_loop(0, n, step, (a, taus0))
+
+
+# ----------------------------- kernels & API -----------------------------
+
+
+def _tile(batch: int, n: int) -> int:
+    # the masked-update loop body holds ~8-10 (bt, n, n) temporaries on the
+    # Mosaic stack, so keep a tile well under 1 MB
+    per = n * n * 4
+    return max(1, min(batch, (512 << 10) // per))
+
+
+def _run_batched(body_fn, a, extra_outs):
+    """Run body_fn over (bt, n, n) tiles of a (B, n, n) batch."""
+    b, n, _ = a.shape
+    bt = _tile(b, n)
+    pad = (-b) % bt
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), (pad, n, n))
+        a = jnp.concatenate([a, eye], axis=0)
+    bp = a.shape[0]
+
+    out_shapes = [jax.ShapeDtypeStruct((bp, n, n), jnp.float32)]
+    out_specs = [pl.BlockSpec((bt, n, n), lambda i: (i, 0, 0))]
+    for shape, dtype in extra_outs:
+        out_shapes.append(jax.ShapeDtypeStruct((bp,) + shape, dtype))
+        out_specs.append(pl.BlockSpec(
+            (bt,) + shape, lambda i, _nd=len(shape): (i,) + (0,) * _nd))
+
+    outs = pl.pallas_call(
+        body_fn,
+        grid=(bp // bt,),
+        in_specs=[pl.BlockSpec((bt, n, n), lambda i: (i, 0, 0))],
+        out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
+        out_shape=out_shapes if len(out_shapes) > 1 else out_shapes[0],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret_mode(),
+    )(a.astype(jnp.float32))
+    if not isinstance(outs, (tuple, list)):
+        outs = (outs,)
+    return tuple(o[:b] for o in outs)
+
+
+@jax.jit
+def potrf_batched(a):
+    """Batched in-kernel Cholesky: (B, n, n) SPD → lower L with A = L Lᵀ.
+
+    ≙ cuSolverDx potrf_batched (MathDx/cuSolverDx/README.md:37-71)."""
+    check(a.ndim == 3 and a.shape[1] == a.shape[2], "need (B, n, n)")
+    n = a.shape[1]
+
+    def kernel(a_ref, l_ref):
+        l_ref[:] = _potrf_body(a_ref[:], n)
+
+    (out,) = _run_batched(kernel, a, [])
+    return out.astype(a.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("pivot",))
+def getrf_batched(a, pivot: bool = True):
+    """Batched in-kernel LU: returns (LU, piv) with the LAPACK packed
+    L\\U layout; piv[b, j] = row swapped with j at step j (row-swap
+    sequence, LAPACK ipiv convention, 0-based).
+
+    ≙ cuSolverDx getrf_batched with/without partial pivoting."""
+    check(a.ndim == 3 and a.shape[1] == a.shape[2], "need (B, n, n)")
+    n = a.shape[1]
+
+    def kernel(a_ref, lu_ref, piv_ref):
+        lu, piv = _getrf_body(a_ref[:], n, pivot)
+        lu_ref[:] = lu
+        piv_ref[:] = piv
+
+    lu, piv = _run_batched(kernel, a, [((n,), jnp.int32)])
+    return lu.astype(a.dtype), piv
+
+
+@jax.jit
+def gesv_batched(a, b):
+    """Batched in-kernel solve A X = B via pivoted LU + both triangular
+    substitutions, all inside one kernel (≙ cuSolverDx gesv_batched)."""
+    check(a.ndim == 3 and b.ndim == 3, "need (B, n, n), (B, n, k)")
+    n = a.shape[1]
+    k = b.shape[2]
+    bsz = a.shape[0]
+    bt = _tile(bsz, n)
+    pad = (-bsz) % bt
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), (pad, n, n))
+        a = jnp.concatenate([a, eye], axis=0)
+        b = jnp.concatenate([b, jnp.zeros((pad, n, k), b.dtype)], axis=0)
+    bp = a.shape[0]
+
+    def kernel(a_ref, b_ref, x_ref):
+        lu, piv = _getrf_body(a_ref[:], n, True)
+        rhs = _apply_piv(b_ref[:], piv, n)
+        y = _trsm_lower_unit(lu, rhs, n)
+        x_ref[:] = _trsm_upper(lu, y, n)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(bp // bt,),
+        in_specs=[pl.BlockSpec((bt, n, n), lambda i: (i, 0, 0)),
+                  pl.BlockSpec((bt, n, k), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((bt, n, k), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bp, n, k), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret_mode(),
+    )(a.astype(jnp.float32), b.astype(jnp.float32))
+    return out[:bsz].astype(b.dtype)
+
+
+@jax.jit
+def posv_batched(a, b):
+    """Batched in-kernel SPD solve via Cholesky + two triangular solves
+    (≙ cuSolverDx posv_batched)."""
+    check(a.ndim == 3 and b.ndim == 3, "need (B, n, n), (B, n, k)")
+    n = a.shape[1]
+    k = b.shape[2]
+    bsz = a.shape[0]
+    bt = _tile(bsz, n)
+    pad = (-bsz) % bt
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), (pad, n, n))
+        a = jnp.concatenate([a, eye], axis=0)
+        b = jnp.concatenate([b, jnp.zeros((pad, n, k), b.dtype)], axis=0)
+    bp = a.shape[0]
+
+    def kernel(a_ref, b_ref, x_ref):
+        l = _potrf_body(a_ref[:], n)
+        # L y = b (non-unit forward), then L^T x = y (upper solve on L^T)
+        row_ix, col_ix, vec_ix = _iotas(n)
+        brow = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
+
+        def fwd(j, b):
+            lcol = _get_col(l, col_ix, j)
+            diag = jnp.sum(jnp.where(vec_ix == j, lcol, 0.0), axis=1)
+            bj = jnp.sum(jnp.where(brow == j, b, 0.0), axis=1) / diag[:, None]
+            b = jnp.where(brow == j, bj[:, None, :], b)
+            lcol = jnp.where(vec_ix > j, lcol, 0.0)
+            return b - lcol[:, :, None] * bj[:, None, :]
+
+        y = jax.lax.fori_loop(0, n, fwd, b_ref[:])
+
+        def bwd(i, b):
+            j = n - 1 - i
+            # column j of L^T is row j of L
+            urow = _get_row(l, row_ix, j)                    # (bt, n)
+            diag = jnp.sum(jnp.where(vec_ix == j, urow, 0.0), axis=1)
+            bj = jnp.sum(jnp.where(brow == j, b, 0.0), axis=1) / diag[:, None]
+            b = jnp.where(brow == j, bj[:, None, :], b)
+            urow = jnp.where(vec_ix < j, urow, 0.0)
+            return b - urow[:, :, None] * bj[:, None, :]
+
+        x_ref[:] = jax.lax.fori_loop(0, n, bwd, y)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(bp // bt,),
+        in_specs=[pl.BlockSpec((bt, n, n), lambda i: (i, 0, 0)),
+                  pl.BlockSpec((bt, n, k), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((bt, n, k), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bp, n, k), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret_mode(),
+    )(a.astype(jnp.float32), b.astype(jnp.float32))
+    return out[:bsz].astype(b.dtype)
+
+
+@jax.jit
+def geqrf_batched(a):
+    """Batched in-kernel Householder QR: returns (packed R + reflectors,
+    taus) in LAPACK geqrf layout (≙ cuSolverDx geqrf_batched)."""
+    check(a.ndim == 3 and a.shape[1] == a.shape[2], "need (B, n, n)")
+    n = a.shape[1]
+
+    def kernel(a_ref, qr_ref, tau_ref):
+        qr, taus = _geqrf_body(a_ref[:], n)
+        qr_ref[:] = qr
+        tau_ref[:] = taus
+
+    qr, taus = _run_batched(kernel, a, [((n,), jnp.float32)])
+    return qr.astype(a.dtype), taus.astype(a.dtype)
+
+
+# ------------------- blocked potrf composing dx GEMM -------------------
+
+
+def potrf_blocked(a, block: int = 128):
+    """Single large SPD matrix Cholesky: panel potrf in-kernel + trailing
+    syrk update through the dx Pallas GEMM — ≙ the cuSolverDx 10_Advanced
+    blocked potrf that composes cuBLASDx."""
+    from tpumathlib.dx.gemm import pallas_matmul
+
+    n = a.shape[0]
+    check(a.ndim == 2 and a.shape[1] == n, "need square (n, n)")
+    check(n % block == 0, "n must be a multiple of block")
+    nb = n // block
+    a = a.astype(jnp.float32)
+    out = jnp.zeros_like(a)
+    for i in range(nb):
+        s = i * block
+        panel = jax.lax.dynamic_slice(a, (s, s), (block, block))
+        l_ii = potrf_batched(panel[None])[0]
+        out = jax.lax.dynamic_update_slice(out, l_ii, (s, s))
+        if i + 1 < nb:
+            rest = n - s - block
+            a_below = jax.lax.dynamic_slice(a, (s + block, s),
+                                            (rest, block))
+            # L_bi = A_bi · L_ii^-T  (small triangular solve via XLA)
+            l_bi = jax.scipy.linalg.solve_triangular(
+                l_ii, a_below.T, lower=True).T
+            out = jax.lax.dynamic_update_slice(out, l_bi, (s + block, s))
+            # trailing syrk on the MXU: A_t -= L_bi @ L_bi^T
+            upd = pallas_matmul(l_bi, l_bi.T)
+            trail = jax.lax.dynamic_slice(
+                a, (s + block, s + block), (rest, rest)) - upd
+            a = jax.lax.dynamic_update_slice(a, trail, (s + block, s + block))
+    return out

