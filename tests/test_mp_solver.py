@@ -64,6 +64,60 @@ def test_mp_getrf_getrs(grid, rng):
     assert_allclose(a @ np.asarray(x), b, rtol=1e-3, msg="mp_getrs")
 
 
+def test_mp_getrf_pivoted_hard(grid, rng):
+    """Pivoted distributed LU on a NON-diagonally-dominant matrix with a
+    tiny leading pivot — the case no-pivot LU cannot handle
+    (≙ cuSOLVERMp default pivoting, mp_getrf_getrs.c:486)."""
+    from tpumathlib.mp.solver import mp_getrf_pivoted, mp_getrs_pivoted
+
+    a = rng.normal(size=(N, N)).astype(np.float32)
+    a[0, 0] = 1e-9  # poisoned leading pivot
+    lu, ipiv = mp_getrf_pivoted(_put(grid, a, P(None, "x")), grid)
+    lun = np.asarray(lu)
+    ipn = np.asarray(ipiv)
+    l = np.tril(lun, -1) + np.eye(N)
+    u = np.triu(lun)
+    # multipliers bounded by 1: the pivoting guarantee
+    assert np.abs(l).max() <= 1.0 + 1e-5
+    pa = a.copy()
+    for j in range(N):
+        pa[[j, ipn[j]]] = pa[[ipn[j], j]]
+    assert_allclose(l @ u, pa, rtol=2e-3, atol=2e-4, msg="mp_getrf_pivoted")
+    # distributed-vs-single oracle: scipy pivoted LU solves same system
+    x_true = rng.normal(size=(N, 2)).astype(np.float32)
+    b = a @ x_true
+    x = mp_getrs_pivoted(jnp.asarray(lun), jnp.asarray(ipn), jnp.asarray(b))
+    assert_allclose(np.asarray(x), x_true, rtol=5e-2, atol=5e-2,
+                    msg="mp_getrs_pivoted")
+
+
+def test_mp_sytrd_stedc_ormtr(grid, rng):
+    """Distributed eigensolver chain vs single-device eigh
+    (≙ mp_sytrd_stedc_ormtr.c)."""
+    from tpumathlib.mp.solver import mp_sytrd, mp_sytrd_stedc_ormtr
+
+    a0 = rng.normal(size=(N, N)).astype(np.float32)
+    a0 = (a0 + a0.T) / 2
+    a = _put(grid, a0, P("x", None))
+    d, e, q = mp_sytrd(a, grid)
+    qn = np.asarray(q)
+    # Q orthogonal and Qᵀ A Q tridiagonal
+    assert_allclose(qn.T @ qn, np.eye(N), rtol=1e-3, atol=1e-3,
+                    msg="mp_sytrd Q orthogonality")
+    t = qn.T @ a0 @ qn
+    assert np.abs(np.tril(t, -2)).max() < 1e-3
+    assert_allclose(np.diag(t), np.asarray(d), rtol=1e-2, atol=1e-3,
+                    msg="mp_sytrd d")
+    w, v = mp_sytrd_stedc_ormtr(a, grid)
+    w_ref = np.linalg.eigvalsh(a0)
+    assert_allclose(np.sort(np.asarray(w)), w_ref, rtol=1e-3, atol=1e-3,
+                    msg="mp chain eigenvalues")
+    vn = np.asarray(v)
+    # eigenvector residual: ||A v - w v||
+    res = a0 @ vn - vn * np.asarray(w)[None, :]
+    assert np.abs(res).max() < 5e-2, np.abs(res).max()
+
+
 def test_mp_geqrf_gels(grid, rng):
     m = 128
     a = rng.normal(size=(m, 16)).astype(np.float32)

@@ -22,3 +22,13 @@ from tpumathlib.mp.matmul import (  # noqa: F401
     matmul_rs,
     tp_matmul,
 )
+from tpumathlib.mp.pblas import (  # noqa: F401
+    mp_geadd,
+    mp_symm,
+    mp_syr2k,
+    mp_syrk,
+    mp_syrkx,
+    mp_tradd,
+    mp_trmm,
+    mp_trsm,
+)

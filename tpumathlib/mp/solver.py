@@ -148,6 +148,130 @@ def mp_getrs(lu, b, grid=None, axis: str | None = None):
     return solve_triangular(lu, y, lower=False)
 
 
+# ---------------- pivoted distributed LU ----------------
+
+def _lu_piv_panel(p):
+    """Partial-pivoted LU of a tall panel (mp × nb): returns the packed
+    L\\U panel and the row-swap sequence (LAPACK ipiv, 0-based, panel-
+    relative). Pure-JAX scan — runs per rank inside shard_map."""
+    mp_, nb = p.shape
+    rows = jnp.arange(mp_)
+
+    def body(carry, t):
+        m, piv = carry
+        col = jnp.take(m, t, axis=1)
+        cand = jnp.where(rows >= t, jnp.abs(col), -1.0)
+        pidx = jnp.argmax(cand).astype(piv.dtype)
+        piv = piv.at[t].set(pidx)
+        rowt = m[t]
+        rowp = m[pidx]
+        m = m.at[t].set(rowp).at[pidx].set(rowt)
+        col = jnp.take(m, t, axis=1)
+        diag = col[t]
+        l = jnp.where(rows > t, col / diag, 0.0)
+        urow = jnp.where(jnp.arange(nb) > t, m[t], 0.0)
+        m = m - jnp.outer(l, urow)
+        m = jnp.where((rows > t)[:, None] & (jnp.arange(nb) == t)[None, :],
+                      l[:, None], m)
+        return (m, piv), None
+
+    piv0 = jnp.zeros((nb,), jnp.int32)
+    (lu, piv), _ = jax.lax.scan(body, (p, piv0), jnp.arange(nb))
+    return lu, piv
+
+
+def mp_getrf_pivoted(a, grid, axis: str | None = None):
+    """Distributed blocked LU WITH partial pivoting (the cuSOLVERMp
+    default — mp_getrf_getrs.c:486): column-block sharded P(None, axis).
+
+    Per block step: the owning rank factors its tall panel with row
+    pivoting, the pivot sequence is broadcast (one psum ≙ ncclBcast) and —
+    because the distribution is by COLUMNS — every rank applies the row
+    swaps locally with no further communication; the L panel broadcast and
+    MXU trailing update follow as in the no-pivot path.
+
+    Returns (LU, ipiv): combined LAPACK L\\U storage sharded like A, and
+    the global row-swap sequence ipiv (replicated) with ipiv[j] = row
+    swapped with j at step j (0-based)."""
+    axis, nparts = _nparts(grid, axis)
+    n = a.shape[-1]
+    check(n % nparts == 0, "n must divide the grid")
+    nb = n // nparts
+
+    def local(a_loc):
+        r = jax.lax.axis_index(axis)
+        ipiv = jnp.zeros((1, n), jnp.int32)
+        for k in range(nparts):
+            off = k * nb
+            panel_lu, piv_rel = _lu_piv_panel(a_loc[off:, :])
+            piv_glob = piv_rel.astype(jnp.int32) + jnp.int32(off)
+            piv_glob = jax.lax.psum(
+                jnp.where(r == k, piv_glob, jnp.zeros_like(piv_glob)), axis)
+            ipiv = ipiv.at[0, off:off + nb].set(piv_glob)
+            # owner already swapped inside the panel; other ranks apply the
+            # same swap sequence to their local columns (rows are local!)
+            a_k = a_loc.at[off:].set(panel_lu)
+
+            def swap_body(t, x):
+                t = t.astype(jnp.int32)
+                p = piv_glob[t]
+                rowt = x[jnp.int32(off) + t]
+                rowp = x[p]
+                x = jax.lax.dynamic_update_slice(
+                    x, rowp[None], (jnp.int32(off) + t, jnp.int32(0)))
+                return jax.lax.dynamic_update_slice(
+                    x, rowt[None], (p, jnp.int32(0)))
+
+            a_other = jax.lax.fori_loop(0, nb, swap_body, a_loc)
+            a_loc = jnp.where(r == k, a_k, a_other)
+            # broadcast the factored column block of the owner
+            cblk = jax.lax.psum(
+                jnp.where(r == k, a_loc, jnp.zeros_like(a_loc)), axis)
+            lkk = (jnp.tril(cblk[off:off + nb], -1)
+                   + jnp.eye(nb, dtype=a_loc.dtype))
+            lbelow = cblk[off + nb:]
+            # ranks j > k: U_kj = L_kk⁻¹ A_kj, trailing -= L_below U_kj
+            ukj = jax.scipy.linalg.solve_triangular(
+                lkk, a_loc[off:off + nb], lower=True, unit_diagonal=True)
+            new = a_loc.at[off:off + nb].set(ukj)
+            new = new.at[off + nb:].add(
+                -jnp.matmul(lbelow, ukj, preferred_element_type=jnp.float32
+                            ).astype(a_loc.dtype))
+            a_loc = jnp.where(r > k, new, a_loc)
+        return a_loc, ipiv
+
+    lu, ipiv = jax.jit(jax.shard_map(
+        local, mesh=grid.mesh,
+        in_specs=P(None, axis),
+        out_specs=(P(None, axis), P(None, axis)),
+        check_vma=False))(a)
+    # every rank computed the same full ipiv; take the first shard row
+    return lu, ipiv.reshape(-1)[:n]
+
+
+def mp_getrs_pivoted(lu, ipiv, b, grid=None, axis: str | None = None):
+    """Solve from mp_getrf_pivoted output: apply the row-swap sequence to
+    B, then the two triangular solves (≙ cusolverMpGetrs with pivoting)."""
+    from jax.scipy.linalg import solve_triangular
+
+    n = b.shape[0]
+    b = b if b.ndim == 2 else b[:, None]
+
+    def swap_body(t, x):
+        t = t.astype(jnp.int32)
+        p = ipiv[t].astype(jnp.int32)
+        rowt = x[t]
+        rowp = x[p]
+        x = jax.lax.dynamic_update_slice(x, rowp[None], (t, jnp.int32(0)))
+        return jax.lax.dynamic_update_slice(x, rowt[None],
+                                            (p, jnp.int32(0)))
+
+    pb = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), swap_body,
+                           b.astype(lu.dtype))
+    y = solve_triangular(lu, pb, lower=True, unit_diagonal=True)
+    return solve_triangular(lu, y, lower=False)
+
+
 # ---------------- TSQR ----------------
 
 def mp_geqrf(a, grid, axis: str | None = None):
@@ -307,3 +431,97 @@ def mp_laset(shape, grid, alpha=0.0, beta=1.0, uplo: str = "A",
 
     return jax.jit(jax.shard_map(local, mesh=grid.mesh, in_specs=(),
                                  out_specs=P(None, axis)))()
+
+
+# ---------------- distributed sytrd / stedc / ormtr chain ----------------
+
+def mp_sytrd(a, grid, axis: str | None = None):
+    """Distributed Householder tridiagonalization (≙ cusolverMpSytrd, the
+    first stage of mp_sytrd_stedc_ormtr.c): A row-sharded P(axis, None).
+
+    Per step the Householder vector is assembled from one all-gathered
+    column, w = A·v needs NO communication (row-sharded A gives each rank
+    its rows of w), and one all-gather replicates w for the local rank-2
+    update — 2 vector all-gathers per step, all O(n²) updates local MXU/VPU
+    work. Q is accumulated row-sharded with zero communication.
+
+    Returns (d, e, q): diagonals replicated, Q row-sharded like A."""
+    axis, nparts = _nparts(grid, axis)
+    n = a.shape[-1]
+    check(n % nparts == 0, "n must divide the grid")
+    mloc = n // nparts
+
+    def local(a_blk):
+        r = jax.lax.axis_index(axis)
+        rows_g = (r * mloc + jnp.arange(mloc)).astype(jnp.int32)
+        idx = jnp.arange(n)
+        q_blk = (rows_g[:, None] == idx[None, :]).astype(a_blk.dtype)
+
+        def step(carry, k):
+            m_blk, q_blk = carry
+            colk = jax.lax.all_gather(
+                jnp.take(m_blk, k, axis=1), axis, tiled=True)  # (n,)
+            tail = jnp.where(idx > k, colk, 0.0)
+            alpha = jnp.sqrt(jnp.sum(tail * tail))
+            pivot = jnp.take(colk, k + 1, mode="clip")
+            alpha = jnp.where(pivot > 0, -alpha, alpha)
+            v = tail.at[jnp.clip(k + 1, 0, n - 1)].add(-alpha * (k + 1 < n))
+            vnorm2 = jnp.sum(v * v)
+            safe = vnorm2 > 1e-30
+            beta = jnp.where(safe, 2.0 / jnp.where(safe, vnorm2, 1.0), 0.0)
+            w_mine = beta * (m_blk @ v)                      # my rows of w
+            w = jax.lax.all_gather(w_mine, axis, tiled=True)  # (n,)
+            kscal = 0.5 * beta * jnp.dot(w, v)
+            w = w - kscal * v
+            v_mine = jnp.take(v, rows_g)
+            m_blk = (m_blk - jnp.outer(v_mine, w)
+                     - jnp.outer(jnp.take(w, rows_g), v))
+            q_blk = q_blk - beta * jnp.outer(q_blk @ v, v)
+            return (m_blk, q_blk), None
+
+        (t_blk, q_blk), _ = jax.lax.scan(step, (a_blk, q_blk),
+                                         jnp.arange(n - 2))
+        # replicated tridiagonal: gather my diagonal pieces
+        t_full = jax.lax.all_gather(t_blk, axis, axis=0, tiled=True)
+        d = jnp.diagonal(t_full)
+        e = jnp.diagonal(t_full, 1)
+        return q_blk, jnp.broadcast_to(d[None], (1, n)), \
+            jnp.broadcast_to(e[None], (1, n - 1))
+
+    q, d, e = jax.jit(jax.shard_map(
+        local, mesh=grid.mesh, in_specs=P(axis, None),
+        out_specs=(P(axis, None), P(axis, None), P(axis, None))))(a)
+    return d.reshape(-1)[:n], e.reshape(-1)[:n - 1], q
+
+
+def mp_stedc(d, e, grid=None, axis: str | None = None):
+    """Tridiagonal eigensolver stage (≙ cusolverMpStedc): the (d, e) data
+    is O(n) and replicated, so every rank runs the same QL-class solve —
+    the O(n³) stages around it (mp_sytrd, mp_ormtr) carry the distribution."""
+    from tpumathlib.solver.tridiag_eig import xstedc
+
+    return xstedc(d, e)
+
+
+def mp_ormtr(q, c, grid, axis: str | None = None):
+    """Back-transform stage (≙ cusolverMpOrmtr): V = Q·C with Q row-sharded
+    and C replicated — one local MXU matmul per rank, no communication."""
+    axis, _ = _nparts(grid, axis)
+
+    def local(q_blk, c_rep):
+        return jnp.matmul(q_blk, c_rep, preferred_element_type=jnp.float32
+                          ).astype(q_blk.dtype)
+
+    return jax.jit(jax.shard_map(
+        local, mesh=grid.mesh, in_specs=(P(axis, None), P(None, None)),
+        out_specs=P(axis, None)))(q, c)
+
+
+def mp_sytrd_stedc_ormtr(a, grid, axis: str | None = None):
+    """The full distributed eigendecomposition pipeline of
+    mp_sytrd_stedc_ormtr.c: tridiagonalize → tridiagonal eigensolve →
+    back-transform. Returns (w ascending, V row-sharded)."""
+    d, e, q = mp_sytrd(a, grid, axis)
+    w, z = mp_stedc(d, e, grid, axis)
+    v = mp_ormtr(q, z, grid, axis)
+    return w, v
