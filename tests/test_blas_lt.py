@@ -108,6 +108,37 @@ def test_lt_nvfp4(ab):
     assert corr > 0.98, corr
 
 
+def test_lt_nvfp4_packed(ab):
+    """Packed-int4 e2m1 storage (the sample's core point: 4-bit operands —
+    sample_cublasLt_LtNvfp4Matmul.cu:73-79): quantize → PackedFp4 (two
+    codes per byte) + 1×16 e4m3 scales → lt.matmul → rel err ≤ 0.1."""
+    a, b = ab
+    mode = lt.ScaleMode.VEC16_E4M3
+    qa, sa = lt.fp4_quantize(jnp.asarray(a), mode, "a")
+    qb, sb = lt.fp4_quantize(jnp.asarray(b), mode, "b")
+    # truly 4-bit storage: half a byte per element
+    assert qa.data.dtype == jnp.uint8 and qa.data.shape == (M, K // 2)
+    assert np.asarray(sa).dtype == jnp.float8_e4m3fn
+    # codes round-trip bit-exactly through pack/unpack
+    codes = lt.fp4_encode(jnp.asarray(a) / lt._expand_scale(
+        a.shape, sa, mode, "a"))
+    np.testing.assert_array_equal(
+        np.asarray(lt.fp4_unpack(lt.fp4_pack(codes))), np.asarray(codes))
+    # decoded values are e2m1 levels exactly
+    vals = np.asarray(lt.fp4_dequantize(qa))
+    assert set(np.unique(np.abs(vals))) <= {0.0, 0.5, 1.0, 1.5, 2.0, 3.0,
+                                            4.0, 6.0}
+    desc = lt.MatmulDesc(a_scale_mode=mode, b_scale_mode=mode, amax_d=True)
+    d, amax = lt.matmul(desc, qa, qb, a_scale=sa, b_scale=sb,
+                        out_dtype=jnp.float32)
+    want = a @ b
+    rel = np.linalg.norm(np.asarray(d) - want) / np.linalg.norm(want)
+    # intrinsic e2m1 noise: ~8-10% RMS per operand at the sample's amax/6
+    # scale mapping → ~0.14 on the product for N(0,1) data
+    assert rel <= 0.15, rel
+    assert np.isclose(float(amax), np.abs(np.asarray(d)).max(), rtol=1e-5)
+
+
 def test_lt_blk128(rng):
     """≙ LtBlk128x128Fp8Matmul: DeepSeek-style 2D block scaling."""
     m, n, k = 256, 256, 256

@@ -199,3 +199,44 @@ def test_inkernel_rng(rng):
     assert 0.3 < zeros < 0.7
     nz = d != 0
     assert np.allclose(d[nz], 2 * full[nz], rtol=1e-4)
+
+
+def test_jfif_decode_real_jpeg(rng):
+    """Decode REAL libjpeg-encoded .jpg streams through jpeg_decode
+    (≙ nvJPEG-Decoder/nvjpegDecoder.cpp:46-88 decoding actual files) —
+    PIL (libjpeg) is the encode+decode oracle."""
+    import io
+
+    from PIL import Image
+
+    from tpumathlib.image.jpeg import jpeg_decode
+
+    x = np.linspace(0, 4 * np.pi, 128)
+    img = (127 + 60 * np.sin(x)[:, None] * np.cos(x)[None, :]
+           + 40 * np.outer(np.cos(x / 3), np.ones(128)))
+    img = img.clip(0, 255).astype(np.uint8)
+    rgb = np.stack([img, np.roll(img, 7, 0), 255 - img], -1)
+
+    # 4:4:4 color: near-exact vs libjpeg's own decode
+    buf = io.BytesIO()
+    Image.fromarray(rgb).save(buf, "JPEG", quality=90, subsampling=0)
+    ours = jpeg_decode(buf.getvalue())
+    ref = np.asarray(Image.open(buf).convert("RGB"))
+    assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 3
+
+    # 4:2:0 at an odd size (chroma upsampling differs: nearest vs fancy)
+    rgb2 = rgb[:100, :75]
+    buf = io.BytesIO()
+    Image.fromarray(rgb2).save(buf, "JPEG", quality=92, subsampling=2)
+    ours = jpeg_decode(buf.getvalue())
+    ref = np.asarray(Image.open(buf).convert("RGB"))
+    assert ours.shape == ref.shape
+    assert np.abs(ours.astype(int) - ref.astype(int)).mean() < 3.0
+
+    # grayscale with restart markers
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=85,
+                              restart_marker_blocks=4)
+    ours = jpeg_decode(buf.getvalue())
+    ref = np.asarray(Image.open(buf).convert("L"))
+    assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 2

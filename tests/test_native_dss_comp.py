@@ -191,3 +191,23 @@ def test_dss_save_load_factors(tmp_path, rng):
     b = rng.normal(size=n)
     x = s2.solve(b)  # no re-analysis/factorization
     assert_allclose(a @ x, b, rtol=1e-9, msg="resumed solve")
+
+
+def test_snappy_block_format_spec():
+    """Real snappy BLOCK format: decode hand-built spec-conformant streams
+    (format_description.txt) — not an alias of another codec."""
+    from tpumathlib.comp import snappy
+
+    # varint(25) + 1-byte literal 'a' + tag-2 copy len=24 offset=1
+    blob = bytes([25, 0x00, ord("a"), ((24 - 1) << 2) | 2, 1, 0])
+    assert snappy.decompress(blob) == b"a" * 25
+    # tag-1 copy with 1-byte offset: 'ab' then len-6 copy at offset 2
+    blob = bytes([8, 0x04, ord("a"), ord("b"), ((6 - 4) << 2) | 1, 2])
+    assert snappy.decompress(blob) == b"abababab"
+    # 4-byte-offset copy tag decodes too
+    lit = bytes(range(256)) * 2
+    blob = (snappy._varint_encode(len(lit) + 4) + bytes([63 << 2]) +
+            (len(lit) - 1).to_bytes(4, "little") + lit +
+            bytes([(4 - 1) << 2 | 3]) + (4).to_bytes(4, "little"))
+    out = snappy.decompress(blob)
+    assert out[-4:] == lit[-4:]

@@ -216,6 +216,14 @@ def matmul(
     (D[, aux][, amax]) — aux for *_AUX epilogues, amax when desc.amax_d.
     For DRELU/DGELU epilogues, ``aux`` is the forward pre-activation input.
     """
+    # NVFP4 packed-e2m1 operands: decode to f32 values (exact — every e2m1
+    # level is f32-representable); block scales apply on the normal
+    # VEC16_E4M3 dequant path below (≙ LtNvfp4Matmul)
+    if isinstance(a, PackedFp4):
+        a = fp4_dequantize(a)
+    if isinstance(b, PackedFp4):
+        b = fp4_dequantize(b)
+
     if algo is None:
         algo = matmul_algo_get_heuristic(
             desc,
@@ -441,12 +449,109 @@ def matmul_planar(ar, ai, br, bi, *, alpha=1.0, use_3m: bool = True):
     return alpha * dr, alpha * di
 
 
+# ---------- NVFP4: packed e2m1 storage (≙ LtNvfp4Matmul) ----------
+
+# e2m1 magnitudes by code 0..7 (1 sign, 2 exponent, 1 mantissa; bias 1)
+_E2M1_LEVELS = (0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0)
+# nearest-level decision boundaries (midpoints)
+_E2M1_BOUNDS = (0.25, 0.75, 1.25, 1.75, 2.5, 3.5, 5.0)
+
+
+@dataclasses.dataclass
+class PackedFp4:
+    """fp4 e2m1 operand storage: two 4-bit codes per uint8, low nibble =
+    even column (≙ the fp4 value tensor of
+    LtNvfp4Matmul/sample_cublasLt_LtNvfp4Matmul.cu:73-79; JAX has no 4-bit
+    dtype, so the packed container carries the logical shape)."""
+
+    data: object          # uint8 (..., r, c//2)
+    shape: tuple          # logical (..., r, c)
+
+    @property
+    def dtype(self):
+        return jnp.uint8
+
+
+def fp4_encode(x):
+    """f32 → e2m1 codes (uint8 in [0,16), nearest-level rounding)."""
+    xf = jnp.asarray(x, jnp.float32)
+    mag = jnp.abs(xf)
+    idx = sum((mag > b).astype(jnp.uint8) for b in _E2M1_BOUNDS)
+    sign = (xf < 0).astype(jnp.uint8)
+    return sign * jnp.uint8(8) + idx
+
+
+def fp4_decode(codes):
+    """e2m1 codes → f32 values."""
+    idx = codes & jnp.uint8(7)
+    mag = jnp.take(jnp.asarray(_E2M1_LEVELS, jnp.float32),
+                   idx.astype(jnp.int32))
+    return jnp.where(codes >= 8, -mag, mag)
+
+
+def fp4_pack(codes):
+    """(..., c) codes → (..., c//2) uint8, low nibble = even column."""
+    check(codes.shape[-1] % 2 == 0, "fp4 pack needs even trailing dim")
+    lo = codes[..., 0::2]
+    hi = codes[..., 1::2]
+    return (lo | (hi << 4)).astype(jnp.uint8)
+
+
+def fp4_unpack(packed):
+    """(..., c//2) uint8 → (..., c) codes."""
+    lo = packed & jnp.uint8(0xF)
+    hi = packed >> 4
+    return jnp.stack([lo, hi], axis=-1).reshape(packed.shape[:-1]
+                                                + (packed.shape[-1] * 2,))
+
+
+def fp4_quantize(x, mode: ScaleMode = None, operand: str = "a"):
+    """Quantize to NVFP4: packed e2m1 values + 1×16 e4m3 block scales
+    (amax/6 per block, ≙ sample_cublasLt_LtNvfp4Matmul.cu:73-79).
+    Returns (PackedFp4, scales)."""
+    mode = mode or ScaleMode.VEC16_E4M3
+    check(mode == ScaleMode.VEC16_E4M3, "NVFP4 uses 1x16 e4m3 scales")
+    xf = jnp.asarray(x, jnp.float32)
+    r, c = xf.shape[-2], xf.shape[-1]
+    bs = mode.block
+    if operand == "a":
+        pc = cdiv(c, bs) * bs
+        xp = jnp.pad(xf, [(0, 0)] * (xf.ndim - 1) + [(0, pc - c)])
+        amax = jnp.max(jnp.abs(xp.reshape(xp.shape[:-1] + (pc // bs, bs))),
+                       axis=-1)
+    else:
+        pr = cdiv(r, bs) * bs
+        xp = jnp.pad(xf, [(0, 0)] * (xf.ndim - 2) + [(0, pr - r), (0, 0)])
+        amax = jnp.max(jnp.abs(xp.reshape(xp.shape[:-2] + (pr // bs, bs, c))),
+                       axis=-2)
+    scale = jnp.maximum(amax / 6.0, 1e-12)
+    scale = scale.astype(jnp.float8_e4m3fn).astype(jnp.float32)
+    sexp = _expand_scale(xf.shape, scale, mode, operand)
+    codes = fp4_encode(xf / sexp)
+    return (PackedFp4(fp4_pack(codes), xf.shape),
+            scale.astype(jnp.float8_e4m3fn))
+
+
+def fp4_dequantize(p: PackedFp4, scales=None,
+                   mode: ScaleMode = None, operand: str = "a"):
+    """PackedFp4 (+ optional block scales) → f32."""
+    vals = fp4_decode(fp4_unpack(p.data))[..., :p.shape[-1]]
+    if scales is not None:
+        mode = mode or ScaleMode.VEC16_E4M3
+        vals = vals * _expand_scale(p.shape, scales, mode, operand)
+    return vals
+
+
 # ---------- quantization helpers (the Pallas quantize kernels' host API) ----------
 
 def quantize(x, dtype, mode: ScaleMode = ScaleMode.TENSOR, operand: str = "a"):
     """Quantize x to a narrow dtype with the given scale mode; returns
     (values, scales). Scales are chosen so values fill the target range
     (amax-based, ≙ the reference samples' scale setup)."""
+    if isinstance(dtype, str) and dtype in ("fp4", "e2m1", "fp4_e2m1",
+                                            "nvfp4"):
+        return fp4_quantize(x, mode if mode != ScaleMode.TENSOR else None,
+                            operand)
     dt = jnp.dtype(dtype)
     finfo_max = {
         jnp.dtype(jnp.float8_e4m3fn): 448.0,

@@ -55,11 +55,11 @@ def _codec_fns(codec: str):
             return (lambda b: b"ZSTDF" + zlib.compress(b, 6),
                     lambda b, n: zlib.decompress(b[5:]))
     if codec == "snappy":
-        # stdlib-only environment: snappy framing over lz4 block
-        from tpumathlib import native
+        # real snappy BLOCK format (comp/snappy.py — spec-conformant tag
+        # stream, interoperates with google/snappy block data)
+        from tpumathlib.comp import snappy as _snappy
 
-        return (lambda b: b"SNPF" + native.lz4_compress(b),
-                lambda b, n: native.lz4_decompress(b[4:], n))
+        return (_snappy.compress, lambda b, n: _snappy.decompress(b, n))
     if codec == "cascaded":
         return (cascaded_compress, cascaded_decompress)
     if codec == "ans":

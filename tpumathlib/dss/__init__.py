@@ -85,11 +85,9 @@ class Data:
 
 
 def _sym_pattern(indptr, indices, n):
-    import scipy.sparse as sp
+    from tpumathlib.sparse import hostcsr
 
-    a = sp.csr_matrix((np.ones(len(indices)), indices, indptr), shape=(n, n))
-    s = ((a + a.T) > 0).tocsr()
-    return s.indptr.astype(np.int64), s.indices.astype(np.int64)
+    return hostcsr.sym_pattern(indptr, indices, n)
 
 
 class Solver:
@@ -127,13 +125,11 @@ class Solver:
         sp_, si_ = _sym_pattern(np.asarray(self.a.indptr, np.int64),
                                 np.asarray(self.a.indices, np.int64), n)
         # permuted symmetric pattern for the etree
-        import scipy.sparse as sparse
+        from tpumathlib.sparse import hostcsr
 
-        s = sparse.csr_matrix((np.ones(len(si_)), si_, sp_), shape=(n, n))
         p = self.data.perm
-        spp = s[p][:, p].tocsr()
-        parent, col_nnz = native.symbolic_cholesky(
-            spp.indptr.astype(np.int64), spp.indices.astype(np.int64))
+        pp_, pi_, _ = hostcsr.permute_sym(sp_, si_, np.ones(len(si_)), p)
+        parent, col_nnz = native.symbolic_cholesky(pp_, pi_)
         self.data.parent = parent
         self.data.sym_nnz = int(col_nnz.sum())
         return self
@@ -141,22 +137,25 @@ class Solver:
     def factorize(self) -> "Solver":
         """FACTORIZATION: native numeric factorization of PAPᵀ."""
         from tpumathlib import native
-        import scipy.sparse as sparse
+        from tpumathlib.sparse import hostcsr
 
         if self.data.perm is None:
             self.analyze()
         n = self.a.shape[0]
-        a = sparse.csr_matrix(
-            (np.asarray(self.a.data, np.float64), np.asarray(self.a.indices),
-             np.asarray(self.a.indptr)), shape=self.a.shape).tocsr()
         p = self.data.perm
-        ap = a[p][:, p].tocsr()
-        cap = max(16 * (self.data.sym_nnz or ap.nnz) + 64, 256)
+        app, api, apx = hostcsr.permute_sym(
+            np.asarray(self.a.indptr, np.int64),
+            np.asarray(self.a.indices, np.int64),
+            np.asarray(self.a.data, np.float64), p)
+        nnz_ap = int(app[-1])
+        cap = max(16 * (self.data.sym_nnz or nnz_ap) + 64, 256)
         if self.config.matrix_type == MatrixType.SPD:
-            low = sparse.tril(ap).tocsr()
-            lp, li, lx = native.spchol(low.indptr.astype(np.int64),
-                                       low.indices.astype(np.int64),
-                                       low.data, cap=cap)
+            rows = hostcsr.row_ids(app)
+            keep = api <= rows
+            lowp = np.zeros(n + 1, np.int64)
+            np.add.at(lowp, rows[keep] + 1, 1)
+            lp, li, lx = native.spchol(np.cumsum(lowp), api[keep],
+                                       apx[keep], cap=cap)
             self.data.l_fac = (lp, li, lx)
             self.data.u_fac = None
             self.data.prow = np.arange(n, dtype=np.int64)
@@ -165,9 +164,7 @@ class Solver:
                 [lp[i + 1] - 1 for i in range(n)])] ** 2
             self.data.inertia = (n, 0, 0)
         else:
-            (lt, ut, prow) = native.splu(ap.indptr.astype(np.int64),
-                                         ap.indices.astype(np.int64),
-                                         ap.data,
+            (lt, ut, prow) = native.splu(app, api, apx,
                                          pivot_tol=self.config.pivot_tol,
                                          cap=cap)
             self.data.l_fac = lt
@@ -187,30 +184,29 @@ class Solver:
         return self
 
     def _build_solve(self):
-        import scipy.sparse as sparse
+        from tpumathlib.sparse import hostcsr
 
         n = self.a.shape[0]
         lp, li, lx = self.data.l_fac
-        lmat = sparse.csr_matrix((lx, li, lp), shape=(n, n))
         if self.data.u_fac is None:
-            umat = lmat.T.tocsr()
+            up, ui, ux = hostcsr.transpose(n, n, lp, li, lx)
         else:
             up, ui, ux = self.data.u_fac
-            umat = sparse.csr_matrix((ux, ui, up), shape=(n, n))
         if self.config.hybrid_execute:
-            from scipy.sparse.linalg import spsolve_triangular
+            from tpumathlib import native
 
             def solve(b):
-                y = spsolve_triangular(lmat.tocsr(), b, lower=True)
-                return spsolve_triangular(umat.tocsr(), y, lower=False)
+                y = native.csr_trisolve(lp, li, lx, b, lower=True,
+                                        unit=self.data.u_fac is not None)
+                return native.csr_trisolve(up, ui, ux, y, lower=False)
 
             self._solve_fns = solve
         else:
             # device path: level-scheduled SpSV pair
             lcsr = CSR(jnp.asarray(lp), jnp.asarray(li), jnp.asarray(lx), (n, n))
-            ucsr = CSR(jnp.asarray(umat.indptr.astype(np.int64)),
-                       jnp.asarray(umat.indices.astype(np.int64)),
-                       jnp.asarray(umat.data), (n, n))
+            ucsr = CSR(jnp.asarray(np.asarray(up, np.int64)),
+                       jnp.asarray(np.asarray(ui, np.int64)),
+                       jnp.asarray(ux), (n, n))
             lplan = spsv_plan(lcsr, lower=True, unit_diag=self.data.u_fac is not None)
             uplan = spsv_plan(ucsr, lower=False)
 
@@ -246,22 +242,23 @@ class Solver:
 
     def residual(self, x, b) -> float:
         """≙ the cuDSS residual sample: ‖b − Ax‖∞/‖b‖∞."""
-        import scipy.sparse as sparse
+        from tpumathlib.sparse import hostcsr
 
-        a = sparse.csr_matrix(
-            (np.asarray(self.a.data), np.asarray(self.a.indices),
-             np.asarray(self.a.indptr)), shape=self.a.shape)
-        r = np.abs(b - a @ x).max()
+        ax = hostcsr.spmv(np.asarray(self.a.indptr, np.int64),
+                          np.asarray(self.a.indices, np.int64),
+                          np.asarray(self.a.data, np.float64), np.asarray(x))
+        r = np.abs(b - ax).max()
         return float(r / max(np.abs(b).max(), 1e-300))
 
     def schur_complement(self, split: int) -> np.ndarray:
         """Schur complement S = A22 − A21 A11⁻¹ A12 for the 2×2 blocking at
         ``split`` (≙ cuDSS Schur sample)."""
-        import scipy.sparse as sparse
+        from tpumathlib.sparse import hostcsr
 
-        a = sparse.csr_matrix(
-            (np.asarray(self.a.data, np.float64), np.asarray(self.a.indices),
-             np.asarray(self.a.indptr)), shape=self.a.shape).toarray()
+        a = hostcsr.to_dense(self.a.shape[0], self.a.shape[1],
+                             np.asarray(self.a.indptr, np.int64),
+                             np.asarray(self.a.indices, np.int64),
+                             np.asarray(self.a.data, np.float64))
         a11 = a[:split, :split]
         a12 = a[:split, split:]
         a21 = a[split:, :split]
@@ -299,13 +296,12 @@ class BatchSolver:
 def from_matrix_market(path: str, config: Config | None = None) -> Solver:
     """≙ the cuDSS matrix-market sample — native parser."""
     from tpumathlib import native
-    import scipy.sparse as sparse
+    from tpumathlib.sparse import hostcsr
 
     rows, cols, r, c, v = native.mm_read(path)
-    a = sparse.csr_matrix((v.real, (r, c)), shape=(rows, cols)).tocsr()
-    csr = CSR(jnp.asarray(a.indptr.astype(np.int64)),
-              jnp.asarray(a.indices.astype(np.int64)),
-              jnp.asarray(a.data), (rows, cols))
+    ip, ii, dx = hostcsr.coo_to_csr(rows, cols, r, c, v.real)
+    csr = CSR(jnp.asarray(ip), jnp.asarray(ii), jnp.asarray(dx),
+              (rows, cols))
     return Solver(csr, config)
 
 
@@ -318,19 +314,17 @@ def mgmn_solve(a_parts: list[CSR], b_parts: list[np.ndarray],
     On a real multi-host TPU deployment the gather/scatter are DCN
     collectives; in-process they are concatenations (the comm layer is
     pluggable exactly like CUDSS_DATA_COMM_HOST)."""
-    import scipy.sparse as sparse
+    from tpumathlib.sparse import hostcsr
 
-    mats = []
-    for part in a_parts:
-        mats.append(sparse.csr_matrix(
-            (np.asarray(part.data, np.float64), np.asarray(part.indices),
-             np.asarray(part.indptr)),
-            shape=part.shape))
-    a_full = sparse.vstack(mats).tocsr()
+    fp, fi, fx = hostcsr.vstack(
+        [(np.asarray(part.indptr, np.int64),
+          np.asarray(part.indices, np.int64),
+          np.asarray(part.data, np.float64)) for part in a_parts])
+    m_full = len(fp) - 1
+    n_full = a_parts[0].shape[1]
     b_full = np.concatenate([np.asarray(b) for b in b_parts])
-    csr = CSR(jnp.asarray(a_full.indptr.astype(np.int64)),
-              jnp.asarray(a_full.indices.astype(np.int64)),
-              jnp.asarray(a_full.data), a_full.shape)
+    csr = CSR(jnp.asarray(fp), jnp.asarray(fi), jnp.asarray(fx),
+              (m_full, n_full))
     solver = Solver(csr, config)
     solver.factorize()
     x = solver.solve(b_full)

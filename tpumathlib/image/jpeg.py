@@ -129,7 +129,12 @@ def jpeg_encode(image, quality: int = 75) -> bytes:
 
 
 def jpeg_decode(blob: bytes) -> np.ndarray:
-    """≙ nvjpegDecode (single image; batch via a loop/vmap over payloads)."""
+    """≙ nvjpegDecode (single image; batch via a loop/vmap over payloads).
+    Accepts both real JFIF .jpg streams (baseline DCT — host Huffman +
+    device pixel pipeline, ≙ nvjpegDecoder.cpp:46-88) and the library's
+    own TMJ1 container."""
+    if blob[:2] == b"\xff\xd8":
+        return jfif_decode(blob)
     from tpumathlib.comp import ans_decompress
 
     magic, h, w, chans, quality = struct.unpack("<4sHHBB", blob[:10])
@@ -157,3 +162,227 @@ def jpeg_decode_batched(blobs: list) -> list:
     entropy stages run per-image on host; the device pixel pipelines of a
     batch share compiled executables (same shapes → plan-cache hits)."""
     return [jpeg_decode(b) for b in blobs]
+
+
+# ---------------- real JFIF (baseline DCT) decoder ----------------
+#
+# ≙ nvJPEG-Decoder/nvjpegDecoder.cpp:46-88 — decodes actual .jpg files.
+# Host Huffman entropy stage (inherently serial bit twiddling) feeding the
+# SAME device pixel pipeline (dequant → 8×8 IDCT matmul sandwich → YCbCr).
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bits = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            b = self.data[self.pos] if self.pos < len(self.data) else 0
+            self.pos += 1
+            self.bits = (self.bits << 8) | b
+            self.nbits += 8
+        self.nbits -= n
+        out = (self.bits >> self.nbits) & ((1 << n) - 1)
+        self.bits &= (1 << self.nbits) - 1
+        return out
+
+
+def _build_huff(counts, symbols):
+    """Canonical JPEG Huffman decode tables: (mincode, maxcode, valptr)."""
+    mincode, maxcode, valptr = [0] * 17, [-1] * 17, [0] * 17
+    code = 0
+    k = 0
+    for l in range(1, 17):
+        if counts[l - 1] == 0:
+            maxcode[l] = -1
+        else:
+            valptr[l] = k
+            mincode[l] = code
+            code += counts[l - 1]
+            k += counts[l - 1]
+            maxcode[l] = code - 1
+        code <<= 1
+    return mincode, maxcode, valptr, symbols
+
+
+def _huff_decode(br: _BitReader, table) -> int:
+    mincode, maxcode, valptr, symbols = table
+    code = 0
+    for l in range(1, 17):
+        code = (code << 1) | br.read(1)
+        if maxcode[l] >= code >= mincode[l]:
+            return symbols[valptr[l] + code - mincode[l]]
+    raise ValueError("bad Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+# the standard JFIF zigzag (natural index of the k-th zigzag element) —
+# note _zigzag_order() traverses diagonals in the opposite parity (fine for
+# the self-consistent TMJ1 container, wrong for real JPEG streams)
+_JFIF_ZZ = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    np.int32)
+
+
+def jfif_decode(blob: bytes) -> np.ndarray:
+    """Decode a real baseline-DCT JFIF .jpg (SOF0, 8-bit, grayscale or
+    YCbCr with any of the standard subsamplings, restart markers
+    supported). Returns uint8 (H, W) or (H, W, 3)."""
+    assert blob[:2] == b"\xff\xd8", "not a JPEG (missing SOI)"
+    qt = {}
+    huff = {}
+    comps = []
+    h = w = 0
+    restart = 0
+    i = 2
+    scan_comps = None
+    while i < len(blob):
+        assert blob[i] == 0xFF, f"marker sync lost at {i}"
+        m = blob[i + 1]
+        i += 2
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            continue
+        seg_len = struct.unpack(">H", blob[i:i + 2])[0]
+        seg = blob[i + 2:i + seg_len]
+        if m == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 15
+                j += 1
+                if pq:
+                    tbl = np.frombuffer(seg[j:j + 128], ">u2").astype(np.int32)
+                    j += 128
+                else:
+                    tbl = np.frombuffer(seg[j:j + 64], np.uint8).astype(np.int32)
+                    j += 64
+                qt[tq] = tbl
+        elif m == 0xC0:  # SOF0 baseline
+            _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": tq})
+        elif m in (0xC1, 0xC2, 0xC3):
+            raise NotImplementedError("only baseline SOF0 is supported")
+        elif m == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                counts = list(seg[j + 1:j + 17])
+                ns = sum(counts)
+                symbols = list(seg[j + 17:j + 17 + ns])
+                huff[(tc, th)] = _build_huff(counts, symbols)
+                j += 17 + ns
+        elif m == 0xDD:  # DRI
+            restart = struct.unpack(">H", seg[:2])[0]
+        elif m == 0xDA:  # SOS
+            ns = seg[0]
+            scan_comps = []
+            for c in range(ns):
+                cs, tds = seg[1 + 2 * c], seg[2 + 2 * c]
+                comp = next(x for x in comps if x["id"] == cs)
+                scan_comps.append((comp, tds >> 4, tds & 15))
+            i += seg_len
+            break
+        i += seg_len
+    assert scan_comps is not None, "no SOS marker"
+
+    # entropy-coded data: de-stuff 0xFF00 and split on RST markers in ONE
+    # pass (a de-stuffed 0xFF followed by a data byte in 0xD0-0xD7 must not
+    # be mistaken for a restart marker)
+    intervals = []
+    cur = bytearray()
+    j = i
+    while j < len(blob) - 1:
+        b = blob[j]
+        if b == 0xFF:
+            nxt = blob[j + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                j += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn: close the interval, byte-align
+                intervals.append(bytes(cur))
+                cur = bytearray()
+                j += 2
+                continue
+            break  # EOI or next marker
+        cur.append(b)
+        j += 1
+    intervals.append(bytes(cur))
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    zz = _JFIF_ZZ
+
+    coeffs = {c["id"]: np.zeros((mcuy * c["v"] * mcux * c["h"], 64),
+                                np.int32) for c in comps}
+    pred = {c["id"]: 0 for c in comps}
+    n_mcu = mcux * mcuy
+    br = _BitReader(intervals[0])
+    interval_idx = 0
+    for mcu in range(n_mcu):
+        if restart and mcu and mcu % restart == 0:
+            interval_idx += 1
+            br = _BitReader(intervals[interval_idx])
+            for c in comps:
+                pred[c["id"]] = 0
+        my, mx = divmod(mcu, mcux)
+        for comp, td, ta in scan_comps:
+            cid = comp["id"]
+            ch, cv = comp["h"], comp["v"]
+            for by in range(cv):
+                for bx in range(ch):
+                    blk = np.zeros(64, np.int32)
+                    s = _huff_decode(br, huff[(0, td)])
+                    diff = _extend(br.read(s), s) if s else 0
+                    pred[cid] += diff
+                    blk[0] = pred[cid]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(br, huff[(1, ta)])
+                        r, sz = rs >> 4, rs & 15
+                        if rs == 0x00:
+                            break
+                        if rs == 0xF0:
+                            k += 16
+                            continue
+                        k += r
+                        blk[k] = _extend(br.read(sz), sz)
+                        k += 1
+                    row = my * cv + by
+                    col = mx * ch + bx
+                    coeffs[cid][row * (mcux * ch) + col] = blk
+
+    # device pixel pipeline: dequant + IDCT + plane assembly + upsample
+    inv = np.zeros(64, np.int32)
+    inv[zz] = np.arange(64)
+    planes = []
+    for comp in comps:
+        cid = comp["id"]
+        ch, cv = comp["h"], comp["v"]
+        nby, nbx = mcuy * cv, mcux * ch
+        q = qt[comp["tq"]][inv].reshape(8, 8).astype(np.float32)
+        co = coeffs[cid][:, inv].reshape(-1, 8, 8).astype(np.float32)
+        blocks = np.asarray(idct8x8(jnp.asarray(co) * jnp.asarray(q))) + 128.0
+        plane = blocks.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3)
+        plane = plane.reshape(nby * 8, nbx * 8)
+        # upsample to full resolution (nearest, per JFIF sampling factors)
+        plane = np.repeat(np.repeat(plane, vmax // cv, 0), hmax // ch, 1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    ycc = np.stack(planes, axis=-1)
+    rgb = np.asarray(ycbcr_to_rgb(jnp.asarray(ycc, jnp.float32)))
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -90,6 +90,20 @@ def _declare(l):
                        np.ctypeslib.ndpointer(np.int64),
                        c.c_int64, c.c_int64, c.c_double]
     l.splu.restype = c.c_int64
+    l.csr_ilu0.argtypes = [c.c_int64,
+                           np.ctypeslib.ndpointer(np.int64),
+                           np.ctypeslib.ndpointer(np.int64),
+                           np.ctypeslib.ndpointer(np.float64)]
+    l.csr_ilu0.restype = c.c_int64
+    l.csr_ic0.argtypes = l.csr_ilu0.argtypes
+    l.csr_ic0.restype = c.c_int64
+    l.csr_trisolve.argtypes = [c.c_int64,
+                               np.ctypeslib.ndpointer(np.int64),
+                               np.ctypeslib.ndpointer(np.int64),
+                               np.ctypeslib.ndpointer(np.float64),
+                               np.ctypeslib.ndpointer(np.float64),
+                               c.c_int64, c.c_int, c.c_int]
+    l.csr_trisolve.restype = c.c_int64
 
 
 # ---------------- Python wrappers ----------------
@@ -231,3 +245,43 @@ def splu(indptr, indices, data, pivot_tol: float = 0.1, cap: int | None = None):
             raise RuntimeError(f"splu rc={rc}")
         return ((lp, li[:lp[n]], lx[:lp[n]]), (up, ui[:up[n]], ux[:up[n]]), prow)
     raise RuntimeError("splu: capacity growth failed")
+
+
+def csr_ilu0(indptr, indices, data):
+    """In-place ILU(0) (≙ cusparseXcsrilu02): combined L\\U values with A's
+    pattern. Requires sorted columns + present diagonal; returns new data."""
+    n = len(indptr) - 1
+    d = np.ascontiguousarray(data, np.float64).copy()
+    rc = lib().csr_ilu0(n, np.ascontiguousarray(indptr, np.int64),
+                        np.ascontiguousarray(indices, np.int64), d)
+    if rc < 0:
+        raise RuntimeError(f"csr_ilu0: zero pivot at row {-rc - 1}")
+    return d
+
+
+def csr_ic0(indptr, indices, data):
+    """In-place IC(0) (≙ cusparseXcsric02) on a LOWER-triangular CSR
+    (diagonal last per row); returns L values (A ≈ L Lᵀ)."""
+    n = len(indptr) - 1
+    d = np.ascontiguousarray(data, np.float64).copy()
+    rc = lib().csr_ic0(n, np.ascontiguousarray(indptr, np.int64),
+                       np.ascontiguousarray(indices, np.int64), d)
+    if rc < 0:
+        raise RuntimeError(f"csr_ic0: non-positive pivot at row {-rc - 1}")
+    return d
+
+
+def csr_trisolve(indptr, indices, data, b, lower: bool = True,
+                 unit: bool = False):
+    """Host sparse triangular solve (≙ cusparseSpSV host reference):
+    T x = b, b (n,) or (n, nrhs)."""
+    n = len(indptr) - 1
+    bb = np.ascontiguousarray(b, np.float64).copy()
+    nrhs = 1 if bb.ndim == 1 else bb.shape[1]
+    rc = lib().csr_trisolve(n, np.ascontiguousarray(indptr, np.int64),
+                            np.ascontiguousarray(indices, np.int64),
+                            np.ascontiguousarray(data, np.float64),
+                            bb.reshape(n, -1), nrhs, int(lower), int(unit))
+    if rc < 0:
+        raise RuntimeError(f"csr_trisolve: zero diagonal at row {-rc - 1}")
+    return bb

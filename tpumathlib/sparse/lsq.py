@@ -4,7 +4,9 @@
   csrqrsvBatched): batched sparse min‖Ax−b‖. Solved via the corrected
   semi-normal equations: R from the (sparse) normal-equations Cholesky,
   x = R⁻¹R⁻ᵀ Aᵀb + one refinement step — QR-grade accuracy without forming
-  Q, reusing the native spchol analysis across the batch (same pattern).
+  Q. The AᵀA product runs through the library's own two-phase SpGEMM, the
+  Cholesky and triangular solves through the native C++ layer (no scipy in
+  the product path; scipy remains a test oracle only).
 - csreigvsi ≙ cuSOLVERSp2cuDSS's shift-invert eigenpair sample
   (cusolverSpScsreigvsi): inverse iteration with (A − μ₀I)⁻¹ via the dss
   direct solver.
@@ -14,7 +16,33 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax.numpy as jnp
+
 from tpumathlib.sparse.containers import CSR
+
+
+def _np_triple(a: CSR):
+    return (np.asarray(a.indptr, np.int64), np.asarray(a.indices, np.int64),
+            np.asarray(a.data, np.float64))
+
+
+def _spmv_np(indptr, indices, data, x):
+    """Host CSR SpMV (supports (n,) or (n, k) x)."""
+    rows = np.repeat(np.arange(len(indptr) - 1), np.diff(indptr))
+    prod = data[:, None] * np.atleast_2d(x.T).T[indices] \
+        if x.ndim > 1 else data * x[indices]
+    y = np.zeros((len(indptr) - 1,) + x.shape[1:], np.float64)
+    np.add.at(y, rows, prod)
+    return y
+
+
+def _transpose_np(m, n, indptr, indices, data):
+    """Host CSR transpose via counting sort → (indptr, indices, data)."""
+    rows = np.repeat(np.arange(m), np.diff(indptr))
+    order = np.lexsort((rows, indices))
+    tp = np.zeros(n + 1, np.int64)
+    np.add.at(tp, indices + 1, 1)
+    return np.cumsum(tp), rows[order].astype(np.int64), data[order]
 
 
 def csrqr_batched(a: CSR, bs, tol: float = 0.0) -> np.ndarray:
@@ -23,35 +51,62 @@ def csrqr_batched(a: CSR, bs, tol: float = 0.0) -> np.ndarray:
     A is one pattern shared across the batch (the cuSOLVER batched-QR
     contract); values are shared too in this API (per-batch values variant:
     call per matrix)."""
-    import scipy.sparse as sp
-
     from tpumathlib import native
+    from tpumathlib.sparse.spgemm import spgemm
 
     m, n = a.shape
-    amat = sp.csr_matrix(
-        (np.asarray(a.data, np.float64), np.asarray(a.indices),
-         np.asarray(a.indptr)), shape=a.shape)
-    ata = (amat.T @ amat).tocsr()
-    ata = sp.tril(ata).tocsr()
-    lp, li, lx = native.spchol(ata.indptr.astype(np.int64),
-                               ata.indices.astype(np.int64), ata.data)
-    lmat = sp.csr_matrix((lx, li, lp), shape=(n, n))
-
-    from scipy.sparse.linalg import spsolve_triangular
+    ip, ii, dx = _np_triple(a)
+    tp, ti, tx = _transpose_np(m, n, ip, ii, dx)
+    at = CSR(jnp.asarray(tp), jnp.asarray(ti), jnp.asarray(tx), (n, m))
+    ata = spgemm(at, CSR(jnp.asarray(ip), jnp.asarray(ii), jnp.asarray(dx),
+                         (m, n)))
+    # lower triangle of AᵀA for the native Cholesky
+    gp, gi, gx = _np_triple(ata)
+    rows = np.repeat(np.arange(n), np.diff(gp))
+    keep = gi <= rows
+    lp = np.zeros(n + 1, np.int64)
+    np.add.at(lp, rows[keep] + 1, 1)
+    lp = np.cumsum(lp)
+    li, lx = gi[keep], gx[keep]
+    cp, ci, cx = native.spchol(lp, li, lx)
+    up, ui, ux = _transpose_np(n, n, cp, ci, cx)
 
     def solve_normal(rhs):
-        y = spsolve_triangular(lmat, rhs, lower=True)
-        return spsolve_triangular(lmat.T.tocsr(), y, lower=False)
+        y = native.csr_trisolve(cp, ci, cx, rhs, lower=True)
+        return native.csr_trisolve(up, ui, ux, y, lower=False)
 
     bs = np.atleast_2d(np.asarray(bs, np.float64))
     out = []
     for b in bs:
-        x = solve_normal(amat.T @ b)
+        x = solve_normal(_spmv_np(tp, ti, tx, b))
         # one step of semi-normal refinement
-        r = b - amat @ x
-        x = x + solve_normal(amat.T @ r)
+        r = b - _spmv_np(ip, ii, dx, x)
+        x = x + solve_normal(_spmv_np(tp, ti, tx, r))
         out.append(x)
     return np.stack(out)
+
+
+def _shift_diag_np(a: CSR, shift: float):
+    """A + shift·I as a host CSR triple (merges with existing diagonal,
+    inserts missing diagonal entries)."""
+    n = a.shape[0]
+    ip, ii, dx = _np_triple(a)
+    rows = np.repeat(np.arange(n), np.diff(ip))
+    rows = np.concatenate([rows, np.arange(n)])
+    cols = np.concatenate([ii, np.arange(n)])
+    vals = np.concatenate([dx, np.full(n, shift)])
+    order = np.lexsort((cols, rows))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    # merge duplicates (existing diagonal + inserted shift)
+    new = np.ones(len(rows), bool)
+    new[1:] = (rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1])
+    grp = np.cumsum(new) - 1
+    mvals = np.zeros(grp[-1] + 1, np.float64)
+    np.add.at(mvals, grp, vals)
+    mrows, mcols = rows[new], cols[new]
+    op = np.zeros(n + 1, np.int64)
+    np.add.at(op, mrows + 1, 1)
+    return np.cumsum(op), mcols.astype(np.int64), mvals
 
 
 def csreigvsi(a: CSR, mu0: float, x0=None, tol: float = 1e-10,
@@ -60,19 +115,10 @@ def csreigvsi(a: CSR, mu0: float, x0=None, tol: float = 1e-10,
     (≙ cusolverSpDcsreigvsi). Returns (mu, x, iters)."""
     from tpumathlib.dss import Config, MatrixType, Solver
 
-    import scipy.sparse as sp
-
     n = a.shape[0]
-    amat = sp.csr_matrix(
-        (np.asarray(a.data, np.float64), np.asarray(a.indices),
-         np.asarray(a.indptr)), shape=a.shape)
-    shifted = (amat - mu0 * sp.eye(n)).tocsr()
-    from tpumathlib.sparse.containers import CSR as _CSR
-    import jax.numpy as jnp
-
-    scsr = _CSR(jnp.asarray(shifted.indptr.astype(np.int64)),
-                jnp.asarray(shifted.indices.astype(np.int64)),
-                jnp.asarray(shifted.data), (n, n))
+    ip, ii, dx = _np_triple(a)
+    sp_, si_, sx_ = _shift_diag_np(a, -mu0)
+    scsr = CSR(jnp.asarray(sp_), jnp.asarray(si_), jnp.asarray(sx_), (n, n))
     solver = Solver(scsr, Config(matrix_type=MatrixType.GENERAL))
     solver.factorize()
 
@@ -82,10 +128,11 @@ def csreigvsi(a: CSR, mu0: float, x0=None, tol: float = 1e-10,
     for it in range(max_iters):
         y = solver.solve(x)
         y /= np.linalg.norm(y)
-        mu_new = float(y @ (amat @ y))
+        ay = _spmv_np(ip, ii, dx, y)
+        mu_new = float(y @ ay)
         # converge on the eigenpair residual, not just the Rayleigh quotient
         # (the vector converges only linearly)
-        res = np.linalg.norm(amat @ y - mu_new * y)
+        res = np.linalg.norm(ay - mu_new * y)
         if res < tol * max(abs(mu_new), 1.0):
             return mu_new, y, it + 1
         mu, x = mu_new, y

