@@ -73,15 +73,40 @@ class IntegralPlan:
     """≙ cuest integral plan/compute pairs: the plan captures (molecule,
     basis); compute executes (repeatable)."""
 
-    def __init__(self, ctx: Context, mol: Molecule, kind: str):
+    def __init__(self, ctx: Context, mol: Molecule, kind: str,
+                 general: bool | None = None):
         ctx._check()
         self.ctx = ctx
         self.mol = mol
         self.kind = kind
-        self.basis = sto3g_basis(mol)
+        # second-row atoms need the general-ℓ McMurchie–Davidson engine
+        # (apps/est.py); pure H/He molecules keep the closed-form s path
+        if general is None:
+            general = any(s not in ("H", "He") for s in mol.symbols)
+        self.general = general
+        if general:
+            from tpumathlib.apps import est
+
+            self.shells = est.sto3g_shells(mol)
+        else:
+            self.basis = sto3g_basis(mol)
 
     def compute(self):
         self.ctx._check()
+        if self.general:
+            from tpumathlib.apps import est
+
+            if self.kind == "overlap":
+                return jnp.asarray(est.overlap(self.shells))
+            if self.kind == "kinetic":
+                return jnp.asarray(est.kinetic(self.shells))
+            if self.kind == "potential":
+                return jnp.asarray(est.nuclear(self.shells, self.mol))
+            if self.kind == "eri":
+                return jnp.asarray(est.eri_tensor(self.shells))
+            if self.kind == "df_b":
+                return est.DFTensors(self.shells).b
+            raise NotSupportedError(f"integral kind {self.kind}")
         if self.kind == "overlap":
             return jnp.asarray(overlap(self.basis))
         if self.kind == "kinetic":

@@ -35,7 +35,8 @@ _STO3G = {
     "He": (np.array([6.36242139, 1.15892300, 0.31364979]),
            np.array([0.15432897, 0.53532814, 0.44463454])),
 }
-_Z = {"H": 1, "He": 2}
+_Z = {"H": 1, "He": 2, "Li": 3, "Be": 4, "B": 5, "C": 6, "N": 7, "O": 8,
+      "F": 9, "Ne": 10}
 
 
 @dataclasses.dataclass
