@@ -261,3 +261,22 @@ def test_cuest_api_lifecycle(rng):
     ctx2.destroy()
     with pytest.raises(NotSupportedError):
         IntegralPlan(ctx2, mol, "overlap")
+
+
+def test_grade_blas3_report():
+    """≙ grade_blas3.cpp: sweep the engines / emulation strategies and
+    grade error-bound compliance. The Ozaki fp64 emulation must grade A
+    in the fp64 class, bf16x9 must reach fp32-class Grade A, and the
+    exact-arithmetic engines must grade A."""
+    from tpumathlib.blas.grading import grade_blas3_report
+
+    rep = {r["engine"]: r for r in grade_blas3_report(n=96)}
+    assert rep["ozaki_dgemm_fixed"]["precision_class"] == "fp64"
+    assert rep["ozaki_dgemm_fixed"]["grade"] == "A"
+    assert rep["ozaki_dgemm_dynamic"]["grade"] == "A"
+    assert rep["bf16x9_sgemm"]["precision_class"] == "fp32"
+    assert rep["bf16x9_sgemm"]["grade"] == "A"
+    assert rep["xla_f32_highest"]["grade"] == "A"
+    assert rep["pallas_f32"]["grade"] == "A"
+    # plain bf16 inputs cannot reach fp32-class grade A
+    assert rep["xla_bf16"]["grade"] != "A"

@@ -48,3 +48,65 @@ def test_benchmarks_smoke():
     assert s["gbps"] > 0
     c = benchmarks.bench_compression("lz4", size=1 << 16)
     assert c["ratio"] > 1.0
+
+
+# ---------------- cuPQC round-2 breadth ----------------
+
+def test_sha3_shake_vs_hashlib(rng):
+    """Keccak family bitwise vs hashlib (≙ cuPQC SHA3 samples)."""
+    import hashlib
+
+    from tpumathlib.pqc import sha3_256, sha3_512, shake128, shake256
+
+    msgs = [b"", b"abc", rng.bytes(135), rng.bytes(136), rng.bytes(137),
+            rng.bytes(500)]
+    for m in msgs:
+        assert sha3_256(m) == hashlib.sha3_256(m).digest()
+        assert sha3_512(m) == hashlib.sha3_512(m).digest()
+        assert shake128(m, 99) == hashlib.shake_128(m).digest(99)
+        assert shake256(m, 64) == hashlib.shake_256(m).digest(64)
+    outs = sha3_256([b"x", b"y", b"x" * 200])
+    assert outs[2] == hashlib.sha3_256(b"x" * 200).digest()
+
+
+def test_ml_kem_full(rng):
+    """FIPS 203 ML-KEM end-to-end (≙ cuPQC example_ml_kem): object sizes,
+    encaps/decaps agreement, implicit rejection on tampering."""
+    from tpumathlib.pqc import mlkem
+
+    for level in (512, 768):
+        ek, dk = mlkem.keygen(rng.bytes(64), level)
+        sz = mlkem.sizes(level)
+        assert len(ek) == sz["ek"] and len(dk) == sz["dk"]
+        k1, c = mlkem.encaps(ek, rng.bytes(32), level)
+        assert len(c) == sz["ct"] and len(k1) == sz["ss"]
+        assert mlkem.decaps(dk, c, level) == k1
+        bad = bytes([c[0] ^ 1]) + c[1:]
+        k3 = mlkem.decaps(dk, bad, level)
+        assert k3 != k1 and len(k3) == 32
+        # implicit rejection is deterministic
+        assert mlkem.decaps(dk, bad, level) == k3
+
+
+def test_poseidon2(rng):
+    """Poseidon2/BabyBear: Montgomery arithmetic exactness, determinism,
+    full avalanche, sponge digests in-field."""
+    import jax.numpy as jnp
+
+    from tpumathlib.pqc.poseidon2 import (
+        P, _from_mont, _montmul, _to_mont, poseidon2_hash, poseidon2_permute)
+
+    a = rng.integers(0, P, 500).astype(np.uint32)
+    b = rng.integers(0, P, 500).astype(np.uint32)
+    got = np.asarray(_from_mont(_montmul(_to_mont(jnp.asarray(a)),
+                                         _to_mont(jnp.asarray(b)))))
+    ref = (a.astype(object) * b.astype(object)) % P
+    assert np.array_equal(got.astype(object), ref)
+    s = rng.integers(0, P, (32, 16)).astype(np.uint32)
+    o1 = np.asarray(poseidon2_permute(s))
+    s2 = s.copy()
+    s2[:, 3] ^= 2
+    o2 = np.asarray(poseidon2_permute(s2))
+    assert (o1 != o2).mean() > 0.95
+    h = poseidon2_hash(rng.integers(0, P, (3, 20)))
+    assert h.shape == (3, 8) and (h < P).all()

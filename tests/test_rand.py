@@ -109,3 +109,35 @@ def test_sobol_offset():
     g2 = SobolGenerator(dimensions=3).set_offset(10)
     part = np.asarray(g2.random_bits(10))
     np.testing.assert_array_equal(part, full[10:20])
+
+
+def test_mt19937_device_bit_exact():
+    """Device-side MT19937 (vectorized twist) ≡ NumPy's RandomState —
+    the cuRAND device-vs-host bitwise comparison for this family."""
+    from tpumathlib.rand import Mt19937Generator
+
+    g = Mt19937Generator(seed=1234)
+    ours = np.asarray(g.random_bits(1500))
+    ref = np.random.RandomState(1234).randint(
+        0, 2**32, size=1500, dtype=np.uint64).astype(np.uint32)
+    np.testing.assert_array_equal(ours, ref)
+    # offset = exact skip-ahead
+    g2 = Mt19937Generator(seed=1234).set_offset(700)
+    np.testing.assert_array_equal(np.asarray(g2.random_bits(100)),
+                                  ref[700:800])
+
+
+def test_mtgp32_streams():
+    """MTGP32-style per-block independent device streams: statistics + the
+    streams actually differ."""
+    from tpumathlib.rand import Mtgp32Generator
+
+    g = Mtgp32Generator(seed=7, nstreams=8)
+    u = np.asarray(g.uniform(20000))
+    assert abs(u.mean() - 0.5) < 0.02
+    import scipy.stats
+
+    assert scipy.stats.kstest(u[:5000], "uniform").pvalue > 1e-4
+    bits = np.asarray(Mtgp32Generator(seed=7, nstreams=8).random_bits(624 * 8))
+    blocks = bits.reshape(8, 624)
+    assert len({tuple(b[:16]) for b in blocks}) == 8  # distinct streams

@@ -115,3 +115,52 @@ def classify_gemm(gemm_fn: Callable, n: int = 128, seed: int = 0) -> dict:
         "max_ratio": max_ratio,
         "unit_roundoff_estimate": u_est,
     }
+
+
+def grade_blas3_report(n: int = 128, seed: int = 0) -> list[dict]:
+    """The grade_blas3 driver (≙ cuBLAS/Emulation/gemm_grading's
+    test_blas3 -e + grade_blas3 pair): sweep the library's GEMM engines /
+    emulation strategies and grade each against the classical
+    componentwise error bound, reporting precision class + Grade A/B/C
+    compliance per engine.
+
+    Engines graded: XLA f32 (HIGHEST), XLA bf16, the Pallas MXU engine,
+    bf16x9-emulated fp32 (≙ bf16x9_sgemm), Ozaki int8-slice fp64
+    (≙ dgemm emulation, fixed + dynamic mantissa control), and the host
+    Strassen / fixed-point oracles."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpumathlib.blas.emulation import dgemm_emulated, sgemm_emulated
+    from tpumathlib.dx.gemm import pallas_matmul
+
+    hp = jax.lax.Precision.HIGHEST
+
+    engines = {
+        "xla_f32_highest": lambda a, b: np.asarray(
+            jnp.matmul(jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32),
+                       precision=hp, preferred_element_type=jnp.float32)),
+        "xla_bf16": lambda a, b: np.asarray(
+            jnp.matmul(jnp.asarray(a, jnp.bfloat16), jnp.asarray(b, jnp.bfloat16),
+                       preferred_element_type=jnp.float32)),
+        "pallas_f32": lambda a, b: np.asarray(pallas_matmul(
+            jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32),
+            out_dtype=jnp.float32)),
+        "bf16x9_sgemm": lambda a, b: np.asarray(sgemm_emulated(
+            jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32),
+            scheme="bf16x9")),
+        "strassen_host": lambda a, b: strassen_matmul(a, b, leaf=16),
+        "fixedpoint_host": lambda a, b: fixedpoint_matmul(a, b),
+    }
+    if jax.config.jax_enable_x64:
+        engines["ozaki_dgemm_fixed"] = lambda a, b: np.asarray(
+            dgemm_emulated(a, b, mantissa_control="fixed"))
+        engines["ozaki_dgemm_dynamic"] = lambda a, b: np.asarray(
+            dgemm_emulated(a, b, mantissa_control="dynamic"))
+
+    report = []
+    for name, fn in engines.items():
+        rec = classify_gemm(fn, n=n, seed=seed)
+        rec["engine"] = name
+        report.append(rec)
+    return report

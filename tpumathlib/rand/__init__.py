@@ -8,9 +8,11 @@ Generator families (≙ cuRAND/Host/ 9 families × 4 distributions):
             seed/offset/ordering semantics
 - xorwow / mrg32k3a: exact sequential recurrences under lax.scan (these
             families are inherently serial; offset = skip-ahead)
-- mt19937 / mtgp32: host-side via NumPy's Mersenne Twister (≙
-            curandCreateGeneratorHost — the reference itself runs these on
-            host for comparison)
+- mt19937:  device-side Mersenne Twister (vectorized 3-pass twist under
+            lax.scan), bit-exact vs NumPy's RandomState
+- mtgp32:   the GPU Mersenne variant's per-block-independent-streams design
+            rendered TPU-native: N device MT19937 streams under one
+            vectorized scan, block-interleaved output
 - sobol32 (+scrambled): quasi-random with direction vectors, Gray-code
             device generation, digital-shift scrambling
 
@@ -25,6 +27,7 @@ from tpumathlib.rand.generators import (  # noqa: F401
     XorwowGenerator,
     Mrg32k3aGenerator,
     Mt19937Generator,
+    Mtgp32Generator,
     philox4x32_10,
 )
 from tpumathlib.rand.distributions import (  # noqa: F401

@@ -12,6 +12,7 @@ families (xorwow/mrg32k3a) advance with lax.scan.
 
 from __future__ import annotations
 
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -235,14 +236,123 @@ class Mrg32k3aGenerator(_GeneratorBase):
         return zs
 
 
+def _mt_init_by_array(key_arr: np.ndarray) -> np.ndarray:
+    """MT19937 init_by_array seeding (what numpy RandomState uses for a
+    scalar seed) — host-side, O(624)."""
+    mt = np.zeros(624, np.uint64)
+    mt[0] = 19650218
+    for i in range(1, 624):
+        mt[i] = (1812433253 * (mt[i - 1] ^ (mt[i - 1] >> 30)) + i) & 0xFFFFFFFF
+    i, j = 1, 0
+    for _ in range(max(624, len(key_arr))):
+        mt[i] = ((mt[i] ^ ((mt[i - 1] ^ (mt[i - 1] >> 30)) * 1664525))
+                 + int(key_arr[j]) + j) & 0xFFFFFFFF
+        i += 1
+        j += 1
+        if i >= 624:
+            mt[0] = mt[623]
+            i = 1
+        if j >= len(key_arr):
+            j = 0
+    for _ in range(623):
+        mt[i] = ((mt[i] ^ ((mt[i - 1] ^ (mt[i - 1] >> 30)) * 1566083941))
+                 - i) & 0xFFFFFFFF
+        i += 1
+        if i >= 624:
+            mt[0] = mt[623]
+            i = 1
+    mt[0] = 0x80000000
+    return mt.astype(np.uint32)
+
+
+@functools.partial(jax.jit, static_argnames=("nblocks",))
+def _mt19937_blocks(state, nblocks: int):
+    """Device-side MT19937: ``nblocks`` twists of the 624-word state, each
+    yielding 624 tempered uint32 outputs. The in-place twist is vectorized
+    as three passes (each pass only reads results of the previous one) +
+    the i=623 wrap fix-up."""
+    matrix_a = jnp.uint32(0x9908B0DF)
+    upper = jnp.uint32(0x80000000)
+    lower = jnp.uint32(0x7FFFFFFF)
+
+    def twist(mt, _):
+        # pass 1: i in [0, 227): src = old mt[i+397]
+        y1 = (mt[0:227] & upper) | (mt[1:228] & lower)
+        mag1 = jnp.where((y1 & 1).astype(bool), matrix_a, jnp.uint32(0))
+        p1 = mt[397:624] ^ (y1 >> 1) ^ mag1
+        # pass 2: i in [227, 454): src = new[i-227] ∈ p1
+        y2 = (mt[227:454] & upper) | (mt[228:455] & lower)
+        mag2 = jnp.where((y2 & 1).astype(bool), matrix_a, jnp.uint32(0))
+        p2v = p1[0:227] ^ (y2 >> 1) ^ mag2
+        # pass 3: i in [454, 623): src = new[i-227] ∈ [227, 396) = p2v
+        y3 = (mt[454:623] & upper) | (mt[455:624] & lower)
+        mag3 = jnp.where((y3 & 1).astype(bool), matrix_a, jnp.uint32(0))
+        p3v = p2v[0:169] ^ (y3 >> 1) ^ mag3
+        # i = 623 wrap: y from old mt[623], NEW mt[0] = p1[0]
+        y4 = (mt[623] & upper) | (p1[0] & lower)
+        mag4 = jnp.where((y4 & 1).astype(bool), matrix_a, jnp.uint32(0))
+        p4v = p2v[169] ^ (y4 >> 1) ^ mag4  # new[623-227=396] ∈ p2v
+        new = jnp.concatenate([p1, p2v, p3v, p4v[None]])
+        # tempering
+        y = new
+        y = y ^ (y >> 11)
+        y = y ^ ((y << 7) & jnp.uint32(0x9D2C5680))
+        y = y ^ ((y << 15) & jnp.uint32(0xEFC60000))
+        y = y ^ (y >> 18)
+        return new, y
+
+    _, outs = jax.lax.scan(twist, state, None, length=nblocks)
+    return outs.reshape(-1)
+
+
+def _mt_init_genrand(seed: int) -> np.ndarray:
+    """Classic MT19937 scalar seeding (what numpy RandomState uses for a
+    plain int seed)."""
+    mt = np.zeros(624, np.uint64)
+    mt[0] = seed & 0xFFFFFFFF
+    for i in range(1, 624):
+        mt[i] = (1812433253 * (mt[i - 1] ^ (mt[i - 1] >> 30)) + i) & 0xFFFFFFFF
+    return mt.astype(np.uint32)
+
+
 class Mt19937Generator(_GeneratorBase):
-    """≙ CURAND_RNG_PSEUDO_MT19937 / MTGP32 — host-side Mersenne Twister
-    (the reference's host-generator comparison path; NumPy's MT19937 is the
-    same algorithm)."""
+    """≙ CURAND_RNG_PSEUDO_MT19937 — device-side Mersenne Twister
+    (vectorized 3-pass twist under lax.scan), bit-exact vs numpy's
+    RandomState (same init_genrand scalar seeding)."""
 
     def random_bits(self, count: int):
-        rs = np.random.RandomState(self.seed % (2**32))
-        all_bits = rs.randint(0, 2**32, size=self.offset + count, dtype=np.uint64)
-        out = jnp.asarray(all_bits[self.offset:].astype(np.uint32))
-        self.offset += count
-        return out
+        state = jnp.asarray(_mt_init_genrand(self.seed % (2 ** 32)))
+        total = self.offset + count
+        nblocks = -(-total // 624)
+        out = _mt19937_blocks(state, nblocks)
+        bits = out[self.offset:total]
+        self.offset = total
+        return bits
+
+
+class Mtgp32Generator(_GeneratorBase):
+    """≙ CURAND_RNG_PSEUDO_MTGP32 — the GPU Mersenne variant's defining
+    trait is many INDEPENDENT per-block MT streams generated in parallel;
+    the TPU-native rendition runs ``nstreams`` device MT19937 streams
+    (distinct init_by_array keys [seed, stream]) with block-interleaved
+    output, all under one vectorized scan."""
+
+    def __init__(self, seed: int = 0, nstreams: int = 64):
+        super().__init__(seed)
+        self.nstreams = nstreams
+
+    def random_bits(self, count: int):
+        total = self.offset + count
+        per = -(-total // (624 * self.nstreams))
+        states = np.stack([
+            _mt_init_by_array(np.array([self.seed % (2 ** 32), s], np.uint64))
+            for s in range(self.nstreams)])  # per-stream init_by_array keys
+        outs = jax.vmap(lambda st: _mt19937_blocks(st, per))(
+            jnp.asarray(states))
+        # block-interleave: stream-major blocks of 624 (MTGP's per-block
+        # output layout)
+        blk = outs.reshape(self.nstreams, per, 624).transpose(1, 0, 2)
+        flat = blk.reshape(-1)
+        bits = flat[self.offset:total]
+        self.offset = total
+        return bits
