@@ -83,3 +83,40 @@ def test_matmul_int8(rng):
     got = pallas_matmul(a, b, out_dtype=jnp.float32)
     want = np.asarray(a, np.int64) @ np.asarray(b, np.int64)
     np.testing.assert_array_equal(np.asarray(got), want.astype(np.float32))
+
+
+# ---------------- nvCOMPDx tier: in-kernel (de)compression ----------------
+
+def test_dx_comp_roundtrip(rng):
+    """In-kernel cascaded (delta+zigzag+bitpack) codec (≙ nvCOMPDx):
+    exact roundtrip and the advertised ratio."""
+    import jax.numpy as jnp
+
+    from tpumathlib.dx.comp import (
+        dx_compress, dx_decompress, dx_required_bits)
+
+    v = np.cumsum(rng.integers(-20, 21, 65536)).astype(np.int32)
+    bits = dx_required_bits(v)
+    packed = dx_compress(jnp.asarray(v), bits=bits)
+    dec = np.asarray(dx_decompress(packed, bits=bits))
+    np.testing.assert_array_equal(dec[:len(v)], v)
+    assert v.nbytes / (np.asarray(packed).size * 4) > 4.0  # 6-bit deltas
+
+
+def test_dx_decompress_dot(rng):
+    """Decompress-then-compute fusion: decoded values feed the MXU without
+    an HBM round trip (the nvCOMPDx premise)."""
+    import jax.numpy as jnp
+
+    from tpumathlib.dx.comp import (
+        dx_compress, dx_decompress_dot, dx_required_bits)
+
+    v = np.cumsum(rng.integers(-20, 21, 32768)).astype(np.int32)
+    bits = dx_required_bits(v)
+    packed = dx_compress(jnp.asarray(v), bits=bits)
+    w = jnp.asarray(rng.normal(size=(128, 64)), jnp.float32)
+    out = np.asarray(dx_decompress_dot(packed, w, bits=bits, scale=0.01))
+    ref = (v.reshape(-1, 128).astype(np.float64) * 0.01) @ np.asarray(
+        w, np.float64)
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    assert rel < 1e-5, rel

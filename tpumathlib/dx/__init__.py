@@ -17,3 +17,9 @@ from tpumathlib.dx.solver import (  # noqa: F401
     potrf_batched,
     potrf_blocked,
 )
+from tpumathlib.dx.comp import (  # noqa: F401
+    dx_compress,
+    dx_decompress,
+    dx_decompress_dot,
+    dx_required_bits,
+)
