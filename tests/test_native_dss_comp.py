@@ -211,3 +211,31 @@ def test_snappy_block_format_spec():
             bytes([(4 - 1) << 2 | 3]) + (4).to_bytes(4, "little"))
     out = snappy.decompress(blob)
     assert out[-4:] == lit[-4:]
+
+
+def test_dss_mgmn_schur_decomposition(rng):
+    """MGMN with genuine domain-decomposition structure: two interior
+    domains coupled only through a small interface — the Schur path must
+    reproduce the dense solve (≙ simple_mgmn_distributed_matrix with a
+    distributed factorization, not gather-to-root)."""
+    from tpumathlib.dss import mgmn_solve
+    from tpumathlib.sparse.convert import dense_to_csr
+
+    ni, ng = 20, 4          # two domains of 20 + interface of 4
+    n = 2 * ni + ng
+    a = np.zeros((n, n))
+    for d in range(2):
+        s = d * ni
+        blk = rng.normal(size=(ni, ni)) * (rng.uniform(size=(ni, ni)) < 0.3)
+        a[s:s + ni, s:s + ni] = blk @ blk.T + ni * np.eye(ni)
+        cup = rng.normal(size=(ni, ng)) * (rng.uniform(size=(ni, ng)) < 0.5)
+        a[s:s + ni, 2 * ni:] = cup
+        a[2 * ni:, s:s + ni] = cup.T
+    a[2 * ni:, 2 * ni:] = n * np.eye(ng) + rng.normal(size=(ng, ng))
+    x_true = rng.normal(size=n)
+    b = a @ x_true
+    # rank 0: domain 0 rows; rank 1: domain 1 + interface rows
+    parts = [dense_to_csr(a[:ni]), dense_to_csr(a[ni:])]
+    xs = mgmn_solve(parts, [b[:ni], b[ni:]])
+    got = np.concatenate(xs)
+    np.testing.assert_allclose(got, x_true, rtol=1e-8, atol=1e-8)

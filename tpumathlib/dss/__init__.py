@@ -308,34 +308,101 @@ def from_matrix_market(path: str, config: Config | None = None) -> Solver:
 def mgmn_solve(a_parts: list[CSR], b_parts: list[np.ndarray],
                config: Config | None = None) -> list[np.ndarray]:
     """MGMN distributed mode (≙ simple_mgmn_distributed_matrix): each "rank"
-    contributes a row partition of A and b; the analysis+factorization run
-    once on the assembled system and the solution is scattered back.
+    contributes a row partition of A and b.
 
-    On a real multi-host TPU deployment the gather/scatter are DCN
-    collectives; in-process they are concatenations (the comm layer is
-    pluggable exactly like CUDSS_DATA_COMM_HOST)."""
+    Genuinely distributed algorithm — Schur-complement domain
+    decomposition (the structure under cuDSS's MGMN factorization):
+    interface rows/columns Γ are those coupling ≥2 ranks' row blocks (on
+    the symmetrized pattern); every rank independently factors its
+    INTERIOR block A_II with the native sparse LU and eliminates it from
+    its own Γ rows (all of rank r's elimination data is local, because a
+    column interior to rank r can only be referenced by rank r's rows).
+    Only the small interface Schur system S·x_Γ = g is assembled
+    (the "reduce" — a DCN collective on a real multi-host deployment,
+    a concatenation in-process, the pluggable CUDSS_DATA_COMM layer) and
+    solved, then every rank back-substitutes locally."""
     from tpumathlib.sparse import hostcsr
 
-    fp, fi, fx = hostcsr.vstack(
-        [(np.asarray(part.indptr, np.int64),
-          np.asarray(part.indices, np.int64),
-          np.asarray(part.data, np.float64)) for part in a_parts])
-    m_full = len(fp) - 1
-    n_full = a_parts[0].shape[1]
-    b_full = np.concatenate([np.asarray(b) for b in b_parts])
-    csr = CSR(jnp.asarray(fp), jnp.asarray(fi), jnp.asarray(fx),
-              (m_full, n_full))
-    solver = Solver(csr, config)
-    solver.factorize()
-    x = solver.solve(b_full)
-    out = []
+    nranks = len(a_parts)
+    n = a_parts[0].shape[1]
+    row_ranges = []
     off = 0
+    trips = []
     for part in a_parts:
-        m = part.shape[0]
-        out.append(x[off:off + m])
-        off += m
-    return out
+        ip = np.asarray(part.indptr, np.int64)
+        ii = np.asarray(part.indices, np.int64)
+        dx = np.asarray(part.data, np.float64)
+        trips.append((ip, ii, dx))
+        row_ranges.append((off, off + part.shape[0]))
+        off += part.shape[0]
+    check(off == n, "row partition must cover the square system")
+    b_full = np.concatenate([np.asarray(b, np.float64) for b in b_parts])
 
+    # column owner analysis on the symmetrized pattern: a column is
+    # interface if touched by ≥2 ranks OR if its owning row couples ranks
+    touched = np.zeros((nranks, n), bool)
+    for r, (ip, ii, dx) in enumerate(trips):
+        touched[r, ii] = True
+        lo, hi = row_ranges[r]
+        touched[r, lo:hi] = True  # structural symmetry: own rows' columns
+    owners = touched.sum(0)
+    interface = owners >= 2
+    for r, (lo, hi) in enumerate(row_ranges):
+        # a row of rank r whose column is touched by another rank is Γ
+        interface[lo:hi] |= (touched.sum(0)[lo:hi] >= 2)
+    gamma = np.nonzero(interface)[0]
+    ngam = len(gamma)
+    gpos = -np.ones(n, np.int64)
+    gpos[gamma] = np.arange(ngam)
+
+    s_mat = np.zeros((ngam, ngam))
+    g_rhs = np.zeros(ngam)
+    locals_ = []
+    for r, (ip, ii, dx) in enumerate(trips):
+        lo, hi = row_ranges[r]
+        rows_g = np.arange(lo, hi)
+        ii_interior = ~interface[rows_g]
+        int_rows = rows_g[ii_interior]           # global interior rows
+        gam_rows = rows_g[~ii_interior]          # rank's interface rows
+        ipos = -np.ones(n, np.int64)
+        ipos[int_rows] = np.arange(len(int_rows))
+        dense = hostcsr.to_dense(hi - lo, n, ip, ii, dx)
+        a_ii = dense[np.ix_(int_rows - lo, int_rows)]
+        a_ig = dense[np.ix_(int_rows - lo, gamma)]
+        a_gi = dense[np.ix_(gam_rows - lo, int_rows)]
+        a_gg = dense[np.ix_(gam_rows - lo, gamma)]
+        b_i = b_full[int_rows]
+        b_g = b_full[gam_rows]
+        if len(int_rows):
+            from tpumathlib.sparse.convert import dense_to_csr
+
+            sub = Solver(dense_to_csr(a_ii),
+                         Config(matrix_type=(config.matrix_type if config
+                                             else MatrixType.GENERAL)))
+            sub.factorize()
+            y = np.stack([sub.solve(a_ig[:, j])
+                          for j in range(ngam)], axis=1) if ngam else \
+                np.zeros((len(int_rows), 0))
+            g_i = sub.solve(b_i)
+        else:
+            sub, y, g_i = None, np.zeros((0, ngam)), np.zeros(0)
+        # rank-local contribution to the interface system (the reduce)
+        gsel = gpos[gam_rows]
+        s_mat[gsel] += a_gg - (a_gi @ y if len(int_rows) else 0.0)
+        g_rhs[gsel] += b_g - (a_gi @ g_i if len(int_rows) else 0.0)
+        locals_.append((int_rows, gam_rows, sub, y, g_i))
+
+    x = np.zeros(n)
+    if ngam:
+        x_g = np.linalg.solve(s_mat, g_rhs)
+        x[gamma] = x_g
+    for int_rows, gam_rows, sub, y, g_i in locals_:
+        if len(int_rows):
+            x[int_rows] = g_i - (y @ x[gamma] if ngam else 0.0)
+    out = []
+    for lo, hi in row_ranges:
+        out.append(x[lo:hi])
+    return out
 
 def save_factors(solver: Solver, path: str) -> None:
     """Serialize analysis + factorization state (≙ the checkpoint/resume
