@@ -110,3 +110,23 @@ def test_poseidon2(rng):
     assert (o1 != o2).mean() > 0.95
     h = poseidon2_hash(rng.integers(0, P, (3, 20)))
     assert h.shape == (3, 8) and (h < P).all()
+
+
+def test_ml_dsa(rng):
+    """FIPS 204 ML-DSA-44 (≙ cuPQC example_ml_dsa): device NTT exactness,
+    FIPS object sizes, sign/verify round-trip, tamper rejection."""
+    import jax.numpy as jnp
+
+    from tpumathlib.pqc import mldsa
+
+    a = rng.integers(0, mldsa.Q, 256).astype(np.int64)
+    rt = np.asarray(mldsa.intt(mldsa.ntt(jnp.asarray(a))), np.int64)
+    np.testing.assert_array_equal(rt % mldsa.Q, a % mldsa.Q)
+    pk, sk = mldsa.keygen(rng.bytes(32))
+    assert len(pk) == mldsa.sizes()["pk"] == 1312
+    sig = mldsa.sign(sk, b"tpumathlib")
+    assert len(sig) == mldsa.sizes()["sig"] == 2420
+    assert mldsa.verify(pk, b"tpumathlib", sig)
+    assert not mldsa.verify(pk, b"tpumathlib!", sig)
+    sig2 = sig[:50] + bytes([sig[50] ^ 1]) + sig[51:]
+    assert not mldsa.verify(pk, b"tpumathlib", sig2)

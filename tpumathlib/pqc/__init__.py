@@ -12,6 +12,9 @@
   Z_3329[x]/(x^256+1) — forward/inverse NTT and polynomial multiplication.
 - ML-KEM (FIPS 203): full KeyGen/Encaps/Decaps at 512/768/1024 with
   device NTT arithmetic and Keccak hash plumbing (≙ example_ml_kem).
+- ML-DSA (FIPS 204, ML-DSA-44): KeyGen/Sign/Verify — device NTT over
+  q=8380417 in uint32 Montgomery form, host-driven abort loop
+  (≙ example_ml_dsa).
 - Poseidon2: the ZK-friendly permutation + sponge over BabyBear in uint32
   Montgomery arithmetic (≙ cuPQC Poseidon2 samples).
 """
@@ -26,6 +29,7 @@ from tpumathlib.pqc.keccak import (  # noqa: F401
     shake256,
 )
 from tpumathlib.pqc import mlkem  # noqa: F401
+from tpumathlib.pqc import mldsa  # noqa: F401
 from tpumathlib.pqc.poseidon2 import (  # noqa: F401
     poseidon2_hash,
     poseidon2_permute,
