@@ -239,3 +239,17 @@ def test_dss_mgmn_schur_decomposition(rng):
     xs = mgmn_solve(parts, [b[:ni], b[ni:]])
     got = np.concatenate(xs)
     np.testing.assert_allclose(got, x_true, rtol=1e-8, atol=1e-8)
+
+
+def test_dss_hybrid_memory_mode(rng):
+    """Hybrid host/device memory mode (≙ the cuDSS hybrid-memory sample):
+    factors stay host-resident and stream per solve."""
+    n = 24
+    a = _spd(rng, n)
+    solver = Solver(dense_to_csr(a),
+                    Config(matrix_type=MatrixType.SPD, hybrid_execute=False,
+                           hybrid_memory=True))
+    solver.factorize()
+    b = rng.normal(size=n)
+    x = solver.solve(b)
+    assert_allclose(a @ x, b, rtol=1e-8, msg="hybrid memory solve")

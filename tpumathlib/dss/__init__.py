@@ -67,6 +67,12 @@ class Config:
     pivot_tol: float = 0.1          # threshold partial pivoting (LU)
     hybrid_execute: bool = True     # host triangular solves (False → device
                                     # level-scheduled SpSV)
+    hybrid_memory: bool = False     # ≙ cuDSS hybrid host/device memory
+                                    # mode: factors stay in HOST memory and
+                                    # stream to the device per solve (for
+                                    # factor sizes beyond device HBM);
+                                    # only meaningful with the device
+                                    # solve path (hybrid_execute=False)
 
 
 @dataclasses.dataclass
@@ -199,6 +205,28 @@ class Solver:
                 y = native.csr_trisolve(lp, li, lx, b, lower=True,
                                         unit=self.data.u_fac is not None)
                 return native.csr_trisolve(up, ui, ux, y, lower=False)
+
+            self._solve_fns = solve
+        elif self.config.hybrid_memory:
+            # hybrid host/device MEMORY mode: factors live host-side; each
+            # solve streams them to the device and releases them after —
+            # trades per-solve transfer time for device-HBM residency
+            # (≙ the cuDSS hybrid-memory sample)
+            lhost = (np.asarray(lp, np.int64), np.asarray(li, np.int64),
+                     np.asarray(lx))
+            uhost = (np.asarray(up, np.int64), np.asarray(ui, np.int64),
+                     np.asarray(ux))
+            unit = self.data.u_fac is not None
+
+            def solve(b):
+                lcsr = CSR(jnp.asarray(lhost[0]), jnp.asarray(lhost[1]),
+                           jnp.asarray(lhost[2]), (n, n))
+                ucsr = CSR(jnp.asarray(uhost[0]), jnp.asarray(uhost[1]),
+                           jnp.asarray(uhost[2]), (n, n))
+                lplan = spsv_plan(lcsr, lower=True, unit_diag=unit)
+                uplan = spsv_plan(ucsr, lower=False)
+                out = np.asarray(uplan.solve(lplan.solve(jnp.asarray(b))))
+                return out
 
             self._solve_fns = solve
         else:
