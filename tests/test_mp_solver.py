@@ -161,3 +161,38 @@ def test_mp_polar(grid, rng):
     # P symmetric positive semidefinite
     assert_allclose(pn, pn.T, rtol=1e-4)
     assert scipy.linalg.eigvalsh(pn.astype(np.float64)).min() > -1e-3
+
+
+def test_mp_ormqr(grid, rng):
+    """Apply the TSQR Q both ways (≙ cusolverMpOrmqr)."""
+    from tpumathlib.mp.solver import mp_ormqr
+
+    m, k = 128, 16
+    a = rng.normal(size=(m, k)).astype(np.float32)
+    q, r = mp_geqrf(_put(grid, a, P("x", None)), grid)
+    c = rng.normal(size=(k, 5)).astype(np.float32)
+    qc = mp_ormqr(q, jnp.asarray(c), grid)
+    assert_allclose(np.asarray(qc), np.asarray(q) @ c, rtol=1e-4)
+    # Qᵀ(QC) = C
+    back = mp_ormqr(q, qc, grid, trans=True)
+    assert_allclose(np.asarray(back), c, rtol=1e-3, atol=1e-4)
+
+
+def test_mp_sygst_sygvd(grid, rng):
+    """Distributed generalized eigensolver chain vs scipy.linalg.eigh
+    (≙ cusolverMpSygst + Sygvd)."""
+    from tpumathlib.mp.solver import mp_sygst, mp_sygvd
+
+    a0 = rng.normal(size=(N, N)).astype(np.float64)
+    a0 = (a0 + a0.T) / 2
+    g = rng.normal(size=(N, N))
+    b0 = (g @ g.T / N + 2 * np.eye(N)).astype(np.float64)
+    w, x = mp_sygvd(_put(grid, a0, P("x", None)),
+                    _put(grid, b0, P("x", None)), grid)
+    w_ref = scipy.linalg.eigh(a0, b0, eigvals_only=True)
+    assert_allclose(np.sort(np.asarray(w)), w_ref, rtol=1e-3, atol=1e-3,
+                    msg="mp_sygvd eigenvalues")
+    # generalized eigenvector residual: A x = λ B x
+    xn = np.asarray(x)
+    res = a0 @ xn - b0 @ xn * np.asarray(w)[None, :]
+    assert np.abs(res).max() < 5e-2, np.abs(res).max()

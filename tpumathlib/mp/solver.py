@@ -11,6 +11,10 @@ Parity map:
   cusolverMpGeqrf / Gels     → mp_geqrf / mp_gels   (TSQR: local QR +
                                replicated combine — communication-optimal
                                tall-skinny QR)
+  cusolverMpSygst/Sygvd      → mp_sygst / mp_sygvd (Cholesky reduction to
+                               standard form through distributed trsm +
+                               the sytrd/stedc/ormtr chain)
+  cusolverMpOrmqr            → mp_ormqr  (apply the TSQR Q, both sides)
   cusolverMpSyevd            → mp_syevd  (distributed one-sided Jacobi:
                                rows sharded, pair statistics by psum,
                                rotation matrix replicated, A·J local MXU
@@ -525,3 +529,76 @@ def mp_sytrd_stedc_ormtr(a, grid, axis: str | None = None):
     w, z = mp_stedc(d, e, grid, axis)
     v = mp_ormtr(q, z, grid, axis)
     return w, v
+
+
+def mp_ormqr(q, c, grid, axis: str | None = None, trans: bool = False):
+    """Apply the TSQR Q (from mp_geqrf, rows-sharded) to a matrix
+    (≙ cusolverMpOrmqr): Q·C with C replicated → rows-sharded, or
+    Qᵀ·C with C rows-sharded → replicated (one psum)."""
+    axis, _ = _nparts(grid, axis)
+
+    if trans:
+        def local_t(q_blk, c_blk):
+            part = jnp.matmul(jnp.swapaxes(q_blk, -1, -2), c_blk,
+                              preferred_element_type=jnp.float32)
+            return jax.lax.psum(part, axis).astype(q_blk.dtype)
+
+        return jax.jit(jax.shard_map(
+            local_t, mesh=grid.mesh,
+            in_specs=(P(axis, None), P(axis, None)),
+            out_specs=P(None, None)))(q, c)
+
+    def local(q_blk, c_rep):
+        return jnp.matmul(q_blk, c_rep,
+                          preferred_element_type=jnp.float32
+                          ).astype(q_blk.dtype)
+
+    return jax.jit(jax.shard_map(
+        local, mesh=grid.mesh, in_specs=(P(axis, None), P(None, None)),
+        out_specs=P(axis, None)))(q, c)
+
+
+def mp_sygst(a, l, grid, axis: str | None = None):
+    """Reduce the generalized symmetric-definite problem to standard form
+    (≙ cusolverMpSygst, itype=1): C = L⁻¹ A L⁻ᵀ with L from mp_potrf.
+
+    A, C row-sharded P(axis, None); L column-block sharded P(None, axis)
+    as mp_potrf returns it. Both triangular solves run through the
+    distributed mp_trsm block-substitution."""
+    from tpumathlib.mp.pblas import mp_trsm
+    from tpumathlib.mp.matmul import gemr2d
+    from jax.sharding import NamedSharding
+
+    axis, _ = _nparts(grid, axis)
+    l_rows = gemr2d(l, NamedSharding(grid.mesh, P(axis, None)))
+    # Y = L⁻¹ A (rows-sharded solve), then C = (L⁻¹ Yᵀ)ᵀ = L⁻¹ A L⁻ᵀ
+    y = mp_trsm(l_rows, a, grid, uplo="lower", axis=axis)
+    yt = gemr2d(jnp.swapaxes(y, -1, -2),
+                NamedSharding(grid.mesh, P(axis, None)))
+    c = mp_trsm(l_rows, yt, grid, uplo="lower", axis=axis)
+    return gemr2d(jnp.swapaxes(c, -1, -2),
+                  NamedSharding(grid.mesh, P(axis, None)))
+
+
+def mp_sygvd(a, b, grid, axis: str | None = None):
+    """Distributed generalized symmetric-definite eigensolver
+    (≙ cusolverMpSygvd, itype=1: A x = λ B x): mp_potrf(B) → mp_sygst →
+    the distributed sytrd/stedc/ormtr chain → back-transform
+    x = L⁻ᵀ y through mp_trsm. Returns (w ascending, X rows-sharded)."""
+    from tpumathlib.mp.matmul import gemr2d
+    from tpumathlib.mp.pblas import mp_trsm
+    from jax.sharding import NamedSharding
+
+    axis, _ = _nparts(grid, axis)
+    bcol = gemr2d(b, NamedSharding(grid.mesh, P(None, axis)))
+    lfac = mp_potrf(bcol, grid, axis)
+    c = mp_sygst(a, lfac, grid, axis)
+    c = (c + jnp.swapaxes(c, -1, -2)) / 2
+    w, y = mp_sytrd_stedc_ormtr(c, grid, axis)
+    # X = L⁻ᵀ Y: solve Lᵀ X = Y — an upper-triangular distributed solve
+    l_rows = gemr2d(lfac, NamedSharding(grid.mesh, P(axis, None)))
+    lt_rows = gemr2d(jnp.swapaxes(
+        gemr2d(lfac, NamedSharding(grid.mesh, P(None, None))), -1, -2),
+        NamedSharding(grid.mesh, P(axis, None)))
+    x = mp_trsm(lt_rows, y, grid, uplo="upper", axis=axis)
+    return w, x
