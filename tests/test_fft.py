@@ -208,3 +208,16 @@ def test_fft1d_distributed(grid1, rng):
     assert rel_l2(y, np.fft.fft(x)) < 1e-4
     z = fft1d_distributed(y, grid1, inverse=True)
     assert rel_l2(z, n * x) < 1e-4
+
+
+def test_c2r_forward_rejected():
+    """C2R plans are inverse-only; calling FORWARD must raise (this was a
+    dead always-true check in round 2)."""
+    import pytest
+
+    from tpumathlib.fft.plan import Direction, FftType, plan_many
+
+    p = plan_many((16,), FftType.C2R)
+    x = jnp.ones(9, jnp.complex64)
+    with pytest.raises(Exception):
+        p(x, Direction.FORWARD)

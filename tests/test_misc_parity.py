@@ -130,3 +130,22 @@ def test_ml_dsa(rng):
     assert not mldsa.verify(pk, b"tpumathlib!", sig)
     sig2 = sig[:50] + bytes([sig[50] ^ 1]) + sig[51:]
     assert not mldsa.verify(pk, b"tpumathlib", sig2)
+    # hint canonicality (FIPS 204 Alg 21): swapping two hint position
+    # bytes, or writing junk into the zero padding after the final hint,
+    # must invalidate the signature (strong unforgeability)
+    zoff = 32 + 18 * 32 * mldsa.L
+    hints = bytearray(sig[zoff:])
+    counts = [hints[mldsa.OMEGA + i] for i in range(mldsa.K)]
+    prev = 0
+    for i in range(mldsa.K):  # first polynomial holding >= 2 hints
+        if counts[i] - prev >= 2:
+            swapped = bytearray(hints)
+            swapped[prev], swapped[prev + 1] = swapped[prev + 1], swapped[prev]
+            assert not mldsa.verify(pk, b"tpumathlib",
+                                    sig[:zoff] + bytes(swapped))
+            break
+        prev = counts[i]
+    if counts[-1] < mldsa.OMEGA:
+        padded = bytearray(hints)
+        padded[mldsa.OMEGA - 1] = 7  # nonzero padding byte
+        assert not mldsa.verify(pk, b"tpumathlib", sig[:zoff] + bytes(padded))

@@ -253,3 +253,88 @@ def test_dss_hybrid_memory_mode(rng):
     b = rng.normal(size=n)
     x = solver.solve(b)
     assert_allclose(a @ x, b, rtol=1e-8, msg="hybrid memory solve")
+
+
+def test_dss_complex(tmp_path, rng):
+    """cuDSS complex systems (≙ cuDSS/simple_complex/simple_complex.cpp):
+    planar real-block embedding solves A x = b exactly for complex A."""
+    n = 24
+    ar = _spd(rng, n)
+    ai = np.triu(rng.uniform(-0.3, 0.3, (n, n)), 1)
+    ai = ai - ai.T  # Hermitian: A = Ar + i*Ai with Ar sym, Ai skew
+    a = ar + 1j * ai
+    path = str(tmp_path / "c.mtx")
+    ri, ci = np.nonzero(a)
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate complex general\n")
+        f.write(f"{n} {n} {len(ri)}\n")
+        for r, c in zip(ri, ci):
+            f.write(f"{r + 1} {c + 1} {a[r, c].real:.17g} {a[r, c].imag:.17g}\n")
+    solver = from_matrix_market(path)
+    from tpumathlib.dss import ComplexSolver
+
+    assert isinstance(solver, ComplexSolver)
+    solver.factorize()
+    b = rng.uniform(-1, 1, n) + 1j * rng.uniform(-1, 1, n)
+    x = solver.solve(b)
+    assert_allclose(a @ x, b, atol=1e-8)
+    # planar RHS spelling
+    x2 = solver.solve((b.real, b.imag))
+    assert_allclose(x2, x, atol=1e-12)
+
+
+def test_dss_hybrid_memory_reuses_analysis(rng):
+    """Hybrid host/device memory mode: repeated solves must not redo the
+    level-schedule analysis (plans are built once; values stream)."""
+    n = 40
+    a = _spd(rng, n)
+    solver = Solver(dense_to_csr(a), Config(matrix_type=MatrixType.SPD,
+                                            hybrid_execute=False,
+                                            hybrid_memory=True))
+    solver.factorize()
+    import tpumathlib.dss as dss_mod
+
+    calls = {"n": 0}
+    orig = dss_mod.spsv_plan
+    dss_mod.spsv_plan = lambda *a_, **k_: (calls.__setitem__("n", calls["n"] + 1)
+                                           or orig(*a_, **k_))
+    try:
+        for _ in range(3):
+            b = rng.uniform(-1, 1, n)
+            x = solver.solve(b)
+            assert_allclose(a @ x, b, atol=1e-4)
+    finally:
+        dss_mod.spsv_plan = orig
+    assert calls["n"] == 0  # analysis resident: no re-planning per solve
+
+
+def test_zstd_no_masquerade(rng):
+    """zstd either round-trips real zstd frames or raises NotSupportedError
+    — never a zlib stream labeled zstd."""
+    data = bytes(rng.integers(0, 8, 4096, dtype=np.uint8))
+    from tpumathlib.core.errors import NotSupportedError
+
+    try:
+        import zstandard  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotSupportedError):
+            comp.batched_compress("zstd", [data])
+        return
+    [c] = comp.batched_compress("zstd", [data])
+    assert c[:4] == b"\x28\xb5\x2f\xfd"  # zstd frame magic
+    assert comp.batched_decompress("zstd", [c], [len(data)]) == [data]
+
+
+def test_dx_comp_bits_guard(rng):
+    """dx codec rejects widths beyond its 32-bit packing instead of
+    silently corrupting (advisor round-2 finding)."""
+    from tpumathlib.dx.comp import dx_compress, dx_decompress, dx_required_bits
+    import jax.numpy as jnp
+
+    v = np.array([0, 2**31 - 1, -(2**31) + 1, 0] * 8, np.int32)
+    with pytest.raises(ValueError):
+        dx_required_bits(v)
+    with pytest.raises(Exception):
+        dx_compress(jnp.asarray(v), bits=33)
+    with pytest.raises(Exception):
+        dx_decompress(jnp.zeros((4, 33), jnp.uint32), bits=33)

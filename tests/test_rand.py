@@ -141,3 +141,60 @@ def test_mtgp32_streams():
     bits = np.asarray(Mtgp32Generator(seed=7, nstreams=8).random_bits(624 * 8))
     blocks = bits.reshape(8, 624)
     assert len({tuple(b[:16]) for b in blocks}) == 8  # distinct streams
+
+
+def test_sobol_directions_match_joekuo():
+    """Embedded Joe-Kuo table reproduces SciPy's (same public
+    new-joe-kuo-6.21201 data cuRAND ships) for dims well past the old
+    6-polynomial fallback."""
+    from scipy.stats import qmc
+
+    from tpumathlib.rand.sobol import _direction_numbers
+
+    dim = 50
+    ours = _direction_numbers(dim, 32)
+    eng = qmc.Sobol(d=dim, scramble=False, bits=32)
+    pts = (eng.random(64) * 2.0**32).astype(np.uint64)
+    gen = SobolGenerator(dimensions=dim)
+    gen.set_offset(-1)  # scipy's sequence starts at index 0 (the origin)
+    mine = np.asarray(gen.random_bits(64)).astype(np.uint64)
+    np.testing.assert_array_equal(mine[1:], pts[1:])
+    assert ours.shape == (dim, 32)
+
+
+def test_sobol64():
+    """CURAND_RNG_QUASI_SOBOL64 (≙ cuRAND/Host/sobol64): 64-bit words,
+    van der Corput in dim 0, matches SciPy's 64-bit Sobol sequence."""
+    from scipy.stats import qmc
+
+    dim = 12
+    gen = SobolGenerator(dimensions=dim, bits=64)
+    gen.set_offset(-1)
+    w = gen.random_bits64(33)
+    # dim 0 point n is bit-reversed n scaled to 64 bits
+    assert w[1, 0] == 1 << 63                    # n=1 -> 0.5
+    assert w[2, 0] == (1 << 63) | (1 << 62)      # gray(2)=3 -> 0.75
+    eng = qmc.Sobol(d=dim, scramble=False, bits=64)
+    pts = (eng.random(33) * 2.0**64).astype(np.uint64)
+    np.testing.assert_array_equal(w[1:], pts[1:])
+    # device planar spelling agrees with host words
+    gen2 = SobolGenerator(dimensions=dim, bits=64)
+    hi, lo = gen2.random_bits(8)
+    w2 = gen2.set_offset(0).random_bits64(8)
+    np.testing.assert_array_equal(np.asarray(hi, np.uint64), w2 >> 32)
+    np.testing.assert_array_equal(np.asarray(lo, np.uint64),
+                                  w2 & np.uint64(0xFFFFFFFF))
+    u = np.asarray(gen2.uniform(256))
+    assert u.shape == (256, dim) and (u >= 0).all() and (u < 1).all()
+
+
+def test_sobol64_scrambled():
+    """Scrambled sobol64: digital shift preserves low discrepancy and
+    differs from the unscrambled stream."""
+    g = SobolGenerator(dimensions=4, scrambled=True, seed=5, bits=64)
+    p = SobolGenerator(dimensions=4, bits=64)
+    a = g.random_bits64(128)
+    b = p.random_bits64(128)
+    assert (a != b).any()
+    u = np.asarray(g.set_offset(0).uniform(512))
+    assert abs(u.mean() - 0.5) < 0.02

@@ -27,7 +27,7 @@ from typing import Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from tpumathlib.core.errors import check
+from tpumathlib.core.errors import NotSupportedError, check
 
 _MAGIC = b"TMLC"
 
@@ -51,9 +51,9 @@ def _codec_fns(codec: str):
             return (lambda b: zstandard.compress(b),
                     lambda b, n: zstandard.decompress(b))
         except ImportError:
-            # gated: fall back to zlib container with a marker
-            return (lambda b: b"ZSTDF" + zlib.compress(b, 6),
-                    lambda b, n: zlib.decompress(b[5:]))
+            raise NotSupportedError(
+                "zstd codec requires the 'zstandard' package — refusing to "
+                "emit a non-zstd stream under the zstd label")
     if codec == "snappy":
         # real snappy BLOCK format (comp/snappy.py — spec-conformant tag
         # stream, interoperates with google/snappy block data)

@@ -208,25 +208,38 @@ class Solver:
 
             self._solve_fns = solve
         elif self.config.hybrid_memory:
-            # hybrid host/device MEMORY mode: factors live host-side; each
-            # solve streams them to the device and releases them after —
-            # trades per-solve transfer time for device-HBM residency
-            # (≙ the cuDSS hybrid-memory sample)
-            lhost = (np.asarray(lp, np.int64), np.asarray(li, np.int64),
-                     np.asarray(lx))
-            uhost = (np.asarray(up, np.int64), np.asarray(ui, np.int64),
-                     np.asarray(ux))
+            # hybrid host/device MEMORY mode (≙ the cuDSS hybrid-memory
+            # sample): factor VALUES live host-side and stream to the
+            # device per solve — but the ANALYSIS (level schedules,
+            # diagonal positions, patterns) is built ONCE here and stays
+            # resident, exactly like cuDSS keeps analysis data while
+            # streaming factors. Per solve only the value arrays upload.
+            lhost = np.asarray(lx)
+            uhost = np.asarray(ux)
             unit = self.data.u_fac is not None
+            lcsr0 = CSR(jnp.asarray(np.asarray(lp, np.int64)),
+                        jnp.asarray(np.asarray(li, np.int64)),
+                        jnp.asarray(lhost), (n, n))
+            ucsr0 = CSR(jnp.asarray(np.asarray(up, np.int64)),
+                        jnp.asarray(np.asarray(ui, np.int64)),
+                        jnp.asarray(uhost), (n, n))
+            lplan0 = spsv_plan(lcsr0, lower=True, unit_diag=unit)
+            uplan0 = spsv_plan(ucsr0, lower=False)
+            # release the resident device value buffers: keep pattern only
+            empty = jnp.zeros(0, lcsr0.data.dtype)
+            lplan0 = dataclasses.replace(
+                lplan0, csr=CSR(lcsr0.indptr, lcsr0.indices, empty, (n, n)))
+            uplan0 = dataclasses.replace(
+                uplan0, csr=CSR(ucsr0.indptr, ucsr0.indices, empty, (n, n)))
 
             def solve(b):
-                lcsr = CSR(jnp.asarray(lhost[0]), jnp.asarray(lhost[1]),
-                           jnp.asarray(lhost[2]), (n, n))
-                ucsr = CSR(jnp.asarray(uhost[0]), jnp.asarray(uhost[1]),
-                           jnp.asarray(uhost[2]), (n, n))
-                lplan = spsv_plan(lcsr, lower=True, unit_diag=unit)
-                uplan = spsv_plan(ucsr, lower=False)
-                out = np.asarray(uplan.solve(lplan.solve(jnp.asarray(b))))
-                return out
+                lplan = dataclasses.replace(
+                    lplan0, csr=CSR(lplan0.csr.indptr, lplan0.csr.indices,
+                                    jnp.asarray(lhost), (n, n)))
+                uplan = dataclasses.replace(
+                    uplan0, csr=CSR(uplan0.csr.indptr, uplan0.csr.indices,
+                                    jnp.asarray(uhost), (n, n)))
+                return np.asarray(uplan.solve(lplan.solve(jnp.asarray(b))))
 
             self._solve_fns = solve
         else:
@@ -321,16 +334,74 @@ class BatchSolver:
         return [s.solve(b) for s, b in zip(self.solvers, bs)]
 
 
-def from_matrix_market(path: str, config: Config | None = None) -> Solver:
-    """≙ the cuDSS matrix-market sample — native parser."""
+def from_matrix_market(path: str, config: Config | None = None):
+    """≙ the cuDSS matrix-market sample — native parser. Complex-field
+    files return a :class:`ComplexSolver` (≙ cuDSS/simple_complex)."""
     from tpumathlib import native
     from tpumathlib.sparse import hostcsr
 
     rows, cols, r, c, v = native.mm_read(path)
-    ip, ii, dx = hostcsr.coo_to_csr(rows, cols, r, c, v.real)
+    if np.iscomplexobj(v) and np.abs(v.imag).max(initial=0.0) > 0:
+        ipr, iir, dr = hostcsr.coo_to_csr(rows, cols, r, c, v.real.copy())
+        ipi, iii, di = hostcsr.coo_to_csr(rows, cols, r, c, v.imag.copy())
+        return ComplexSolver(
+            CSR(jnp.asarray(ipr), jnp.asarray(iir), jnp.asarray(dr),
+                (rows, cols)),
+            CSR(jnp.asarray(ipi), jnp.asarray(iii), jnp.asarray(di),
+                (rows, cols)), config)
+    ip, ii, dx = hostcsr.coo_to_csr(rows, cols, r, c, np.real(v).copy())
     csr = CSR(jnp.asarray(ip), jnp.asarray(ii), jnp.asarray(dx),
               (rows, cols))
     return Solver(csr, config)
+
+
+class ComplexSolver:
+    """Complex sparse direct solve (≙ cuDSS/simple_complex/simple_complex.cpp).
+
+    Complex dtypes are unsupported on this TPU backend, so A = Ar + i·Ai is
+    stored planar and factored through the exact real block embedding
+    K = [[Ar, -Ai], [Ai, Ar]]: K·[xr; xi] = [br; bi] ⇔ A·x = b. For
+    Hermitian positive definite A the embedding K is symmetric positive
+    definite, so the SPD Cholesky path carries over unchanged.
+    """
+
+    def __init__(self, a_re: CSR, a_im: CSR, config: Config | None = None):
+        from tpumathlib.sparse import hostcsr
+
+        n, m = a_re.shape
+        check(a_im.shape == a_re.shape, "planar parts must share a shape")
+        rr, cr = hostcsr.row_ids(np.asarray(a_re.indptr, np.int64)), \
+            np.asarray(a_re.indices, np.int64)
+        vr = np.asarray(a_re.data, np.float64)
+        ri, ci = hostcsr.row_ids(np.asarray(a_im.indptr, np.int64)), \
+            np.asarray(a_im.indices, np.int64)
+        vi = np.asarray(a_im.data, np.float64)
+        # block-row order: [[Ar, -Ai], [Ai, Ar]]
+        rows2 = np.concatenate([rr, ri, rr + n, ri + n])
+        cols2 = np.concatenate([cr, ci + m, cr + m, ci])
+        vals2 = np.concatenate([vr, -vi, vr, vi])
+        ip, ii, dx = hostcsr.coo_to_csr(2 * n, 2 * m, rows2, cols2, vals2)
+        kcsr = CSR(jnp.asarray(ip), jnp.asarray(ii), jnp.asarray(dx),
+                   (2 * n, 2 * m))
+        self.shape = a_re.shape
+        self.solver = Solver(kcsr, config)
+
+    def factorize(self):
+        self.solver.factorize()
+        return self
+
+    def solve(self, b) -> np.ndarray:
+        """b complex (n,) or planar (b_re, b_im); returns complex host x."""
+        n = self.shape[0]
+        if isinstance(b, tuple):
+            br, bi = (np.asarray(b[0], np.float64),
+                      np.asarray(b[1], np.float64))
+        else:
+            b = np.asarray(b)
+            br, bi = np.real(b).astype(np.float64), \
+                np.imag(b).astype(np.float64)
+        x = self.solver.solve(np.concatenate([br, bi]))
+        return x[:n] + 1j * x[n:]
 
 
 def mgmn_solve(a_parts: list[CSR], b_parts: list[np.ndarray],

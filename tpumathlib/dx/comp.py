@@ -87,6 +87,8 @@ def dx_decompress(packed, n: int = None, *, bits: int, tile: int = 64):
     uint32 → int32 values (G·32,). The delta prefix-sum carry rides SMEM
     across grid steps, so decode + consumption stay in one kernel launch
     (≙ nvCOMPDx decompress-then-compute)."""
+    check(1 <= bits <= 32, "dx codec packs into 32-bit words: bits must be "
+                           "1..32 (wider deltas silently wrap otherwise)")
     g = packed.shape[0]
     check(packed.shape[1] == bits, "packed shape must be (groups, bits)")
     gpad = (-g) % (4 * tile)
@@ -132,6 +134,8 @@ def dx_compress(values, *, bits: int, tile: int = 64):
     (G, bits) packed uint32. The caller picks the compile-time bit width
     (≙ the Dx composition's static size); deltas must fit 2^bits after
     zigzag — validate with dx_required_bits."""
+    check(1 <= bits <= 32, "dx codec packs into 32-bit words: bits must be "
+                           "1..32 (use dx_required_bits to validate inputs)")
     n = values.shape[0]
     check(n % 32 == 0, "value count must be a multiple of 32")
     g = n // 32
@@ -192,11 +196,21 @@ def dx_compress(values, *, bits: int, tile: int = 64):
 
 
 def dx_required_bits(values) -> int:
-    """Smallest bit width for dx_compress of these values."""
+    """Smallest bit width for dx_compress of these values.
+
+    Raises when the zigzagged deltas need more than 32 bits (possible for
+    int32 inputs with extreme jumps — zigzag of an int32 delta can need 33
+    bits): such buffers are outside the dx codec's static 32-bit packing
+    and must go through the host cascaded codec instead."""
     v = np.asarray(values, np.int64)
     d = np.diff(v, prepend=0)
     zz = (d << 1) ^ (d >> 63)
-    return max(int(zz.max()).bit_length(), 1) if len(zz) else 1
+    req = max(int(zz.max()).bit_length(), 1) if len(zz) else 1
+    if req > 32:
+        raise ValueError(
+            f"deltas need {req} bits > the dx codec's 32-bit word packing; "
+            "use comp.cascaded_compress for this buffer")
+    return req
 
 
 def dx_decompress_dot(packed, w, *, bits: int, tile: int = 64,
@@ -207,6 +221,7 @@ def dx_decompress_dot(packed, w, *, bits: int, tile: int = 64,
     packed (G, bits) → values (G·32 = m·k)... here values form an (m, k)
     i8-range matrix with m = rows(w-compatible): returns
     (values.reshape(-1, w.shape[0]) · scale) @ w."""
+    check(1 <= bits <= 32, "dx codec packs into 32-bit words: bits must be 1..32")
     k = w.shape[0]
     check(k == 128, "fused dot consumes the decoded (rows, 128) layout "
                     "directly: reshape the logical matrix so k == 128")

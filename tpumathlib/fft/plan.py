@@ -72,7 +72,6 @@ class FftPlan:
         This is the production path on TPU backends without complex-dtype
         support (planar layout ≙ cuBLASLt LtPlanarComplex); C2C only."""
         desc, pre, post = self.desc, self.pre, self.post
-        check(desc.fft_type == FftType.C2C or True, "")
         from tpumathlib.fft import kernels
 
         naxes = len(desc.shape)
@@ -133,7 +132,7 @@ class FftPlan:
                 check(direction == Direction.FORWARD, "R2C is forward-only")
                 y = jnp.fft.rfftn(x, axes=axes)
             else:  # C2R
-                check(direction == Direction.INVERSE or True, "")
+                check(direction == Direction.INVERSE, "C2R is inverse-only")
                 y = jnp.fft.irfftn(x, s=desc.shape, axes=axes,
                                    norm="forward" if desc.norm is None else None)
             if desc.norm == "ortho":

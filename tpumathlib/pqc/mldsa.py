@@ -360,9 +360,19 @@ def verify(pk: bytes, msg: bytes, sig: bytes) -> bool:
         upto = hbytes[OMEGA + i]
         if upto < idx or upto > OMEGA:
             return False
+        prev = -1
         for p in range(idx, upto):
+            # FIPS 204 HintBitUnpack (Alg 21): positions within one
+            # polynomial must be strictly increasing — reject otherwise
+            # (canonical encodings only; anything else is malleable)
+            if hbytes[p] <= prev:
+                return False
+            prev = hbytes[p]
             h[i, hbytes[p]] = 1
         idx = upto
+    # Alg 21 step 9: all padding bytes after the final hint must be zero
+    if any(hbytes[p] != 0 for p in range(idx, OMEGA)):
+        return False
     a_hat = np.stack([np.stack([np.asarray(ntt(jnp.asarray(r)), np.uint32)
                                 for r in row]) for row in
                       _expand_a(rho).astype(np.int64) % Q])

@@ -13,8 +13,10 @@ Generator families (≙ cuRAND/Host/ 9 families × 4 distributions):
 - mtgp32:   the GPU Mersenne variant's per-block-independent-streams design
             rendered TPU-native: N device MT19937 streams under one
             vectorized scan, block-interleaved output
-- sobol32 (+scrambled): quasi-random with direction vectors, Gray-code
-            device generation, digital-shift scrambling
+- sobol32/sobol64 (+scrambled): quasi-random with embedded Joe–Kuo
+            new-joe-kuo-6.21201 direction vectors, Gray-code device
+            generation, digital-shift scrambling (64-bit words are planar
+            (hi, lo) uint32 pairs on device)
 
 Distributions: uniform, normal (Box–Muller), lognormal, poisson — transforms
 over raw bits from any generator (≙ curandGenerateUniform/Normal/LogNormal/
