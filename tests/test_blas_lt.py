@@ -200,3 +200,30 @@ def test_lt_dgemm_emulated(rng):
     want = 1.5 * a @ b + 0.5 * c
     err = np.abs(np.asarray(d) - want).max() / np.abs(want).max()
     assert err < 1e-12, err
+
+
+def test_igemm_int32_exact(rng):
+    """≙ LtIgemmTensor: CUBLAS_COMPUTE_32I int8×int8→int32 matmul is
+    bit-exact vs the NumPy int32 reference (no dequant round trip)."""
+    m, k, n = 64, 96, 48
+    a = rng.integers(-128, 128, (m, k), dtype=np.int8)
+    b = rng.integers(-128, 128, (k, n), dtype=np.int8)
+    ref = a.astype(np.int32) @ b.astype(np.int32)
+    desc = lt.MatmulDesc(compute_dtype=jnp.int32)
+    d = lt.matmul(desc, jnp.asarray(a), jnp.asarray(b))
+    assert d.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(d), ref)
+    # alpha/beta integer semantics + int32 C accumulation
+    cmat = rng.integers(-1000, 1000, (m, n), dtype=np.int32)
+    d2 = lt.matmul(desc, jnp.asarray(a), jnp.asarray(b), c=jnp.asarray(cmat),
+                   alpha=2, beta=-3)
+    np.testing.assert_array_equal(np.asarray(d2), 2 * ref - 3 * cmat)
+    # transposed A spelling of the reference sample (op(A)=T)
+    desc_t = lt.MatmulDesc(compute_dtype=jnp.int32, transa="T")
+    d3 = lt.matmul(desc_t, jnp.asarray(a.T.copy()), jnp.asarray(b))
+    np.testing.assert_array_equal(np.asarray(d3), ref)
+    # non-integer alpha is rejected
+    import pytest
+
+    with pytest.raises(Exception):
+        lt.matmul(desc, jnp.asarray(a), jnp.asarray(b), alpha=0.5)

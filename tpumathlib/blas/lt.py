@@ -261,6 +261,34 @@ def matmul(
             outs2.append(amax2)
         return tuple(outs2) if len(outs2) > 1 else outs2[0]
 
+    if (compute_dtype == jnp.dtype(jnp.int32)
+            and jnp.dtype(a.dtype) == jnp.dtype(jnp.int8)
+            and jnp.dtype(b.dtype) == jnp.dtype(jnp.int8)):
+        # ≙ LtIgemmTensor (cuBLASLt/LtIgemmTensor/sample_cublasLt_LtIgemmTensor.cu:19-35):
+        # CUBLAS_COMPUTE_32I semantics — integer-EXACT int8×int8→int32 on
+        # the MXU (preferred_element_type=int32), no dequantization round
+        # trip. alpha/beta must be integers (the reference passes int32
+        # host scalars); epilogue/scale tensors don't apply to this mode.
+        check(epi == Epilogue.DEFAULT,
+              "32I matmul supports only the default epilogue")
+        check(a_scale is None and b_scale is None and d_scale is None,
+              "32I matmul is integer-exact: scale tensors don't apply")
+        for name, v in (("alpha", alpha), ("beta", beta)):
+            check(not isinstance(v, float) or float(v).is_integer(),
+                  f"32I matmul requires integer {name}")
+        acc = jnp.matmul(a, b, preferred_element_type=jnp.int32)
+        d = jnp.int32(int(alpha)) * acc if isinstance(alpha, (int, float)) \
+            else (jnp.asarray(alpha, jnp.int32) * acc)
+        if c is not None:
+            d = d + jnp.int32(int(beta)) * c.astype(jnp.int32)
+        # default output is int32 (the reference's D layout is CUDA_R_32I);
+        # an inherited int8 default from A's dtype is not meaningful here
+        iout = jnp.int32 if out_dtype == jnp.dtype(jnp.int8) else out_dtype
+        d = d.astype(iout)
+        if desc.amax_d:
+            return d, jnp.max(jnp.abs(d)).astype(jnp.float32)
+        return d
+
     narrow = traits(a.dtype).itemsize < 2 or traits(b.dtype).itemsize < 2
     scaled = (
         a_scale is not None or b_scale is not None
