@@ -221,3 +221,100 @@ def test_c2r_forward_rejected():
     x = jnp.ones(9, jnp.complex64)
     with pytest.raises(Exception):
         p(x, Direction.FORWARD)
+
+
+def test_plan_r2c_c2r_planar(rng):
+    """Chip-executable planar R2C/C2R plans (no complex dtypes anywhere):
+    forward half spectrum matches np.fft.rfft; C2R inverse is the
+    unnormalized cuFFT inverse."""
+    from tpumathlib.fft.plan import plan_many
+
+    for shape in ((64,), (256,), (12,)):
+        n = shape[0]
+        x = rng.normal(size=(6,) + shape).astype(np.float32)
+        p = plan_many(shape, FftType.R2C)
+        yr, yi = p(jnp.asarray(x), planar=True)
+        assert yr.dtype == jnp.float32
+        ref = np.fft.rfft(x, axis=-1)
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-4
+        pc = plan_many(shape, FftType.C2R)
+        z = pc((yr, yi), Direction.INVERSE)
+        assert z.dtype == jnp.float32
+        assert np.linalg.norm(np.asarray(z) - n * x) / np.linalg.norm(n * x) < 1e-4
+
+
+def test_plan_r2c_c2r_planar_2d(rng):
+    """2D planar R2C: trailing axis halved, leading axis full C2C."""
+    from tpumathlib.fft.plan import plan_2d
+
+    x = rng.normal(size=(16, 32)).astype(np.float32)
+    p = plan_2d(16, 32, FftType.R2C)
+    yr, yi = p(jnp.asarray(x), planar=True)
+    ref = np.fft.rfftn(x)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    assert yr.shape == (16, 17)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-4
+    pc = plan_2d(16, 32, FftType.C2R)
+    z = pc((yr, yi), Direction.INVERSE)
+    assert np.linalg.norm(np.asarray(z) - 512 * x) / np.linalg.norm(512 * x) < 1e-4
+
+
+def test_fft_slab_planar(grid1, rng):
+    """Planar slab C2C — the chip-executable Mp FFT path — matches the
+    complex reference and roundtrips (≙ cufftmp_c2c.cu:69-96)."""
+    from tpumathlib.fft.distributed import fft_slab_planar, ifft_slab_planar
+
+    shape = (16, 16, 8)
+    x = _cplx(rng, shape)
+    sh = NamedSharding(grid1.mesh, P("x", None, None))
+    xr = jax.device_put(jnp.asarray(x.real, jnp.float32), sh)
+    xi = jax.device_put(jnp.asarray(x.imag, jnp.float32), sh)
+    yr, yi = fft_slab_planar(xr, xi, grid1)
+    assert yr.sharding.spec == P(None, "x", None)
+    ref = np.fft.fftn(x)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-4
+    zr, zi = ifft_slab_planar(yr, yi, grid1)
+    nn = float(np.prod(shape))
+    assert np.linalg.norm((np.asarray(zr) + 1j * np.asarray(zi)) - nn * x) \
+        / (nn * np.linalg.norm(x)) < 1e-4
+
+
+def test_fft_pencil_planar(grid2, rng):
+    """Planar pencil C2C on a 4x2 mesh (≙ cufftmp_c2c_pencils)."""
+    from tpumathlib.fft.distributed import fft_pencil_planar, ifft_pencil_planar
+
+    shape = (16, 16, 8)
+    x = _cplx(rng, shape)
+    sh = NamedSharding(grid2.mesh, P("x", "y", None))
+    xr = jax.device_put(jnp.asarray(x.real, jnp.float32), sh)
+    xi = jax.device_put(jnp.asarray(x.imag, jnp.float32), sh)
+    yr, yi = fft_pencil_planar(xr, xi, grid2)
+    assert yr.sharding.spec == P(None, "x", "y")
+    ref = np.fft.fftn(x)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-4
+    zr, zi = ifft_pencil_planar(yr, yi, grid2)
+    nn = float(np.prod(shape))
+    assert np.linalg.norm((np.asarray(zr) + 1j * np.asarray(zi)) - nn * x) \
+        / (nn * np.linalg.norm(x)) < 1e-4
+
+
+def test_rfft_slab_planar(grid1, rng):
+    """Planar R2C/C2R slab cycle (≙ cufftmp r2c_c2r_slabs) — real input,
+    planar half spectrum, unnormalized C2R back."""
+    from tpumathlib.fft.distributed import irfft_slab_planar, rfft_slab_planar
+
+    shape = (16, 8, 8)
+    x = rng.normal(size=shape).astype(np.float32)
+    xs = jax.device_put(jnp.asarray(x),
+                        NamedSharding(grid1.mesh, P("x", None, None)))
+    yr, yi = rfft_slab_planar(xs, grid1)
+    assert yr.shape == (16, 8, 5)
+    ref = np.fft.rfftn(x)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-4
+    z = irfft_slab_planar(yr, yi, grid1, nz=8)
+    nn = float(np.prod(shape))
+    assert np.linalg.norm(np.asarray(z) - nn * x) / (nn * np.linalg.norm(x)) < 1e-4

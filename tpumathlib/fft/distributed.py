@@ -181,6 +181,155 @@ def irfft_slab(x, grid: Grid, nz: int, axis: str | None = None):
     )(x)
 
 
+# ---------------- planar (re, im) distributed tier ----------------
+#
+# This TPU backend has no complex dtypes, so the chip-executable Mp FFT is
+# planar: every local transform runs through the f32 planar engines
+# (fft.kernels.fft_axis_planar → Stockham/MXU kernels on device) and the
+# inter-stage redistributions are all-to-alls on both planes. Semantics
+# match cuFFTMp exactly (cuFFTMp/samples/c2c/cufftmp_c2c.cu:69-96:
+# distributed exec leaves the output distributed in the permuted layout).
+
+def _axfft(xr, xi, axis: int, inverse: bool):
+    from tpumathlib.fft import kernels
+
+    xr_m = jnp.moveaxis(xr, axis, -1)
+    xi_m = jnp.moveaxis(xi, axis, -1)
+    yr, yi = kernels.fft_axis_planar(xr_m, xi_m, inverse)
+    return jnp.moveaxis(yr, -1, axis), jnp.moveaxis(yi, -1, axis)
+
+
+def _axfftn(xr, xi, axes, inverse: bool):
+    for ax in axes:
+        xr, xi = _axfft(xr, xi, ax, inverse)
+    return xr, xi
+
+
+def fft_slab_planar(xr, xi, grid: Grid, axis: str | None = None, *,
+                    inverse: bool = False, callback_between=None):
+    """Planar C2C slab FFT: (re, im) sharded P(axis, ...) → transform
+    sharded P(None, axis, ...). Chip-executable (no complex dtypes).
+
+    ≙ cuFFTMp slab samples (cufftmp_c2c.cu) running on a TPU slice."""
+    axis = axis or grid.axes[0]
+    ndim = xr.ndim
+
+    def f(br, bi):
+        br, bi = _axfftn(br, bi, tuple(range(ndim - 1, 0, -1)), inverse)
+        br = jax.lax.all_to_all(br, axis, split_axis=1, concat_axis=0,
+                                tiled=True)
+        bi = jax.lax.all_to_all(bi, axis, split_axis=1, concat_axis=0,
+                                tiled=True)
+        if callback_between is not None:
+            br, bi = callback_between((br, bi))
+        return _axfft(br, bi, 0, inverse)
+
+    spec_in = P(axis, *([None] * (ndim - 1)))
+    spec_out = P(None, axis, *([None] * (ndim - 2)))
+    return jax.shard_map(f, mesh=grid.mesh,
+                         in_specs=(spec_in, spec_in),
+                         out_specs=(spec_out, spec_out))(xr, xi)
+
+
+def ifft_slab_planar(xr, xi, grid: Grid, axis: str | None = None):
+    """Planar inverse slab accepting fft_slab_planar's output layout."""
+    axis = axis or grid.axes[0]
+    ndim = xr.ndim
+
+    def f(br, bi):
+        br, bi = _axfft(br, bi, 0, True)
+        br = jax.lax.all_to_all(br, axis, split_axis=0, concat_axis=1,
+                                tiled=True)
+        bi = jax.lax.all_to_all(bi, axis, split_axis=0, concat_axis=1,
+                                tiled=True)
+        return _axfftn(br, bi, tuple(range(ndim - 1, 0, -1)), True)
+
+    spec_in = P(None, axis, *([None] * (ndim - 2)))
+    spec_out = P(axis, *([None] * (ndim - 1)))
+    return jax.shard_map(f, mesh=grid.mesh,
+                         in_specs=(spec_in, spec_in),
+                         out_specs=(spec_out, spec_out))(xr, xi)
+
+
+def fft_pencil_planar(xr, xi, grid: Grid, *, inverse: bool = False):
+    """Planar pencil-decomposed 3D C2C (≙ cufftmp_c2c_pencils.cu:106-146):
+    input Z-pencils P('x','y',None) → output P(None,'x','y')."""
+    ax, ay = grid.axes[0], grid.axes[1]
+
+    def f(br, bi):
+        br, bi = _axfft(br, bi, 2, inverse)
+        br = jax.lax.all_to_all(br, ay, split_axis=2, concat_axis=1, tiled=True)
+        bi = jax.lax.all_to_all(bi, ay, split_axis=2, concat_axis=1, tiled=True)
+        br, bi = _axfft(br, bi, 1, inverse)
+        br = jax.lax.all_to_all(br, ax, split_axis=1, concat_axis=0, tiled=True)
+        bi = jax.lax.all_to_all(bi, ax, split_axis=1, concat_axis=0, tiled=True)
+        return _axfft(br, bi, 0, inverse)
+
+    return jax.shard_map(f, mesh=grid.mesh,
+                         in_specs=(P(ax, ay, None), P(ax, ay, None)),
+                         out_specs=(P(None, ax, ay), P(None, ax, ay)))(xr, xi)
+
+
+def ifft_pencil_planar(xr, xi, grid: Grid):
+    """Planar inverse of fft_pencil_planar."""
+    ax, ay = grid.axes[0], grid.axes[1]
+
+    def f(br, bi):
+        br, bi = _axfft(br, bi, 0, True)
+        br = jax.lax.all_to_all(br, ax, split_axis=0, concat_axis=1, tiled=True)
+        bi = jax.lax.all_to_all(bi, ax, split_axis=0, concat_axis=1, tiled=True)
+        br, bi = _axfft(br, bi, 1, True)
+        br = jax.lax.all_to_all(br, ay, split_axis=1, concat_axis=2, tiled=True)
+        bi = jax.lax.all_to_all(bi, ay, split_axis=1, concat_axis=2, tiled=True)
+        return _axfft(br, bi, 2, True)
+
+    return jax.shard_map(f, mesh=grid.mesh,
+                         in_specs=(P(None, ax, ay), P(None, ax, ay)),
+                         out_specs=(P(ax, ay, None), P(ax, ay, None)))(xr, xi)
+
+
+def rfft_slab_planar(x, grid: Grid, axis: str | None = None):
+    """Planar R2C slab: real input P(axis, None, None) → planar half
+    spectrum (Z → Z/2+1) sharded P(None, axis, None) (≙ cuFFTMp
+    cufftmp_r2c.cu) — device-executable on this backend."""
+    from tpumathlib.fft import kernels
+
+    axis = axis or grid.axes[0]
+    ndim = x.ndim
+
+    def f(blk):
+        br, bi = kernels.rfft_planar(blk)
+        br, bi = _axfftn(br, bi, tuple(range(ndim - 2, 0, -1)), False)
+        br = jax.lax.all_to_all(br, axis, split_axis=1, concat_axis=0, tiled=True)
+        bi = jax.lax.all_to_all(bi, axis, split_axis=1, concat_axis=0, tiled=True)
+        return _axfft(br, bi, 0, False)
+
+    spec_in = P(axis, *([None] * (ndim - 1)))
+    spec_out = P(None, axis, *([None] * (ndim - 2)))
+    return jax.shard_map(f, mesh=grid.mesh, in_specs=spec_in,
+                         out_specs=(spec_out, spec_out))(x)
+
+
+def irfft_slab_planar(xr, xi, grid: Grid, nz: int, axis: str | None = None):
+    """Planar C2R slab inverse of rfft_slab_planar (unnormalized)."""
+    from tpumathlib.fft import kernels
+
+    axis = axis or grid.axes[0]
+    ndim = xr.ndim
+
+    def f(br, bi):
+        br, bi = _axfft(br, bi, 0, True)
+        br = jax.lax.all_to_all(br, axis, split_axis=0, concat_axis=1, tiled=True)
+        bi = jax.lax.all_to_all(bi, axis, split_axis=0, concat_axis=1, tiled=True)
+        br, bi = _axfftn(br, bi, tuple(range(ndim - 2, 0, -1)), True)
+        return kernels.irfft_planar(br, bi, nz)
+
+    spec_in = P(None, axis, *([None] * (ndim - 2)))
+    spec_out = P(axis, *([None] * (ndim - 1)))
+    return jax.shard_map(f, mesh=grid.mesh, in_specs=(spec_in, spec_in),
+                         out_specs=spec_out)(xr, xi)
+
+
 def fft1d_distributed(x, grid: Grid, axis: str | None = None,
                       inverse: bool = False):
     """Distributed 1D C2C FFT of a single huge vector (≙ cuFFT 1d_mgpu_c2c
@@ -241,6 +390,13 @@ class DistributedFftPlan:
     decomposition: str = "slab"
 
     def __call__(self, x, inverse: bool = False):
+        if isinstance(x, (tuple, list)):  # planar (re, im): chip-executable
+            xr, xi = x
+            if self.decomposition == "pencil":
+                return fft_pencil_planar(xr, xi, self.grid) if not inverse \
+                    else ifft_pencil_planar(xr, xi, self.grid)
+            return fft_slab_planar(xr, xi, self.grid) if not inverse \
+                else ifft_slab_planar(xr, xi, self.grid)
         if self.decomposition == "pencil":
             return fft_pencil(x, self.grid, inverse=inverse) if not inverse \
                 else ifft_pencil(x, self.grid)

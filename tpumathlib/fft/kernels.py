@@ -282,3 +282,82 @@ def mxu_irfft(y, n: int):
     full = jnp.concatenate([y[..., : n // 2 + 1], tail], axis=-1)
     z = mxu_fft(full, inverse=True)
     return jnp.real(z)
+
+
+# ---------------- planar (re, im) engines — the chip-executable tier ----
+#
+# This TPU backend has no complex dtypes (CLAUDE.md), so the production
+# transforms are planar f32 pairs. The last-axis engine picks the Stockham
+# butterfly pipeline (fft/stockham.py) for pow2 N >= 256 and the
+# DFT-as-matmul four-step otherwise. ≙ the device-execution contract of
+# cuFFT exec (cuFFT/1d_c2c/1d_c2c_example.cpp:50-69) and cuFFTMp's local
+# transforms (cuFFTMp/samples/c2c/cufftmp_c2c.cu:69-96).
+
+def fft_axis_planar(xr, xi, inverse: bool = False):
+    """Planar C2C over the LAST axis; routes to the fastest engine."""
+    from tpumathlib.fft.stockham import dif_fft
+
+    n = xr.shape[-1]
+    if n >= 256 and (n & (n - 1)) == 0:
+        return dif_fft(xr, xi, inverse=inverse)
+    return _fft_planar(xr, xi, inverse)
+
+
+def fftn_planar(xr, xi, naxes: int, inverse: bool = False):
+    """Planar C2C over the trailing ``naxes`` axes."""
+    for ax in range(-1, -naxes - 1, -1):
+        xr_m = jnp.moveaxis(xr, ax, -1)
+        xi_m = jnp.moveaxis(xi, ax, -1)
+        yr, yi = fft_axis_planar(xr_m, xi_m, inverse)
+        xr = jnp.moveaxis(yr, -1, ax)
+        xi = jnp.moveaxis(yi, -1, ax)
+    return xr, xi
+
+
+def rfft_planar(x):
+    """R2C over the last axis: real f32 → planar half spectrum
+    (..., n//2+1). Unnormalized forward (cuFFT convention).
+
+    ≙ cufftExecR2C (cuFFT/1d_r2c/1d_r2c_example.cpp) executing on device —
+    the round-2 jnp.fft.rfftn routing could not run on this backend.
+    """
+    n = x.shape[-1]
+    x = x.astype(jnp.float32)
+    yr, yi = fft_axis_planar(x, jnp.zeros_like(x))
+    return yr[..., : n // 2 + 1], yi[..., : n // 2 + 1]
+
+
+def irfft_planar(yr, yi, n: int):
+    """C2R over the last axis: planar half spectrum (..., n//2+1) → real
+    (..., n). Unnormalized inverse (ifft(fft(x)) == N·x).
+
+    ≙ cufftExecC2R (cuFFT/1d_c2r/1d_c2r_example.cpp) on device."""
+    # Hermitian reconstruction: full[j] = conj(Y[n-j]) for j > n/2
+    tr = yr[..., 1 : (n + 1) // 2][..., ::-1]
+    ti = -yi[..., 1 : (n + 1) // 2][..., ::-1]
+    fr = jnp.concatenate([yr[..., : n // 2 + 1], tr], axis=-1)
+    fi = jnp.concatenate([yi[..., : n // 2 + 1], ti], axis=-1)
+    zr, _ = fft_axis_planar(fr, fi, inverse=True)
+    return zr
+
+
+def rfftn_planar(x, naxes: int):
+    """N-D R2C (trailing axes; last axis halved) — planar output."""
+    yr, yi = rfft_planar(x)
+    if naxes > 1:
+        yr2 = jnp.moveaxis(yr, -1, 0)
+        yi2 = jnp.moveaxis(yi, -1, 0)
+        yr2, yi2 = fftn_planar(yr2, yi2, naxes - 1)
+        yr, yi = jnp.moveaxis(yr2, 0, -1), jnp.moveaxis(yi2, 0, -1)
+    return yr, yi
+
+
+def irfftn_planar(yr, yi, shape: tuple):
+    """N-D C2R inverse of rfftn_planar (unnormalized)."""
+    naxes = len(shape)
+    if naxes > 1:
+        yr2 = jnp.moveaxis(yr, -1, 0)
+        yi2 = jnp.moveaxis(yi, -1, 0)
+        yr2, yi2 = fftn_planar(yr2, yi2, naxes - 1, inverse=True)
+        yr, yi = jnp.moveaxis(yr2, 0, -1), jnp.moveaxis(yi2, 0, -1)
+    return irfft_planar(yr, yi, shape[-1])

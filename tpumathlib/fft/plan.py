@@ -67,51 +67,70 @@ class FftPlan:
         self._inv_planar = self._build_planar(Direction.INVERSE)
 
     def _build_planar(self, direction: Direction):
-        """Planar-complex (re, im) path on the MXU engine (fft.kernels).
-
-        This is the production path on TPU backends without complex-dtype
-        support (planar layout ≙ cuBLASLt LtPlanarComplex); C2C only."""
+        """Planar-complex (re, im) path on the MXU/Stockham engines
+        (fft.kernels) — the production path on TPU backends without
+        complex-dtype support (planar layout ≙ cuBLASLt LtPlanarComplex).
+        Covers C2C (planar pair in/out), R2C (real in → planar half
+        spectrum), and C2R (planar half spectrum in → real out)."""
         desc, pre, post = self.desc, self.pre, self.post
         from tpumathlib.fft import kernels
 
         naxes = len(desc.shape)
         inverse = direction == Direction.INVERSE
 
-        from tpumathlib.fft.stockham import dif_fft
+        def _norm_scale():
+            # the planar engines are unnormalized in BOTH directions
+            # (cuFFT convention):
+            #   ortho    → 1/√N each direction
+            #   backward → NumPy semantics: 1/N on the inverse only
+            if desc.norm is None:
+                return 1.0
+            import numpy as np
 
-        def _axis_fft(xr_m, xi_m):
-            n = xr_m.shape[-1]
-            if n >= 256 and (n & (n - 1)) == 0:
-                # roll-based radix-2 butterfly kernel: fastest path
-                # (~1.5x the DFT-matmul engine on chip)
-                return dif_fft(xr_m, xi_m, inverse=inverse)
-            return kernels._fft_planar(xr_m, xi_m, inverse)
+            ntot = float(np.prod(desc.shape))
+            if desc.norm == "ortho":
+                return ntot ** -0.5
+            if desc.norm == "backward":
+                return 1.0 / ntot if inverse else 1.0
+            raise NotSupportedError(f"unknown norm {desc.norm!r}")
+
+        if desc.fft_type == FftType.R2C:
+            def run_r2c(x):
+                check(direction == Direction.FORWARD, "R2C is forward-only")
+                if pre is not None:
+                    x = pre(x)
+                yr, yi = kernels.rfftn_planar(x, naxes)
+                s = _norm_scale()
+                if s != 1.0:
+                    yr, yi = yr * s, yi * s
+                if post is not None:
+                    yr, yi = post((yr, yi))
+                return yr, yi
+
+            return jax.jit(run_r2c)
+
+        if desc.fft_type == FftType.C2R:
+            def run_c2r(xr, xi):
+                check(direction == Direction.INVERSE, "C2R is inverse-only")
+                if pre is not None:
+                    xr, xi = pre((xr, xi))
+                y = kernels.irfftn_planar(xr, xi, desc.shape)
+                s = _norm_scale()
+                if s != 1.0:
+                    y = y * s
+                if post is not None:
+                    y = post(y)
+                return y
+
+            return jax.jit(run_c2r)
 
         def run(xr, xi):
             if pre is not None:
                 xr, xi = pre((xr, xi))
-            for ax in range(-1, -naxes - 1, -1):
-                xr_m = jnp.moveaxis(xr, ax, -1)
-                xi_m = jnp.moveaxis(xi, ax, -1)
-                yr, yi = _axis_fft(xr_m, xi_m)
-                xr = jnp.moveaxis(yr, -1, ax)
-                xi = jnp.moveaxis(yi, -1, ax)
-            # the planar engines are unnormalized in BOTH directions
-            # (cuFFT convention), so norm scaling is applied here:
-            #   ortho    → 1/√N each direction
-            #   backward → NumPy semantics: 1/N on the inverse only
-            if desc.norm is not None:
-                import numpy as np
-
-                ntot = float(np.prod(desc.shape))
-                if desc.norm == "ortho":
-                    s = ntot ** -0.5
-                elif desc.norm == "backward":
-                    s = 1.0 / ntot if inverse else 1.0
-                else:
-                    raise NotSupportedError(f"unknown norm {desc.norm!r}")
-                if s != 1.0:
-                    xr, xi = xr * s, xi * s
+            xr, xi = kernels.fftn_planar(xr, xi, naxes, inverse)
+            s = _norm_scale()
+            if s != 1.0:
+                xr, xi = xr * s, xi * s
             if post is not None:
                 xr, xi = post((xr, xi))
             return xr, xi
@@ -146,12 +165,27 @@ class FftPlan:
 
         return jax.jit(run)
 
-    def __call__(self, x, direction: Direction = Direction.FORWARD):
+    def __call__(self, x, direction: Direction = Direction.FORWARD,
+                 planar: bool = False):
+        """Execute the plan.
+
+        Planar (chip-executable, complex-dtype-free) spellings:
+        - C2C: pass ``x`` as a (re, im) tuple → returns (re, im).
+        - C2R: pass the half spectrum as a (re, im) tuple → returns real.
+        - R2C: pass the real array with ``planar=True`` → returns (re, im)
+          of the half spectrum.
+        Otherwise the complex-dtype path runs (CPU/backends with complex
+        support).
+        """
         if isinstance(x, (tuple, list)):  # planar (re, im) input
-            check(self.desc.fft_type == FftType.C2C,
-                  "planar interface is C2C only")
+            check(self.desc.fft_type in (FftType.C2C, FftType.C2R),
+                  "planar tuple input is C2C or C2R")
             f = self._fwd_planar if direction == Direction.FORWARD else self._inv_planar
             return f(*x)
+        if planar:
+            check(self.desc.fft_type == FftType.R2C,
+                  "planar single-array input is the R2C spelling")
+            return self._fwd_planar(x)
         return self._fwd(x) if direction == Direction.FORWARD else self._inv(x)
 
     # cufftExec* aliases

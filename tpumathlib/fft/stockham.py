@@ -32,6 +32,16 @@ maps it to natural order with one XLA lane-gather; pointwise spectral work
 CUFFT_XT_FORMAT_INPLACE_SHUFFLED, which likewise promises only "a permuted
 order consistent between forward and inverse").
 
+Natural-order cost note (measured, round 3): the final permutation is a
+(M0, 128) lane-space transpose. Every in-kernel formulation was measured
+or ruled out on the chip: static lane gathers have NO Mosaic lowering
+(remote compile fails), a VPU roll/select Beneš network needs ≥23
+full-array stages (~20 GB/s-class), and folding the transpose into the
+final matmul costs O(N·M0) MXU flops = ~6× the streaming budget at
+N=4096. The XLA gather epilogue already runs at copy speed (133 vs 158
+GB/s for a pure copy), so the extra HBM pass — not the gather — is the
+natural-order gap, and it is architectural on this chip generation.
+
 Validated against numpy.fft in tests; ≙ cuFFT 1d_c2c exec semantics
 (cuFFT/1d_c2c/1d_c2c_example.cpp:50-69) and the cuFFTDx block-FFT
 performance harness (MathDx/cuFFTDx/03_block_fft_performance).
@@ -73,15 +83,19 @@ def _rowstage_twiddles(n: int, inverse: bool):
 
 
 @functools.lru_cache(maxsize=8)
-def _dft128_tables(inverse: bool):
-    """f32 (128,128) DFT matrix parts for the 3M complex matmul:
+def _dft_tables(size: int, inverse: bool):
+    """f32 (size, size) DFT matrix parts for the 3M complex matmul:
     Wr, Wi, and Ws = Wr + Wi."""
     sign = 2.0 if inverse else -2.0
-    jk = np.outer(np.arange(_LANES), np.arange(_LANES))
-    w = np.exp(sign * 1j * np.pi * jk / _LANES)
+    jk = np.outer(np.arange(size), np.arange(size))
+    w = np.exp(sign * 1j * np.pi * jk / size)
     wr = w.real.astype(np.float32)
     wi = w.imag.astype(np.float32)
     return wr, wi, (wr + wi).astype(np.float32)
+
+
+def _dft128_tables(inverse: bool):
+    return _dft_tables(_LANES, inverse)
 
 
 @functools.lru_cache(maxsize=32)
@@ -94,15 +108,18 @@ def _bitrev(nbits: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=32)
-def shuffle_perm(n: int) -> np.ndarray:
+def shuffle_perm(n: int, collapse: int = 1) -> np.ndarray:
     """perm with natural_order = raw_kernel_order[perm]: natural frequency
-    j = l·M0 + r lives at raw position bitrev(r)·128 + l."""
+    f = p·G + r (G = M0/collapse groups, p the position inside the final
+    length-128·collapse DFT) lives at raw position bitrev(r)·L + p."""
     m0 = n // _LANES
-    s = int(math.log2(m0))
+    g = m0 // collapse
+    L = collapse * _LANES
+    s = int(math.log2(g)) if g > 1 else 0
     j = np.arange(n)
-    r = j % m0
-    l = j // m0
-    return (_bitrev(s)[r] * _LANES + l).astype(np.int32)
+    r = j % g
+    p_ = j // g
+    return (_bitrev(s)[r] * L + p_).astype(np.int32)
 
 
 # retained for callers of the classic full-bitrev DIF order
@@ -125,26 +142,30 @@ def _dot3(a_hi, a_lo, b_hi, b_lo):
             + jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32))
 
 
-def _stack_tiles(v, m0: int):
-    """(T, m0·128) → (m0·T, 128) by stacking lane-tiles along sublanes —
-    an in-register move (each slice is lane-tile aligned), not a retile."""
-    t = v.shape[0]
+def _stack_tiles(v, ngroups: int):
+    """(T, ngroups·L) → (ngroups·T, L) by stacking lane-tile groups along
+    sublanes — an in-register move (each slice is lane-tile aligned, L a
+    multiple of 128), not a retile."""
+    width = v.shape[1] // ngroups
     return jnp.concatenate(
-        [v[:, m * _LANES:(m + 1) * _LANES] for m in range(m0)], axis=0)
+        [v[:, m * width:(m + 1) * width] for m in range(ngroups)], axis=0)
 
 
-def _unstack_tiles(v, m0: int):
-    """(m0·T, 128) → (T, m0·128), inverse of _stack_tiles."""
-    t = v.shape[0] // m0
+def _unstack_tiles(v, ngroups: int):
+    """(ngroups·T, L) → (T, ngroups·L), inverse of _stack_tiles."""
+    t = v.shape[0] // ngroups
     return jnp.concatenate(
-        [v[m * t:(m + 1) * t, :] for m in range(m0)], axis=1)
+        [v[m * t:(m + 1) * t, :] for m in range(ngroups)], axis=1)
 
 
 def _fft_chunk(vr, vi, wr_ref, wi_ref, dr_ref, di_ref, ds_ref,
-               m0: int, exact: bool):
-    """Transform one (T, n) chunk held in VMEM (n = m0·128)."""
+               m0: int, exact: bool, collapse: int = 1):
+    """Transform one (T, n) chunk held in VMEM (n = m0·128). ``collapse``
+    folds the last log2(collapse) cross-row stages into the lane-DFT
+    matmul (DFT of size 128·collapse over tile groups) — fewer VPU roll
+    stages at more (budget-checked) MXU work."""
     t, n = vr.shape
-    nstages = int(math.log2(m0))
+    nstages = int(math.log2(m0 // collapse))
     j_idx = jax.lax.broadcasted_iota(jnp.int32, (t, n), 1)
     m_idx = j_idx >> 7  # row index m = j // 128
 
@@ -165,9 +186,10 @@ def _fft_chunk(vr, vi, wr_ref, wi_ref, dr_ref, di_ref, ds_ref,
         vi = jnp.where(bit, dr * wi + di * wr, vi + pmi)
         d //= 2
 
-    # ---- stage B: per-tile DFT-128 on the MXU (3M complex matmul) ----
-    ar = _stack_tiles(vr, m0)
-    ai = _stack_tiles(vi, m0)
+    # ---- stage B: per-group DFT on the MXU (3M complex matmul) ----
+    ngroups = m0 // collapse
+    ar = _stack_tiles(vr, ngroups)
+    ai = _stack_tiles(vi, ngroups)
     if exact:
         hp = jax.lax.Precision.HIGHEST
         p1 = jnp.dot(ar, dr_ref[:], preferred_element_type=jnp.float32,
@@ -186,12 +208,13 @@ def _fft_chunk(vr, vi, wr_ref, wi_ref, dr_ref, di_ref, ds_ref,
         p1 = _dot3(rh, rl, drh, drl)
         p2 = _dot3(ih, il, dih, dil)
         p3 = _dot3(sh, sl, dsh, dsl)
-    yr = _unstack_tiles(p1 - p2, m0)
-    yi = _unstack_tiles(p3 - p1 - p2, m0)
+    yr = _unstack_tiles(p1 - p2, ngroups)
+    yi = _unstack_tiles(p3 - p1 - p2, ngroups)
     return yr, yi
 
 
-def _pipeline_kernel(m0: int, exact: bool, chunk: int, nchunks: int):
+def _pipeline_kernel(m0: int, exact: bool, chunk: int, nchunks: int,
+                     collapse: int = 1):
     """Single-program kernel that streams (chunk, n) row blocks
     HBM→VMEM→HBM with its own double-buffered DMA: load c+1 and store c-1
     overlap compute of c."""
@@ -234,7 +257,8 @@ def _pipeline_kernel(m0: int, exact: bool, chunk: int, nchunks: int):
                     dma.wait()
 
             vr, vi = _fft_chunk(bufr[slot], bufi[slot], wr_ref, wi_ref,
-                                dr_ref, di_ref, ds_ref, m0, exact)
+                                dr_ref, di_ref, ds_ref, m0, exact,
+                                collapse)
             obufr[slot] = vr
             obufi[slot] = vi
             for dma in stores(slot, c):
@@ -250,9 +274,10 @@ def _pipeline_kernel(m0: int, exact: bool, chunk: int, nchunks: int):
 
 
 @functools.partial(jax.jit, inline=True,
-                   static_argnames=("inverse", "reorder", "tile", "exact"))
+                   static_argnames=("inverse", "reorder", "tile", "exact",
+                                    "collapse"))
 def dif_fft(xr, xi, inverse: bool = False, reorder: bool = True,
-            tile: int = 32, exact: bool = False):
+            tile: int = 32, exact: bool = False, collapse: int = 1):
     """Planar C2C FFT over the last axis; N = power of two ≥ 256.
 
     cuFFT-convention unnormalized in both directions. With reorder=False
@@ -264,12 +289,15 @@ def dif_fft(xr, xi, inverse: bool = False, reorder: bool = True,
     n = xr.shape[-1]
     m0 = n // _LANES
     assert n >= 2 * _LANES and (n & (n - 1)) == 0, "N must be pow2 >= 256"
+    assert collapse & (collapse - 1) == 0 and 1 <= collapse <= m0
     batch_shape = xr.shape[:-1]
     xr2 = xr.reshape(-1, n).astype(jnp.float32)
     xi2 = xi.reshape(-1, n).astype(jnp.float32)
     b = xr2.shape[0]
     # chunk rows sized so the 8 VMEM slot buffers stay ~4 MB total
-    chunk = max(1, min(tile, b, (1 << 20) // (n * 4)))
+    # (tighter when the collapsed DFT tables are large)
+    budget = (1 << 20) if collapse <= 1 else (1 << 19)
+    chunk = max(1, min(tile, b, budget // (n * 4)))
     pad = (-b) % chunk
     if pad:
         xr2 = jnp.pad(xr2, ((0, pad), (0, 0)))
@@ -278,11 +306,13 @@ def dif_fft(xr, xi, inverse: bool = False, reorder: bool = True,
     nchunks = bp // chunk
 
     wr, wi = _rowstage_twiddles(n, inverse)
-    nstages = max(wr.shape[0], 1)
+    nrun = int(math.log2(m0 // collapse))
+    wr = wr[:nrun]
+    wi = wi[:nrun]
     wr = np.reshape(wr, (-1, n)) if wr.size else np.zeros((1, n), np.float32)
     wi = np.reshape(wi, (-1, n)) if wi.size else np.zeros((1, n), np.float32)
-    dwr, dwi, dws = _dft128_tables(inverse)
-    kernel = _pipeline_kernel(m0, exact, chunk, nchunks)
+    dwr, dwi, dws = _dft_tables(_LANES * collapse, inverse)
+    kernel = _pipeline_kernel(m0, exact, chunk, nchunks, collapse)
     yr, yi = pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
@@ -304,7 +334,7 @@ def dif_fft(xr, xi, inverse: bool = False, reorder: bool = True,
     yr = yr[:b]
     yi = yi[:b]
     if reorder:
-        perm = jnp.asarray(shuffle_perm(n))
+        perm = jnp.asarray(shuffle_perm(n, collapse))
         yr = yr[:, perm]
         yi = yi[:, perm]
     return (yr.reshape(batch_shape + (n,)), yi.reshape(batch_shape + (n,)))
