@@ -123,40 +123,23 @@ class Manager:
 # ---------------- Cascaded (RLE + delta + bitpack) ----------------
 
 def _bitpack(vals: np.ndarray, bits: int) -> bytes:
-    if bits == 0:
+    """LSB-first continuous bitstream (vectorized: bit-matrix + packbits —
+    the round-2 per-element Python loop is gone)."""
+    if bits == 0 or len(vals) == 0:
         return b""
-    acc = 0
-    nacc = 0
-    out = bytearray()
-    for v in vals.astype(np.uint64):
-        acc |= int(v) << nacc
-        nacc += bits
-        while nacc >= 8:
-            out.append(acc & 0xFF)
-            acc >>= 8
-            nacc -= 8
-    if nacc:
-        out.append(acc & 0xFF)
-    return bytes(out)
+    v = vals.astype(np.uint64)
+    bitmat = ((v[:, None] >> np.arange(bits, dtype=np.uint64)[None, :])
+              & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bitmat.reshape(-1), bitorder="little").tobytes()
 
 
 def _bitunpack(data: bytes, bits: int, count: int) -> np.ndarray:
     if bits == 0:
         return np.zeros(count, np.uint64)
-    acc = 0
-    nacc = 0
-    pos = 0
-    out = np.zeros(count, np.uint64)
-    mask = (1 << bits) - 1
-    for i in range(count):
-        while nacc < bits:
-            acc |= data[pos] << nacc
-            pos += 1
-            nacc += 8
-        out[i] = acc & mask
-        acc >>= bits
-        nacc -= bits
-    return out
+    flat = np.unpackbits(np.frombuffer(data, np.uint8),
+                         bitorder="little")[: count * bits]
+    bitmat = flat.reshape(count, bits).astype(np.uint64)
+    return bitmat @ (np.uint64(1) << np.arange(bits, dtype=np.uint64))
 
 
 def cascaded_compress(data: bytes) -> bytes:
@@ -283,3 +266,49 @@ def crc32(data: bytes) -> int:
     from tpumathlib import native
 
     return native.crc32(data)
+
+
+# ---------------- device-resident cascaded codec ----------------
+#
+# nvCOMP's bar is GB/s ON DEVICE (nvCOMP/benchmarks/README.md:3-5). These
+# entry points run the cascaded scheme (delta + zigzag + bitpack, RLE
+# disabled — the fully vectorizable configuration) as Pallas/XLA device
+# code via the dx kernels (tpumathlib.dx.comp): data never leaves HBM.
+# The host `cascaded` codec above remains the container-format spelling
+# for byte-stream interop; this is the throughput path.
+
+def device_cascaded_compress(x, bits: int | None = None):
+    """Compress a device int32 array (≙ nvcompBatchedCascadedCompressAsync
+    with one chunk per call, device-resident in/out).
+
+    Returns (packed, meta): packed is a (G, bits) uint32 device array,
+    meta = (n, bits) for decompression. If ``bits`` is None it is derived
+    from the data (one host reduction); pass it explicitly to stay fully
+    on device.
+    """
+    import jax.numpy as jnp_
+
+    from tpumathlib.dx.comp import dx_compress, dx_required_bits
+
+    n = int(x.shape[0])
+    if bits is None:
+        bits = dx_required_bits(np.asarray(x))
+    pad = (-n) % 32
+    if pad:
+        x = jnp_.concatenate([x, jnp_.broadcast_to(x[-1], (pad,))])
+    packed = dx_compress(x, bits=bits)
+    return packed, (n, bits)
+
+
+def device_cascaded_decompress(packed, meta):
+    """Decompress on device: (packed, (n, bits)) → int32 device array."""
+    n, bits = meta
+    from tpumathlib.dx.comp import dx_decompress
+
+    return dx_decompress(packed, n, bits=bits)
+
+
+def device_cascaded_ratio(meta, packed) -> float:
+    """Achieved compression ratio (input bytes / packed bytes)."""
+    n, _ = meta
+    return (4.0 * n) / (4.0 * packed.shape[0] * packed.shape[1])

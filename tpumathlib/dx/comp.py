@@ -31,24 +31,88 @@ from tpumathlib.dx.pallas_utils import interpret_mode
 
 def _unpack_row(words, bits: int):
     """(R, 4·bits) uint32 words → (R, 128) uint32 values: each row holds
-    four consecutive 32-value groups (128 lanes — rolls only operate on
-    full physical lane tiles). All indices/shifts are static."""
+    four consecutive 32-value groups. Lane j of group g4 reads word
+    wi = g4·bits + (j·bits)//32 at shift (j·bits)%32 (+ the next word when
+    the field crosses a boundary).
+
+    The word→lane spreading is TWO exact f32 MXU matmuls against one-hot
+    matrices built from iotas (split 16/16 so every operand fits the f32
+    mantissa), followed by per-lane variable shifts — the round-2 version
+    was a 128-step masked-select chain that left the kernel VPU-bound at
+    ~9 GB/s; this form decodes at MXU/DMA speed."""
     mask = jnp.uint32((1 << bits) - 1) if bits < 32 else jnp.uint32(0xFFFFFFFF)
     r = words.shape[0]
-    acc = jnp.zeros((r, 128), jnp.uint32)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (r, 128), 1)
-    # masked-select accumulation: 2D single-lane slices only (1D lane
-    # extraction + stack mislowers on real Mosaic)
-    for g4 in range(4):
-        base = g4 * bits
-        for j in range(32):
-            off = j * bits
-            wi, sh = base + off // 32, off % 32
-            v = words[:, wi:wi + 1] >> jnp.uint32(sh)
-            if sh + bits > 32:
-                v = v | (words[:, wi + 1:wi + 2] << jnp.uint32(32 - sh))
-            acc = jnp.where(cols == 32 * g4 + j, v & mask, acc)
-    return acc
+    nw = 4 * bits
+    hp = jax.lax.Precision.HIGHEST  # DEFAULT would demote to bf16: inexact
+    # per-lane constants from iotas (j = lane index within the 128 group)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    j32 = lane % 32
+    wi = (lane // 32) * bits + (j32 * bits) // 32          # (1, 128)
+    sh = (j32 * bits) % 32
+    wrow = jax.lax.broadcasted_iota(jnp.int32, (nw, 128), 0)
+    s1 = (wrow == jnp.broadcast_to(wi, (nw, 128))).astype(jnp.float32)
+    s2 = (wrow == jnp.broadcast_to(wi + 1, (nw, 128))).astype(jnp.float32)
+    # Mosaic lacks direct uint32↔f32 casts: hop through int32 (both halves
+    # are < 2^16 so the int32 path is exact)
+    hi = (words >> jnp.uint32(16)).astype(jnp.int32).astype(jnp.float32)
+    lo = (words & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
+
+    def spread(s):
+        h = jnp.dot(hi, s, preferred_element_type=jnp.float32, precision=hp)
+        l = jnp.dot(lo, s, preferred_element_type=jnp.float32, precision=hp)
+        return ((h.astype(jnp.int32).astype(jnp.uint32) << jnp.uint32(16))
+                | l.astype(jnp.int32).astype(jnp.uint32))
+
+    w1 = spread(s1)                                        # word wi per lane
+    shv = jnp.broadcast_to(sh, (r, 128)).astype(jnp.uint32)
+    out = w1 >> shv
+    if bits < 32:
+        # fields crossing a word boundary borrow the next word's low bits
+        w2 = spread(s2)
+        cross = jnp.broadcast_to(sh + bits > 32, (r, 128))
+        # &31 keeps the (unused) non-crossing lanes' shift in range
+        borrow = w2 << ((jnp.uint32(32) - shv) & jnp.uint32(31))
+        out = jnp.where(cross, out | borrow, out)
+    return out & mask
+
+
+def _pack_row(vals, bits: int):
+    """(R, 128) uint32 values → (R, 4·bits) packed words — the exact
+    inverse of _unpack_row, same MXU formulation: per-lane shifts, then
+    lanes→words gathered by two one-hot matmuls (fields within a word are
+    bit-disjoint, so the f32 sums are exact ORs on 16-bit halves)."""
+    r = vals.shape[0]
+    nw = 4 * bits
+    hp = jax.lax.Precision.HIGHEST
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    j32 = lane % 32
+    wi = (lane // 32) * bits + (j32 * bits) // 32
+    sh = (j32 * bits) % 32
+    shv = jnp.broadcast_to(sh, (r, 128)).astype(jnp.uint32)
+    mask = jnp.uint32((1 << bits) - 1) if bits < 32 else jnp.uint32(0xFFFFFFFF)
+    v = vals & mask
+    low = v << shv
+    cross = jnp.broadcast_to(sh + bits > 32, (r, 128))
+    carry = jnp.where(cross, v >> ((jnp.uint32(32) - shv) & jnp.uint32(31)),
+                      jnp.uint32(0))
+    # one-hot routing matrices built in the (128, nw) orientation directly
+    # (a (1,128)→(128,1) reshape would not be a leading collapse in Mosaic)
+    wcol = jax.lax.broadcasted_iota(jnp.int32, (128, nw), 1)
+    lane_r = jax.lax.broadcasted_iota(jnp.int32, (128, nw), 0)
+    j32r = lane_r % 32
+    wir = (lane_r // 32) * bits + (j32r * bits) // 32
+    t1 = (wcol == wir).astype(jnp.float32)
+    t2 = (wcol == wir + 1).astype(jnp.float32)
+
+    def gather(x, t):
+        hi = (x >> jnp.uint32(16)).astype(jnp.int32).astype(jnp.float32)
+        lo = (x & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
+        h = jnp.dot(hi, t, preferred_element_type=jnp.float32, precision=hp)
+        l = jnp.dot(lo, t, preferred_element_type=jnp.float32, precision=hp)
+        return ((h.astype(jnp.int32).astype(jnp.uint32) << jnp.uint32(16))
+                | l.astype(jnp.int32).astype(jnp.uint32))
+
+    return gather(low, t1) | gather(carry, t2)
 
 
 def _cumsum_lanes(x):
@@ -81,7 +145,7 @@ def _zigzag_dec(z):
             ^ -(z & jnp.uint32(1)).astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("bits", "tile"))
+@functools.partial(jax.jit, static_argnames=("n", "bits", "tile"))
 def dx_decompress(packed, n: int = None, *, bits: int, tile: int = 64):
     """In-kernel cascaded (delta+zigzag+bitpack) decode: packed (G, bits)
     uint32 → int32 values (G·32,). The delta prefix-sum carry rides SMEM
@@ -166,33 +230,23 @@ def dx_compress(values, *, bits: int, tile: int = 64):
         prev = jnp.where(cols == 0, last_prev_row, rolled)
         delta = v - prev
         carry[:] = v[tile - 1:tile, :]
-        o_ref[:] = _zigzag_enc(delta)
+        # bitpack in-kernel via the MXU routing matmuls (_pack_row) — the
+        # round-2 kernel pack was a masked-OR select chain that miscompiled
+        # past 8 sublanes AND the XLA fallback loop ran at < 8 GB/s
+        o_ref[:] = _pack_row(_zigzag_enc(delta), bits)
 
-    zz = pl.pallas_call(
+    packed = pl.pallas_call(
         kernel,
         grid=(rows // tile,),
         in_specs=[pl.BlockSpec((tile, 128), lambda i: (i, 0))],
-        out_specs=pl.BlockSpec((tile, 128), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.uint32),
+        out_specs=pl.BlockSpec((tile, 4 * bits), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, 4 * bits), jnp.uint32),
         scratch_shapes=[pltpu.VMEM((1, 128), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret_mode(),
     )(values.reshape(rows, 128).astype(jnp.int32))
-    # bitpack in XLA (device): the Pallas pack network miscompiles on real
-    # Mosaic beyond 8 sublanes (masked-OR select chains drop contributions
-    # — each stage verified exact in isolation), so the delta/zigzag stage
-    # is the in-kernel part and the pack is fused XLA vector ops
-    zg = zz.reshape(rows * 4, 32)
-    out = jnp.zeros((rows * 4, bits), jnp.uint32)
-    for j in range(32):
-        off = j * bits
-        wi, sh = off // 32, off % 32
-        out = out.at[:, wi].set(out[:, wi] | (zg[:, j] << sh))
-        if sh + bits > 32:
-            out = out.at[:, wi + 1].set(out[:, wi + 1]
-                                        | (zg[:, j] >> (32 - sh)))
-    return out[:g]
+    return packed.reshape(rows * 4, bits)[:g]
 
 
 def dx_required_bits(values) -> int:
