@@ -123,3 +123,92 @@ def test_potrf_batched_packed(rng, n):
     for i in range(a.shape[0]):
         ref = scipy.linalg.cholesky(a[i], lower=True)
         np.testing.assert_allclose(l[i], ref, rtol=2e-4, atol=2e-3)
+
+
+def test_syevd_batched(rng):
+    """In-kernel round-robin Jacobi eigensolver vs LAPACK syev
+    (≙ cuSolverDx syevd, MathDx/cuSolverDx/README.md:37-71)."""
+    from tpumathlib.dx.solver import syevd_batched
+
+    for n in (8, 16, 31):
+        b = 5
+        a = _spd(rng, b, n) - 0.5 * n * np.eye(n, dtype=np.float32)
+        w, v = syevd_batched(jnp.asarray(a))
+        w = np.asarray(w)
+        v = np.asarray(v)
+        for i in range(b):
+            wr = np.linalg.eigvalsh(a[i].astype(np.float64))
+            np.testing.assert_allclose(w[i], wr, rtol=0, atol=2e-4 * np.abs(wr).max())
+            # A V = V diag(w), V orthonormal
+            res = a[i] @ v[i] - v[i] * w[i][None, :]
+            assert np.abs(res).max() < 5e-4 * np.abs(a[i]).max() * n
+            assert np.abs(v[i].T @ v[i] - np.eye(n)).max() < 5e-4
+
+
+def test_gesvd_batched(rng):
+    """In-kernel one-sided Jacobi SVD vs LAPACK
+    (≙ cuSolverDx gesvd / gesvdjBatched)."""
+    from tpumathlib.dx.solver import gesvd_batched
+
+    for n in (8, 16, 32):
+        b = 4
+        a = rng.normal(size=(b, n, n)).astype(np.float32)
+        u, s, vt = gesvd_batched(jnp.asarray(a))
+        u, s, vt = np.asarray(u), np.asarray(s), np.asarray(vt)
+        for i in range(b):
+            sr = np.linalg.svd(a[i].astype(np.float64), compute_uv=False)
+            np.testing.assert_allclose(s[i], sr, rtol=0, atol=2e-4 * sr.max())
+            rec = (u[i] * s[i][None, :]) @ vt[i]
+            assert np.abs(rec - a[i]).max() < 5e-4 * np.abs(a[i]).max() * n
+            assert np.abs(u[i].T @ u[i] - np.eye(n)).max() < 1e-3
+            assert np.abs(vt[i] @ vt[i].T - np.eye(n)).max() < 1e-3
+
+
+def test_gels_batched(rng):
+    """In-kernel batched least squares vs numpy lstsq (≙ cuSolverDx gels)."""
+    from tpumathlib.dx.solver import gels_batched
+
+    b, m, n, k = 4, 24, 10, 3
+    a = rng.normal(size=(b, m, n)).astype(np.float32)
+    rhs = rng.normal(size=(b, m, k)).astype(np.float32)
+    x = np.asarray(gels_batched(jnp.asarray(a), jnp.asarray(rhs)))
+    assert x.shape == (b, n, k)
+    for i in range(b):
+        xr = np.linalg.lstsq(a[i].astype(np.float64),
+                             rhs[i].astype(np.float64), rcond=None)[0]
+        np.testing.assert_allclose(x[i], xr, rtol=0, atol=5e-4 * np.abs(xr).max())
+
+
+def test_unmqr_batched(rng):
+    """In-kernel Q application from geqrf reflectors vs explicit Q
+    (≙ cuSolverDx unmqr)."""
+    from tpumathlib.dx.solver import unmqr_batched
+
+    b, n, k = 3, 16, 5
+    a = rng.normal(size=(b, n, n)).astype(np.float32)
+    qr, taus = geqrf_batched(jnp.asarray(a))
+    c = rng.normal(size=(b, n, k)).astype(np.float32)
+    qtc = np.asarray(unmqr_batched(qr, taus, jnp.asarray(c), trans=True))
+    qc = np.asarray(unmqr_batched(qr, taus, jnp.asarray(c), trans=False))
+    for i in range(b):
+        qref = np.linalg.qr(a[i].astype(np.float64))[0]
+        # fix sign convention: compare via products with A's Q from our QR
+        qfull, _ = np.linalg.qr(a[i].astype(np.float64), mode="complete")
+        # build Q from the returned reflectors with scipy for the oracle
+        import scipy.linalg as sla
+
+        qsc = sla.qr(a[i].astype(np.float64))[0]
+        # orthogonality-based check instead of sign-fragile direct compare:
+        # Qᵀ(Q C) must equal C, and ‖Q C‖ = ‖C‖ columnwise
+        back = np.asarray(unmqr_batched(qr[i:i + 1], taus[i:i + 1],
+                                        jnp.asarray(qc[i:i + 1]), trans=True))
+        np.testing.assert_allclose(back[0], c[i], rtol=0, atol=5e-4)
+        np.testing.assert_allclose(np.linalg.norm(qc[i], axis=0),
+                                   np.linalg.norm(c[i], axis=0),
+                                   rtol=5e-4)
+    # and Qᵀ A = R (the factorization's own consistency)
+    qta = np.asarray(unmqr_batched(qr, taus, jnp.asarray(a), trans=True))
+    for i in range(b):
+        r = np.triu(np.asarray(qr)[i])
+        np.testing.assert_allclose(qta[i], r, rtol=0,
+                                   atol=5e-4 * np.abs(r).max())
