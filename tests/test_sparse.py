@@ -341,3 +341,56 @@ def test_bsr_spmv_sddmm(rng):
             j = indices[pidx]
             want = full[bi*bs:(bi+1)*bs, j*bs:(j+1)*bs]
             assert_allclose(np.asarray(out.data)[pidx], want, rtol=1e-10)
+
+
+def test_spgemm_mem_and_vectorized_symbolic(rng):
+    """spgemm_mem (≙ cuSPARSE/spgemm_mem) matches the unbounded path under
+    a tight product budget, and the vectorized symbolic phase handles a
+    1e5-row matrix in well under a second."""
+    import time
+
+    import scipy.sparse as sp
+
+    from tpumathlib.sparse.spgemm import spgemm_mem, spgemm_plan
+
+    a = sp.random(300, 250, 0.05, random_state=3, format="csr")
+    b = sp.random(250, 280, 0.05, random_state=4, format="csr")
+    ref = (a @ b).toarray()
+    ac = CSR(jnp.asarray(a.indptr.astype(np.int32)),
+             jnp.asarray(a.indices.astype(np.int32)),
+             jnp.asarray(a.data.astype(np.float32)), a.shape)
+    bc = CSR(jnp.asarray(b.indptr.astype(np.int32)),
+             jnp.asarray(b.indices.astype(np.int32)),
+             jnp.asarray(b.data.astype(np.float32)), b.shape)
+    c_full = spgemm(ac, bc)
+    c_mem = spgemm_mem(ac, bc, max_products=500)  # forces many chunks
+    d_full = np.zeros(ref.shape, np.float64)
+    ip, ii, dv = (np.asarray(c_full.indptr), np.asarray(c_full.indices),
+                  np.asarray(c_full.data, np.float64))
+    for i in range(ref.shape[0]):
+        d_full[i, ii[ip[i]:ip[i + 1]]] = dv[ip[i]:ip[i + 1]]
+    d_mem = np.zeros(ref.shape, np.float64)
+    ip2, ii2, dv2 = (np.asarray(c_mem.indptr), np.asarray(c_mem.indices),
+                     np.asarray(c_mem.data, np.float64))
+    for i in range(ref.shape[0]):
+        d_mem[i, ii2[ip2[i]:ip2[i + 1]]] = dv2[ip2[i]:ip2[i + 1]]
+    np.testing.assert_allclose(d_full, ref, atol=5e-5)
+    np.testing.assert_allclose(d_mem, d_full, atol=1e-7)
+    # identical patterns (both canonical sorted-CSR)
+    np.testing.assert_array_equal(ip2, ip)
+    np.testing.assert_array_equal(ii2, ii)
+    # symbolic speed: 1e5 rows, ~1e7 products in < 1 s (the round-2
+    # per-row dict loop took minutes at this scale)
+    big_a = sp.random(100_000, 100_000, 1e-5 * 30, random_state=5, format="csr")
+    big_b = sp.random(100_000, 100_000, 1e-5 * 30, random_state=6, format="csr")
+    ba = CSR(jnp.asarray(big_a.indptr.astype(np.int32)),
+             jnp.asarray(big_a.indices.astype(np.int32)),
+             jnp.asarray(big_a.data.astype(np.float32)), big_a.shape)
+    bb = CSR(jnp.asarray(big_b.indptr.astype(np.int32)),
+             jnp.asarray(big_b.indices.astype(np.int32)),
+             jnp.asarray(big_b.data.astype(np.float32)), big_b.shape)
+    t0 = time.perf_counter()
+    plan = spgemm_plan(ba, bb)
+    dt = time.perf_counter() - t0
+    assert plan.c_nnz > 0
+    assert dt < 1.0, f"symbolic took {dt:.2f}s"

@@ -1,16 +1,22 @@
 """Two-phase SpGEMM: C = A·B with A, B, C sparse.
 
 Parity: cusparseSpGEMM (spgemm sample), cusparseSpGEMM_reuse (spgemm_reuse),
-memory-optimized variant (spgemm_mem). The reference's phases —
-workEstimation (symbolic nnz), compute (numeric) — map to:
+memory-optimized variant (spgemm_mem — cuSPARSE/spgemm_mem/spgemm_example.c).
+The reference's phases — workEstimation (symbolic nnz), compute (numeric) —
+map to:
 
 - **analysis (host)**: symbolic product of the sparsity patterns → C's
   pattern + a flat multiplication plan: every scalar product a_ik·b_kj is
-  one (a_pos, b_pos, c_pos) triple. Host-side, once per pattern (the
-  "bufferSize" phase of the lifecycle; patterns are data-independent).
+  one (a_pos, b_pos, c_pos) triple. Fully vectorized NumPy (repeat/segment
+  arithmetic — no Python per-row loop), once per pattern (the "bufferSize"
+  phase of the lifecycle; patterns are data-independent).
 - **execute (device, jitted)**: gather a/b values by plan, multiply,
   segment-sum into C values — one fused XLA kernel, reusable for any values
   with the same pattern (exactly cusparseSpGEMM_reuse's contract).
+- **spgemm_mem**: the bounded-workspace variant — A's rows are processed in
+  chunks sized so the flat product plan never exceeds ``max_products``
+  entries, mirroring the reference's SPGEMM_ALG2/3 memory-optimized
+  chunking.
 """
 
 from __future__ import annotations
@@ -22,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tpumathlib.core.errors import check
 from tpumathlib.sparse.containers import CSR
 
 
@@ -45,52 +52,76 @@ class SpGemmPlan:
         return CSR(self.c_indptr, self.c_indices, vals.astype(out_dtype), self.c_shape)
 
 
+def _symbolic(a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
+              m: int, n: int, row_lo: int = 0, row_hi: int | None = None):
+    """Vectorized symbolic product over A rows [row_lo, row_hi).
+
+    Returns host arrays (a_pos, b_pos, c_seg, c_indptr, c_indices, nnz)
+    with C columns in sorted order per row (canonical CSR). Zero-valued
+    entries (the capacity-padding convention) are treated as absent so
+    padding can't manufacture fill-in.
+    """
+    row_hi = m if row_hi is None else row_hi
+    nrows = row_hi - row_lo
+    # kept (nonzero) A entries restricted to the row window
+    a_rows_all = np.repeat(np.arange(m, dtype=np.int64),
+                           np.diff(a_indptr))
+    sel = slice(a_indptr[row_lo], a_indptr[row_hi])
+    ap_all = np.arange(a_indptr[row_lo], a_indptr[row_hi], dtype=np.int64)
+    keep_a = a_data[sel] != 0
+    ap = ap_all[keep_a]                        # positions into A.data
+    a_rows = a_rows_all[sel][keep_a]           # global row of each product
+    a_cols = a_indices[sel][keep_a]            # k index → B row
+    # kept B entries, grouped by row (CSR order keeps them grouped)
+    keep_b = b_data != 0
+    kb_pos = np.nonzero(keep_b)[0].astype(np.int64)   # positions into B.data
+    b_rows_all = np.repeat(np.arange(b_indptr.shape[0] - 1, dtype=np.int64),
+                           np.diff(b_indptr))
+    kb_counts = np.bincount(b_rows_all[keep_b],
+                            minlength=b_indptr.shape[0] - 1)
+    kb_indptr = np.zeros(b_indptr.shape[0], np.int64)
+    np.cumsum(kb_counts, out=kb_indptr[1:])
+    # expansion: A entry (i, k) pairs with every kept entry of B row k
+    rep = kb_counts[a_cols]                    # products per kept A entry
+    nmul = int(rep.sum())
+    a_pos = np.repeat(ap, rep)
+    c_rows = np.repeat(a_rows, rep)
+    # within-group offsets: arange(nmul) - exclusive-cumsum(rep) repeated
+    excl = np.zeros(len(rep) + 1, np.int64)
+    np.cumsum(rep, out=excl[1:])
+    offs = np.arange(nmul, dtype=np.int64) - np.repeat(excl[:-1], rep)
+    b_pos = kb_pos[np.repeat(kb_indptr[a_cols], rep) + offs]
+    c_cols = b_indices[b_pos]
+    # dedup (row, col) → C pattern, sorted per row (canonical CSR order)
+    keys = c_rows * np.int64(n) + c_cols
+    uniq, c_seg = np.unique(keys, return_inverse=True)
+    c_indices = (uniq % n).astype(np.int64)
+    u_rows = (uniq // n).astype(np.int64)
+    c_indptr = np.zeros(nrows + 1, np.int64)
+    np.cumsum(np.bincount(u_rows - row_lo, minlength=nrows),
+              out=c_indptr[1:])
+    return (a_pos, b_pos, c_seg.astype(np.int64), c_indptr, c_indices,
+            len(uniq))
+
+
 def spgemm_plan(a: CSR, b: CSR) -> SpGemmPlan:
-    """Symbolic phase on host (≙ workEstimation + nnz): row-merge over the
-    patterns."""
+    """Symbolic phase on host (≙ workEstimation + nnz): vectorized
+    pattern-expansion + unique-merge over the full matrix."""
     m, k = a.shape
     k2, n = b.shape
     assert k == k2
-    a_indptr = np.asarray(a.indptr)
-    a_indices = np.asarray(a.indices)
-    a_data = np.asarray(a.data)
-    b_indptr = np.asarray(b.indptr)
-    b_indices = np.asarray(b.indices)
-    b_data = np.asarray(b.data)
-
-    c_indptr = [0]
-    c_indices: list[int] = []
-    a_pos_l: list[int] = []
-    b_pos_l: list[int] = []
-    c_seg_l: list[int] = []
-    # zero-valued entries (the capacity-padding convention) are treated as
-    # absent from the pattern so padding can't manufacture fill-in
-    for i in range(m):
-        col_to_cpos: dict[int, int] = {}
-        for ap in range(a_indptr[i], a_indptr[i + 1]):
-            if a_data[ap] == 0:
-                continue
-            kcol = a_indices[ap]
-            for bp in range(b_indptr[kcol], b_indptr[kcol + 1]):
-                if b_data[bp] == 0:
-                    continue
-                j = b_indices[bp]
-                if j not in col_to_cpos:
-                    col_to_cpos[j] = len(c_indices)
-                    c_indices.append(j)
-                a_pos_l.append(ap)
-                b_pos_l.append(bp)
-                c_seg_l.append(col_to_cpos[j])
-        c_indptr.append(len(c_indices))
-
+    a_pos, b_pos, c_seg, c_indptr, c_indices, nnz = _symbolic(
+        np.asarray(a.indptr, np.int64), np.asarray(a.indices, np.int64),
+        np.asarray(a.data), np.asarray(b.indptr, np.int64),
+        np.asarray(b.indices, np.int64), np.asarray(b.data), m, n)
     return SpGemmPlan(
-        jnp.asarray(np.asarray(a_pos_l, np.int32)),
-        jnp.asarray(np.asarray(b_pos_l, np.int32)),
-        jnp.asarray(np.asarray(c_seg_l, np.int32)),
-        jnp.asarray(np.asarray(c_indptr, np.int32)),
-        jnp.asarray(np.asarray(c_indices, np.int32)),
+        jnp.asarray(a_pos.astype(np.int32)),
+        jnp.asarray(b_pos.astype(np.int32)),
+        jnp.asarray(c_seg.astype(np.int32)),
+        jnp.asarray(c_indptr.astype(np.int32)),
+        jnp.asarray(c_indices.astype(np.int32)),
         (m, n),
-        len(c_indices),
+        nnz,
     )
 
 
@@ -98,3 +129,68 @@ def spgemm(a: CSR, b: CSR) -> CSR:
     """One-shot SpGEMM (plan + execute)."""
     plan = spgemm_plan(a, b)
     return plan.execute(a.data, b.data)
+
+
+def spgemm_mem(a: CSR, b: CSR, max_products: int = 1 << 22,
+               out_dtype=None) -> CSR:
+    """Memory-bounded SpGEMM (≙ cuSPARSE/spgemm_mem/spgemm_example.c:1 —
+    CUSPARSE_SPGEMM_ALG2/3): the flat product workspace is capped at
+    ``max_products`` entries; A's rows are processed in chunks sized by the
+    symbolic expansion counts, each chunk running the normal gather ·
+    segment-sum numeric phase on device before the next chunk's workspace
+    is formed."""
+    m, k = a.shape
+    k2, n = b.shape
+    assert k == k2
+    check(max_products >= 1, "max_products must be positive")
+    a_indptr = np.asarray(a.indptr, np.int64)
+    a_indices = np.asarray(a.indices, np.int64)
+    a_data_h = np.asarray(a.data)
+    b_indptr = np.asarray(b.indptr, np.int64)
+    b_indices = np.asarray(b.indices, np.int64)
+    b_data_h = np.asarray(b.data)
+    # per-row product counts (cheap: one gather + bincount on host)
+    b_rows_all = np.repeat(np.arange(k, dtype=np.int64), np.diff(b_indptr))
+    brow_nnz = np.bincount(b_rows_all[b_data_h != 0], minlength=k)
+    keep_a = a_data_h != 0
+    per_entry = np.where(keep_a, brow_nnz[a_indices], 0)
+    a_rows_all = np.repeat(np.arange(m, dtype=np.int64), np.diff(a_indptr))
+    per_row = np.bincount(a_rows_all, weights=per_entry,
+                          minlength=m).astype(np.int64)
+    # greedy row chunking under the product budget
+    chunks = []
+    lo = 0
+    acc = 0
+    for i in range(m):
+        c = int(per_row[i])
+        if acc + c > max_products and i > lo:
+            chunks.append((lo, i))
+            lo, acc = i, 0
+        acc += c
+    chunks.append((lo, m))
+    parts_ptr = [np.zeros(1, np.int64)]
+    parts_idx = []
+    parts_val = []
+    total = 0
+    for row_lo, row_hi in chunks:
+        a_pos, b_pos, c_seg, c_indptr, c_indices, nnz = _symbolic(
+            a_indptr, a_indices, a_data_h, b_indptr, b_indices, b_data_h,
+            m, n, row_lo, row_hi)
+        if nnz:
+            prod = jnp.asarray(a.data)[jnp.asarray(a_pos)] * \
+                jnp.asarray(b.data)[jnp.asarray(b_pos)]
+            vals = jax.ops.segment_sum(prod, jnp.asarray(c_seg),
+                                       num_segments=nnz)
+            parts_val.append(np.asarray(vals))
+        else:
+            parts_val.append(np.zeros(0, np.asarray(a.data).dtype))
+        parts_idx.append(c_indices)
+        parts_ptr.append(c_indptr[1:] + total)
+        total += nnz
+    indptr = np.concatenate(parts_ptr)
+    indices = np.concatenate(parts_idx) if parts_idx else np.zeros(0, np.int64)
+    values = np.concatenate(parts_val)
+    dt = out_dtype or a.data.dtype
+    return CSR(jnp.asarray(indptr.astype(np.int32)),
+               jnp.asarray(indices.astype(np.int32)),
+               jnp.asarray(values).astype(dt), (m, n))

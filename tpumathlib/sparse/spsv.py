@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpumathlib.core.errors import check
+from tpumathlib.core.sanitize import sanitize
 from tpumathlib.sparse.containers import CSR
 
 
@@ -33,7 +34,9 @@ class SpSvPlan:
     diag_pos: Any          # (m,) position of the diagonal entry in data
 
     def solve(self, b, alpha=1.0):
-        return _spsv_execute(self, b, alpha)
+        # TPUMATHLIB_CHECKIFY=1 surfaces NaN/Inf/OOB in the level sweeps
+        # (SURVEY §5 sanitizer plan) instead of propagating silently
+        return sanitize(_spsv_execute)(self, b, alpha)
 
 
 def spsv_plan(a: CSR, lower: bool = True, unit_diag: bool = False) -> SpSvPlan:
