@@ -338,3 +338,147 @@ def test_dx_comp_bits_guard(rng):
         dx_compress(jnp.asarray(v), bits=33)
     with pytest.raises(Exception):
         dx_decompress(jnp.zeros((4, 33), jnp.uint32), bits=33)
+
+
+def test_device_cascaded_roundtrip(rng):
+    """Device-resident cascaded codec (≙ nvCOMP device GB/s path): exact
+    int32 roundtrip through the public comp API, data device-resident."""
+    import jax.numpy as jnp
+
+    v = np.cumsum(rng.integers(-5, 6, 100_003)).astype(np.int32)
+    packed, meta = comp.device_cascaded_compress(jnp.asarray(v))
+    out = comp.device_cascaded_decompress(packed, meta)
+    np.testing.assert_array_equal(np.asarray(out), v)
+    ratio = comp.device_cascaded_ratio(meta, packed)
+    assert ratio > 4.0  # small deltas pack far below 32 bits
+    # explicit bits stays device-only (no host reduction)
+    p2, m2 = comp.device_cascaded_compress(jnp.asarray(v), bits=8)
+    np.testing.assert_array_equal(
+        np.asarray(comp.device_cascaded_decompress(p2, m2)), v)
+
+
+def test_host_bitpack_vectorized(rng):
+    """Vectorized packbits bitstream is byte-identical to the round-2
+    serial format (container compatibility)."""
+    from tpumathlib.comp import _bitpack, _bitunpack
+
+    for bits in (1, 7, 13, 32, 45):
+        vals = rng.integers(0, 2**min(bits, 62), 999, dtype=np.uint64)
+        vals &= (1 << bits) - 1
+        blob = _bitpack(vals, bits)
+        assert len(blob) == (999 * bits + 7) // 8
+        back = _bitunpack(blob, bits, 999)
+        np.testing.assert_array_equal(back, vals)
+
+
+def test_dss_mgmn_mesh(rng):
+    """MGMN over a jax device mesh: per-rank interior factorization via
+    shard_map + pure_callback, interface assembled with psum and solved on
+    device (≙ cuDSS/simple_mgmn_distributed_matrix.cpp:562-574)."""
+    import jax
+
+    from tpumathlib.mp import Grid
+
+    nranks = 4
+    grid = Grid.create(jax.devices()[:nranks])
+    ni, ng = 24, 6
+    n = nranks * ni + ng
+    a = np.zeros((n, n))
+    for d in range(nranks):
+        s = d * ni
+        blk = rng.normal(size=(ni, ni)) * (rng.uniform(size=(ni, ni)) < 0.3)
+        a[s:s + ni, s:s + ni] = blk @ blk.T + ni * np.eye(ni)
+        cup = rng.normal(size=(ni, ng)) * (rng.uniform(size=(ni, ng)) < 0.5)
+        a[s:s + ni, nranks * ni:] = cup
+        a[nranks * ni:, s:s + ni] = cup.T
+    a[nranks * ni:, nranks * ni:] = n * np.eye(ng) + rng.normal(size=(ng, ng))
+    x_true = rng.normal(size=n)
+    b = a @ x_true
+    # rank r: domain r rows; last rank also owns the interface rows
+    bounds = [ni * r for r in range(nranks)] + [n]
+    parts = [dense_to_csr(a[bounds[r]:bounds[r + 1]]) for r in range(nranks)]
+    xs = mgmn_solve(parts, [b[bounds[r]:bounds[r + 1]]
+                            for r in range(nranks)], grid=grid)
+    got = np.concatenate(xs)
+    # interface solve runs on device in f32
+    np.testing.assert_allclose(got, x_true, rtol=0,
+                               atol=2e-3 * np.abs(x_true).max())
+
+
+def test_dss_mgmn_large_sparse(rng):
+    """1e5-row problem completes WITHOUT densification (the round-2 body
+    materialized each rank's full row block as dense — O(rows·n) memory)."""
+    import time
+
+    import scipy.sparse as sp
+
+    from tpumathlib.sparse.containers import CSR
+    import jax.numpy as jnp
+
+    n = 100_000
+    nranks = 4
+    # block-tridiagonal-ish: 1D Laplacian + long-range coupling at the
+    # partition boundaries only
+    main = 4.0 * np.ones(n)
+    off = -1.0 * np.ones(n - 1)
+    a = sp.diags([off, main, off], [-1, 0, 1], format="csr")
+    x_true = rng.normal(size=n)
+    b = a @ x_true
+    per = n // nranks
+    parts = []
+    for r in range(nranks):
+        blk = a[r * per:(r + 1) * per].tocsr()
+        parts.append(CSR(jnp.asarray(blk.indptr.astype(np.int64)),
+                         jnp.asarray(blk.indices.astype(np.int64)),
+                         jnp.asarray(blk.data), (per, n)))
+    t0 = time.perf_counter()
+    xs = mgmn_solve(parts, [b[r * per:(r + 1) * per] for r in range(nranks)],
+                    Config(matrix_type=MatrixType.SPD))
+    dt = time.perf_counter() - t0
+    got = np.concatenate(xs)
+    r = np.abs(a @ got - b).max() / np.abs(b).max()
+    assert r < 1e-8, r
+    assert dt < 120, f"mgmn 1e5 rows took {dt:.0f}s"
+
+
+def test_dss_threading_and_comm_layer(rng):
+    """cuDSS threading-layer (parallel batch factorization) and
+    communication-layer (pluggable collective) knobs
+    (≙ cuDSS/test_threading_layer, test_communication_layer)."""
+    import jax
+
+    from tpumathlib.mp import Grid
+
+    mats, bs = [], []
+    for k in range(6):
+        n = 20 + 4 * k
+        a = _spd(rng, n)
+        mats.append(dense_to_csr(a))
+        bs.append(rng.normal(size=n))
+    solver = BatchSolver(mats, Config(matrix_type=MatrixType.SPD), threads=4)
+    xs = solver.factorize().solve(bs)
+    for s, x, b in zip(solver.solvers, xs, bs):
+        assert s.residual(x, b) < 1e-8
+    # pluggable comm: all_gather schedule matches psum
+    nranks = 2
+    grid = Grid.create(jax.devices()[:nranks])
+    ni, ng = 16, 4
+    n = nranks * ni + ng
+    a = np.zeros((n, n))
+    for d in range(nranks):
+        s0 = d * ni
+        blk = rng.normal(size=(ni, ni)) * (rng.uniform(size=(ni, ni)) < 0.4)
+        a[s0:s0 + ni, s0:s0 + ni] = blk @ blk.T + ni * np.eye(ni)
+        cup = rng.normal(size=(ni, ng)) * 0.5
+        a[s0:s0 + ni, nranks * ni:] = cup
+        a[nranks * ni:, s0:s0 + ni] = cup.T
+    a[nranks * ni:, nranks * ni:] = n * np.eye(ng)
+    xt = rng.normal(size=n)
+    b = a @ xt
+    bounds = [ni * r for r in range(nranks)] + [n]
+    parts = [dense_to_csr(a[bounds[r]:bounds[r + 1]]) for r in range(nranks)]
+    bp = [b[bounds[r]:bounds[r + 1]] for r in range(nranks)]
+    x1 = np.concatenate(mgmn_solve(parts, bp, grid=grid, comm="psum"))
+    x2 = np.concatenate(mgmn_solve(parts, bp, grid=grid, comm="all_gather"))
+    np.testing.assert_allclose(x1, xt, atol=2e-3 * np.abs(xt).max())
+    np.testing.assert_allclose(x2, x1, atol=1e-5)

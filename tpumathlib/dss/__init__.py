@@ -320,17 +320,37 @@ def _dense_to_csr_np(a) -> CSR:
 
 class BatchSolver:
     """≙ cuDSS batch (non-uniform) sample: list of systems, one solver each
-    (shapes/patterns may differ)."""
+    (shapes/patterns may differ).
 
-    def __init__(self, mats: list[CSR], config: Config | None = None):
+    ``threads`` ≙ the cuDSS threading-layer knob
+    (cuDSS/test_threading_layer): per-system analysis/factorization run on
+    a host thread pool — the native C++ factorization releases the GIL
+    through ctypes, so this is real parallelism for the host-side phase.
+    """
+
+    def __init__(self, mats: list[CSR], config: Config | None = None,
+                 threads: int = 1):
         self.solvers = [Solver(m, config) for m in mats]
+        self.threads = max(1, int(threads))
 
     def factorize(self):
-        for s in self.solvers:
-            s.factorize()
+        if self.threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(self.threads) as pool:
+                list(pool.map(lambda s: s.factorize(), self.solvers))
+        else:
+            for s in self.solvers:
+                s.factorize()
         return self
 
     def solve(self, bs: list) -> list:
+        if self.threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(self.threads) as pool:
+                return list(pool.map(lambda sb: sb[0].solve(sb[1]),
+                                     zip(self.solvers, bs)))
         return [s.solve(b) for s, b in zip(self.solvers, bs)]
 
 
@@ -404,100 +424,204 @@ class ComplexSolver:
         return x[:n] + 1j * x[n:]
 
 
-def mgmn_solve(a_parts: list[CSR], b_parts: list[np.ndarray],
-               config: Config | None = None) -> list[np.ndarray]:
-    """MGMN distributed mode (≙ simple_mgmn_distributed_matrix): each "rank"
-    contributes a row partition of A and b.
-
-    Genuinely distributed algorithm — Schur-complement domain
-    decomposition (the structure under cuDSS's MGMN factorization):
-    interface rows/columns Γ are those coupling ≥2 ranks' row blocks (on
-    the symmetrized pattern); every rank independently factors its
-    INTERIOR block A_II with the native sparse LU and eliminates it from
-    its own Γ rows (all of rank r's elimination data is local, because a
-    column interior to rank r can only be referenced by rank r's rows).
-    Only the small interface Schur system S·x_Γ = g is assembled
-    (the "reduce" — a DCN collective on a real multi-host deployment,
-    a concatenation in-process, the pluggable CUDSS_DATA_COMM layer) and
-    solved, then every rank back-substitutes locally."""
+def _mgmn_analyze(a_parts: list[CSR]):
+    """Pattern analysis for the MGMN decomposition: interface columns Γ are
+    those referenced by a rank other than their owner (on the symmetrized
+    pattern) — then every rank's interior elimination is provably local."""
     from tpumathlib.sparse import hostcsr
 
     nranks = len(a_parts)
     n = a_parts[0].shape[1]
+    trips = []
     row_ranges = []
     off = 0
-    trips = []
-    for part in a_parts:
+    touched = np.zeros((nranks, n), bool)
+    for r, part in enumerate(a_parts):
         ip = np.asarray(part.indptr, np.int64)
         ii = np.asarray(part.indices, np.int64)
         dx = np.asarray(part.data, np.float64)
         trips.append((ip, ii, dx))
         row_ranges.append((off, off + part.shape[0]))
+        touched[r, ii] = True
+        touched[r, off:off + part.shape[0]] = True  # structural symmetry
         off += part.shape[0]
     check(off == n, "row partition must cover the square system")
-    b_full = np.concatenate([np.asarray(b, np.float64) for b in b_parts])
-
-    # column owner analysis on the symmetrized pattern: a column is
-    # interface if touched by ≥2 ranks OR if its owning row couples ranks
-    touched = np.zeros((nranks, n), bool)
-    for r, (ip, ii, dx) in enumerate(trips):
-        touched[r, ii] = True
-        lo, hi = row_ranges[r]
-        touched[r, lo:hi] = True  # structural symmetry: own rows' columns
-    owners = touched.sum(0)
-    interface = owners >= 2
-    for r, (lo, hi) in enumerate(row_ranges):
-        # a row of rank r whose column is touched by another rank is Γ
-        interface[lo:hi] |= (touched.sum(0)[lo:hi] >= 2)
+    interface = touched.sum(0) >= 2
     gamma = np.nonzero(interface)[0]
-    ngam = len(gamma)
     gpos = -np.ones(n, np.int64)
-    gpos[gamma] = np.arange(ngam)
+    gpos[gamma] = np.arange(len(gamma))
+    return trips, row_ranges, interface, gamma, gpos, n
 
+
+def _mgmn_rank_schur(r, trips, row_ranges, interface, gamma, gpos, b_full,
+                     config):
+    """Rank r's local elimination, fully SPARSE: factor its interior block
+    with the native sparse LU (via a nested Solver: MD ordering + splu) and
+    form its (ngam, ngam) Schur/RHS contribution. Interiors are never
+    densified — only the n_int × (local boundary) solve block Y is dense.
+    Returns (s_r, g_r, state-for-back-substitution)."""
+    from tpumathlib.sparse import hostcsr
+
+    ip, ii, dx = trips[r]
+    lo, hi = row_ranges[r]
+    ngam = len(gamma)
+    rows_g = hostcsr.row_ids(ip) + lo                 # global row per entry
+    row_int = ~interface[rows_g]
+    col_gam = interface[ii]
+    int_rows = np.arange(lo, hi)[~interface[lo:hi]]
+    gam_rows = np.arange(lo, hi)[interface[lo:hi]]
+    n_int = len(int_rows)
+    nglob = row_ranges[-1][1]
+    ipos = -np.ones(nglob, np.int64)
+    ipos[int_rows] = np.arange(n_int)
+    # local boundary: Γ columns rank r actually references
+    loc = np.unique(np.concatenate([ii[col_gam], gam_rows]))
+    lpos = -np.ones(nglob, np.int64)
+    lpos[loc] = np.arange(len(loc))
+    nloc = len(loc)
+
+    s_r = np.zeros((ngam, ngam), np.float64)
+    g_r = np.zeros(ngam, np.float64)
+    b_i = b_full[int_rows]
+    b_g = b_full[gam_rows]
+
+    if n_int:
+        # A_II sparse (interior rows × interior cols of rank r)
+        sel = row_int & ~col_gam
+        aip, aii_, adx = hostcsr.coo_to_csr(
+            n_int, n_int, ipos[rows_g[sel]], ipos[ii[sel]], dx[sel])
+        sub = Solver(CSR(jnp.asarray(aip), jnp.asarray(aii_),
+                         jnp.asarray(adx), (n_int, n_int)),
+                     Config(matrix_type=(config.matrix_type if config
+                                         else MatrixType.GENERAL)))
+        sub.factorize()
+        # A_IΓ restricted to the local boundary, dense n_int × nloc
+        sel_ig = row_int & col_gam
+        a_ig = np.zeros((n_int, nloc))
+        a_ig[ipos[rows_g[sel_ig]], lpos[ii[sel_ig]]] = dx[sel_ig]
+        y = sub.solve(a_ig) if nloc else np.zeros((n_int, 0))
+        g_i = sub.solve(b_i)
+    else:
+        sub, y, g_i = None, np.zeros((0, nloc)), np.zeros(0)
+
+    # Γ-row blocks: A_ΓΓ entries scatter straight into S; the correction
+    # A_ΓI @ [Y | g_i] runs as sparse·dense (CSR matvec per column)
+    sel_gg = ~row_int & col_gam
+    np.add.at(s_r, (gpos[rows_g[sel_gg]], gpos[ii[sel_gg]]), dx[sel_gg])
+    np.add.at(g_r, gpos[gam_rows], b_g)
+    if n_int and len(gam_rows):
+        sel_gi = ~row_int & ~col_gam
+        gip, gii, gdx = hostcsr.coo_to_csr(
+            len(gam_rows), n_int,
+            np.searchsorted(gam_rows, rows_g[sel_gi]),
+            ipos[ii[sel_gi]], dx[sel_gi])
+        corr = np.stack([hostcsr.spmv(gip, gii, gdx, y[:, j])
+                         for j in range(nloc)], axis=1) \
+            if nloc else np.zeros((len(gam_rows), 0))
+        s_r[np.ix_(gpos[gam_rows], gpos[loc])] -= corr
+        g_r[gpos[gam_rows]] -= hostcsr.spmv(gip, gii, gdx, g_i)
+    return s_r, g_r, (int_rows, loc, sub, y, g_i)
+
+
+def mgmn_solve(a_parts: list[CSR], b_parts: list[np.ndarray],
+               config: Config | None = None, grid=None,
+               comm: str = "psum") -> list[np.ndarray]:
+    """MGMN distributed mode (≙ cuDSS/simple_mgmn_distributed_matrix.cpp:
+    47-50,562-574): each rank contributes a row partition of A and b.
+
+    Schur-complement domain decomposition over a jax device mesh:
+
+    - per-rank sparse interior factorization (native MD ordering + sparse
+      LU — no densification anywhere) runs INSIDE ``shard_map`` via
+      ``pure_callback``, one callback per mesh device;
+    - the interface system S·x_Γ = g is assembled with ``jax.lax.psum``
+      over the mesh — the CUDSS_DATA_COMM collective, riding ICI on real
+      hardware — and solved ON DEVICE (replicated dense solve);
+    - every rank back-substitutes its interior locally.
+
+    Pass ``grid`` (tpumathlib.mp.Grid with one device per rank) for the
+    mesh execution; without it the same sparse algorithm runs as a host
+    loop (single-process fallback). ``comm`` selects the collective
+    schedule for the interface reduce — the pluggable communication-layer
+    knob (≙ cuDSS/test_communication_layer choosing the comm backend):
+    "psum" (all-reduce) or "all_gather" (gather + local sum).
+    """
+    import jax
+
+    nranks = len(a_parts)
+    trips, row_ranges, interface, gamma, gpos, n = _mgmn_analyze(a_parts)
+    ngam = len(gamma)
+    b_full = np.concatenate([np.asarray(b, np.float64) for b in b_parts])
+    x = np.zeros(n)
+
+    if grid is not None and len(grid.mesh.devices.ravel()) == nranks \
+            and ngam:
+        from jax.sharding import PartitionSpec as P
+
+        ax = grid.axes[0]
+        states: dict[int, Any] = {}
+
+        def schur_cb(r_arr):
+            r = int(np.asarray(r_arr).ravel()[0])
+            s_r, g_r, state = _mgmn_rank_schur(
+                r, trips, row_ranges, interface, gamma, gpos, b_full, config)
+            states[r] = state
+            return (s_r.astype(np.float32), g_r.astype(np.float32))
+
+        maxrows = max(hi - lo for lo, hi in row_ranges)
+
+        def back_cb(r_arr, xg):
+            r = int(np.asarray(r_arr).ravel()[0])
+            lo, hi = row_ranges[r]
+            int_rows, loc, sub, y, g_i = states[r]
+            xl = np.zeros(maxrows)
+            xfull = np.zeros(n)
+            xfull[gamma] = np.asarray(xg, np.float64)
+            xl[:hi - lo][interface[lo:hi]] = xfull[lo:hi][interface[lo:hi]]
+            if len(int_rows):
+                xi = g_i - (y @ xfull[loc] if len(loc) else 0.0)
+                xl[:hi - lo][~interface[lo:hi]] = xi
+            return xl.astype(np.float32)
+
+        def shard_fn(dummy):
+            r = jax.lax.axis_index(ax)
+            s_r, g_r = jax.pure_callback(
+                schur_cb,
+                (jax.ShapeDtypeStruct((ngam, ngam), jnp.float32),
+                 jax.ShapeDtypeStruct((ngam,), jnp.float32)), r)
+            if comm == "all_gather":
+                s = jnp.sum(jax.lax.all_gather(s_r, ax), axis=0)
+                g = jnp.sum(jax.lax.all_gather(g_r, ax), axis=0)
+            else:                            # the CUDSS_DATA_COMM reduce
+                s = jax.lax.psum(s_r, ax)
+                g = jax.lax.psum(g_r, ax)
+            xg = jnp.linalg.solve(s, g)      # device interface solve
+            xl = jax.pure_callback(
+                back_cb, jax.ShapeDtypeStruct((maxrows,), jnp.float32),
+                r, xg)
+            return xl[None]
+
+        dummy = jnp.zeros((nranks, 1), jnp.float32)
+        xs = jax.shard_map(shard_fn, mesh=grid.mesh,
+                           in_specs=P(ax, None), out_specs=P(ax, None))(dummy)
+        xs = np.asarray(xs, np.float64)
+        return [xs[r, : hi - lo] for r, (lo, hi) in enumerate(row_ranges)]
+
+    # host-loop fallback (same sparse math, no mesh)
     s_mat = np.zeros((ngam, ngam))
     g_rhs = np.zeros(ngam)
     locals_ = []
-    for r, (ip, ii, dx) in enumerate(trips):
-        lo, hi = row_ranges[r]
-        rows_g = np.arange(lo, hi)
-        ii_interior = ~interface[rows_g]
-        int_rows = rows_g[ii_interior]           # global interior rows
-        gam_rows = rows_g[~ii_interior]          # rank's interface rows
-        ipos = -np.ones(n, np.int64)
-        ipos[int_rows] = np.arange(len(int_rows))
-        dense = hostcsr.to_dense(hi - lo, n, ip, ii, dx)
-        a_ii = dense[np.ix_(int_rows - lo, int_rows)]
-        a_ig = dense[np.ix_(int_rows - lo, gamma)]
-        a_gi = dense[np.ix_(gam_rows - lo, int_rows)]
-        a_gg = dense[np.ix_(gam_rows - lo, gamma)]
-        b_i = b_full[int_rows]
-        b_g = b_full[gam_rows]
-        if len(int_rows):
-            from tpumathlib.sparse.convert import dense_to_csr
-
-            sub = Solver(dense_to_csr(a_ii),
-                         Config(matrix_type=(config.matrix_type if config
-                                             else MatrixType.GENERAL)))
-            sub.factorize()
-            y = np.stack([sub.solve(a_ig[:, j])
-                          for j in range(ngam)], axis=1) if ngam else \
-                np.zeros((len(int_rows), 0))
-            g_i = sub.solve(b_i)
-        else:
-            sub, y, g_i = None, np.zeros((0, ngam)), np.zeros(0)
-        # rank-local contribution to the interface system (the reduce)
-        gsel = gpos[gam_rows]
-        s_mat[gsel] += a_gg - (a_gi @ y if len(int_rows) else 0.0)
-        g_rhs[gsel] += b_g - (a_gi @ g_i if len(int_rows) else 0.0)
-        locals_.append((int_rows, gam_rows, sub, y, g_i))
-
-    x = np.zeros(n)
+    for r in range(nranks):
+        s_r, g_r, state = _mgmn_rank_schur(
+            r, trips, row_ranges, interface, gamma, gpos, b_full, config)
+        s_mat += s_r
+        g_rhs += g_r
+        locals_.append(state)
     if ngam:
-        x_g = np.linalg.solve(s_mat, g_rhs)
-        x[gamma] = x_g
-    for int_rows, gam_rows, sub, y, g_i in locals_:
+        x[gamma] = np.linalg.solve(s_mat, g_rhs)
+    for int_rows, loc, sub, y, g_i in locals_:
         if len(int_rows):
-            x[int_rows] = g_i - (y @ x[gamma] if ngam else 0.0)
+            x[int_rows] = g_i - (y @ x[loc] if len(loc) else 0.0)
     out = []
     for lo, hi in row_ranges:
         out.append(x[lo:hi])
