@@ -240,3 +240,151 @@ def test_jfif_decode_real_jpeg(rng):
     ours = jpeg_decode(buf.getvalue())
     ref = np.asarray(Image.open(buf).convert("L"))
     assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 2
+
+
+def test_jfif_encode_interop(rng):
+    """JFIF-conformant encoder: the emitted stream opens in Pillow/libjpeg
+    (≙ nvJPEG-Encoder-MultipleInstances) at 4:4:4, 4:2:0, gray, odd dims."""
+    import io
+
+    from PIL import Image
+
+    from tpumathlib.image import jfif_decode, jfif_encode
+
+    x, y = np.meshgrid(np.arange(64), np.arange(48))
+    img = np.stack([(127 + 90 * np.sin(x / 9) * np.cos(y / 11)),
+                    (127 + 80 * np.cos(x / 7)),
+                    (127 + 70 * np.sin((x + y) / 13))],
+                   axis=-1).clip(0, 255).astype(np.uint8)
+    for sub, tol in (("444", 8), ("420", 14)):
+        blob = jfif_encode(img, quality=92, subsampling=sub)
+        pil = np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
+        assert np.abs(pil.astype(int) - img.astype(int)).max() <= tol
+        ours = jfif_decode(blob)
+        assert np.abs(ours.astype(int) - img.astype(int)).max() <= tol + 4
+    gray = img[..., 0]
+    blob = jfif_encode(gray, quality=92)
+    pil = np.asarray(Image.open(io.BytesIO(blob)).convert("L"))
+    assert np.abs(pil.astype(int) - gray.astype(int)).max() <= 4
+    odd = img[:45, :53]
+    blob = jfif_encode(odd, quality=92, subsampling="420")
+    pil = np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
+    assert pil.shape == odd.shape
+    assert np.abs(pil.astype(int) - odd.astype(int)).max() <= 16
+
+
+def test_jfif_roi_and_backend(rng):
+    """ROI decode (≙ nvJPEG-Decoder-Backend-ROI) matches the full decode's
+    crop exactly; host backend matches the hybrid one."""
+    import io
+
+    from PIL import Image
+
+    from tpumathlib.image import jfif_decode
+
+    img = rng.integers(0, 255, (64, 80, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=95,
+                              subsampling=2)  # 4:2:0 stream
+    blob = buf.getvalue()
+    full = jfif_decode(blob)
+    roi = jfif_decode(blob, roi=(13, 9, 31, 22))
+    np.testing.assert_array_equal(roi, full[9:31, 13:44])
+    host = jfif_decode(blob, roi=(13, 9, 31, 22), backend="host")
+    assert np.abs(host.astype(int) - roi.astype(int)).max() <= 1
+
+
+def test_geotiff_roundtrip(tmp_path, rng):
+    """GeoTIFF tags round-trip through our writer/reader AND interop with
+    Pillow (≙ nvTIFF-GeoTIFF-Decode-Encode)."""
+    from PIL import Image
+    from PIL.TiffTags import TAGS_V2  # noqa: F401
+
+    from tpumathlib.image.tiff import geotiff_read, geotiff_write
+
+    img = rng.integers(0, 255, (24, 32, 3), dtype=np.uint8)
+    path = str(tmp_path / "geo.tif")
+    keys = [(1024, 0, 1, 2),      # GTModelTypeGeoKey = geographic
+            (2048, 0, 1, 4326)]   # GeodeticCRSGeoKey = WGS84
+    geotiff_write(path, img, pixel_scale=(0.1, 0.1, 0.0),
+                  tiepoint=(0, 0, 0, -122.45, 37.75, 0.0),
+                  geo_keys=keys, ascii_params="WGS 84|")
+    back, geo = geotiff_read(path)
+    np.testing.assert_array_equal(back, img)
+    assert geo["pixel_scale"] == (0.1, 0.1, 0.0)
+    assert geo["tiepoints"][3] == -122.45
+    assert geo["geo_keys"] == [tuple(k) for k in keys]
+    assert geo["ascii_params"].startswith("WGS 84")
+    # interop: Pillow reads the image and the geo tags
+    pim = Image.open(path)
+    np.testing.assert_array_equal(np.asarray(pim), img)
+    assert 33550 in pim.tag_v2 and 34735 in pim.tag_v2
+    assert tuple(pim.tag_v2[33550]) == (0.1, 0.1, 0.0)
+    # and we can read a Pillow-written GeoTIFF-tagged file
+    p2 = str(tmp_path / "pil.tif")
+    pim.save(p2, tiffinfo=pim.tag_v2)
+    back2, geo2 = geotiff_read(p2)
+    np.testing.assert_array_equal(back2, img)
+    assert geo2["pixel_scale"] == (0.1, 0.1, 0.0)
+
+
+def test_tiff_multi_image(tmp_path, rng):
+    """Multi-image TIFF (chained IFDs): info lists every image, read by
+    index, read_all (≙ the nvTIFF multi-image info sample)."""
+    from PIL import Image
+
+    from tpumathlib.image.tiff import (tiff_info, tiff_read, tiff_read_all,
+                                       tiff_write)
+
+    imgs = [rng.integers(0, 255, (16, 20, 3), dtype=np.uint8),
+            rng.integers(0, 255, (8, 12), dtype=np.uint8),
+            rng.integers(0, 255, (10, 10, 3), dtype=np.uint8)]
+    path = str(tmp_path / "multi.tif")
+    tiff_write(path, imgs)
+    info = tiff_info(path)
+    assert info["num_images"] == 3
+    assert [i["height"] for i in info["images"]] == [16, 8, 10]
+    for k in range(3):
+        np.testing.assert_array_equal(tiff_read(path, index=k), imgs[k])
+    all_ = tiff_read_all(path)
+    assert len(all_) == 3
+    # Pillow sees all frames
+    pim = Image.open(path)
+    assert getattr(pim, "n_frames", 1) == 3
+    pim.seek(1)
+    np.testing.assert_array_equal(np.asarray(pim), imgs[1])
+
+
+def test_j2k_real_codestream_decode(rng):
+    """Conformant JPEG2000 decode of REAL openjpeg streams
+    (≙ nvJPEG2000/nvJPEG2000-Decoder): MQ + EBCOT Tier-1/2 + reversible
+    5/3 synthesis + RCT — BIT-EXACT lossless roundtrip."""
+    import io
+
+    from PIL import Image
+
+    from tpumathlib.image.j2k import j2k_decode
+
+    def enc(img, **kw):
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, "JPEG2000", irreversible=False, **kw)
+        return buf.getvalue()
+
+    for ref in (rng.integers(0, 255, (64, 64), dtype=np.uint8),
+                rng.integers(0, 255, (37, 53), dtype=np.uint8),
+                rng.integers(0, 255, (48, 40, 3), dtype=np.uint8)):
+        got = j2k_decode(enc(ref))
+        np.testing.assert_array_equal(got, ref)
+    # region decode on a real stream
+    ref = rng.integers(0, 255, (64, 64), dtype=np.uint8)
+    got = j2k_decode(enc(ref), region=(8, 4, 16, 24))
+    np.testing.assert_array_equal(got, ref[8:24, 4:28])
+    # irreversible 9/7 is an explicit NotSupported, not silent garbage
+    import pytest
+
+    from tpumathlib.core.errors import NotSupportedError
+
+    buf = io.BytesIO()
+    Image.fromarray(ref).save(buf, "JPEG2000", irreversible=True)
+    with pytest.raises(NotSupportedError):
+        j2k_decode(buf.getvalue())

@@ -9,8 +9,9 @@
 - jpeg: TPU pixel pipeline (8×8 DCT on the MXU, quantization, YCbCr) with a
   host rANS entropy stage — the "host codec + TPU pixel pipeline" split
   SURVEY.md §2.10 prescribes for entropy-coded formats
-- tiff: minimal baseline TIFF reader/writer (uncompressed), region decode,
-  image info (≙ nvTIFF decode/encode/imageinfo samples)
+- tiff: baseline TIFF reader/writer (uncompressed), region decode, image
+  info, multi-image (chained IFDs), GeoTIFF tag read/write
+  (≙ nvTIFF decode/encode/imageinfo/GeoTIFF samples)
 
 Everything in ops is data-parallel jnp (VPU) with iteration expressed as
 lax.while_loop/fori_loop — the TPU formulation of these queue-based CPU/GPU
@@ -32,10 +33,23 @@ from tpumathlib.image.ops import (  # noqa: F401
 from tpumathlib.image.jpeg import (  # noqa: F401
     dct8x8,
     idct8x8,
+    jfif_decode,
+    jfif_encode,
     jpeg_decode,
     jpeg_decode_batched,
     jpeg_encode,
     rgb_to_ycbcr,
     ycbcr_to_rgb,
 )
-from tpumathlib.image.tiff import tiff_read, tiff_write, tiff_info  # noqa: F401
+from tpumathlib.image.j2k import j2k_decode, j2k_encode  # noqa: F401
+from tpumathlib.image.j2k_codestream import (  # noqa: F401
+    j2k_decode_codestream,
+)
+from tpumathlib.image.tiff import (  # noqa: F401
+    geotiff_read,
+    geotiff_write,
+    tiff_info,
+    tiff_read,
+    tiff_read_all,
+    tiff_write,
+)

@@ -128,7 +128,19 @@ def j2k_encode(image, levels: int = 3) -> bytes:
 
 def j2k_decode(blob: bytes, region: tuple | None = None) -> np.ndarray:
     """Decode; ``region`` = (y0, x0, h, w) mirrors the nvJPEG2000 partial-
-    decode surface."""
+    decode surface. REAL .j2k/.jp2 streams (SOC or jp2-box signature)
+    route to the conformant codestream decoder
+    (image/j2k_codestream.py, ≙ nvJPEG2000-Decoder); TMW1 is the
+    library's own container."""
+    blob = bytes(blob)
+    if blob[:4] in (b"\xff\x4f\xff\x51", b"\x00\x00\x00\x0c"):
+        from tpumathlib.image.j2k_codestream import j2k_decode_codestream
+
+        img = j2k_decode_codestream(blob)
+        if region is not None:
+            y0, x0, rh, rw = region
+            img = img[y0:y0 + rh, x0:x0 + rw]
+        return img
     from tpumathlib.comp import ans_decompress, bitcomp_decompress
 
     magic, h, w, levels = struct.unpack("<4sHHB", blob[:9])

@@ -1,12 +1,20 @@
-"""JPEG-class codec: TPU pixel pipeline + host entropy stage.
+"""JPEG codecs: TPU pixel pipeline + host entropy stages.
 
-≙ nvJPEG (SURVEY.md §2.10). The entropy-coded JFIF Huffman layer is a poor
-TPU fit — the split here is exactly the one the survey prescribes: color
-transform, 8×8 block DCT (an MXU matmul sandwich D·B·Dᵀ), quantization and
-zigzag run on device; the entropy stage is the host rANS coder from
-tpumathlib.comp (container: our own TMJ1 format, not JFIF — API-parity
-``jpeg_encode``/``jpeg_decode`` with quality control, batched decode via
-vmap like nvjpegDecodeBatched).
+≙ nvJPEG (SURVEY.md §2.10). The split is the one the survey prescribes:
+color transform, 8×8 block DCT (an MXU matmul sandwich D·B·Dᵀ),
+quantization, zigzag, and chroma pooling run on device; the serial entropy
+stages run on host. Three surfaces:
+
+- ``jfif_encode`` — REAL baseline JFIF output (spec-conformant markers +
+  optimized Huffman tables; opens in libjpeg/Pillow; 4:4:4, 4:2:0, gray)
+  ≙ nvJPEG-Encoder-MultipleInstances.
+- ``jfif_decode`` — real baseline .jpg decode (Huffman, restarts, all
+  standard subsamplings) with ROI + backend-select knobs
+  ≙ nvJPEG-Decoder / nvJPEG-Decoder-Backend-ROI.
+- ``jpeg_encode``/``jpeg_decode`` — the TMJ1 container: the same device
+  pixel pipeline with the host rANS coder from tpumathlib.comp (a
+  non-interop fast path; kept for the batched vmap-decode surface
+  ≙ nvjpegDecodeBatched).
 """
 
 from __future__ import annotations
@@ -232,11 +240,21 @@ _JFIF_ZZ = np.array([
     np.int32)
 
 
-def jfif_decode(blob: bytes) -> np.ndarray:
+def jfif_decode(blob: bytes, roi: tuple | None = None,
+                backend: str = "hybrid") -> np.ndarray:
     """Decode a real baseline-DCT JFIF .jpg (SOF0, 8-bit, grayscale or
     YCbCr with any of the standard subsamplings, restart markers
-    supported). Returns uint8 (H, W) or (H, W, 3)."""
+    supported). Returns uint8 (H, W) or (H, W, 3).
+
+    roi = (x, y, width, height) decodes only that region (≙
+    nvJPEG/nvJPEG-Decoder-Backend-ROI nvjpegDecodeParamsSetROI): the
+    entropy scan is inherently sequential so it still parses every block,
+    but the device pixel pipeline (dequant + IDCT + upsample) runs ONLY on
+    the ROI's blocks. backend selects the pixel-pipeline engine —
+    "hybrid" (host entropy + device pixel stage, ≙ NVJPEG_BACKEND_GPU_HYBRID)
+    or "host" (pure-CPU reference, ≙ NVJPEG_BACKEND_CPU_ONLY)."""
     assert blob[:2] == b"\xff\xd8", "not a JPEG (missing SOI)"
+    assert backend in ("hybrid", "host"), backend
     qt = {}
     huff = {}
     comps = []
@@ -365,7 +383,15 @@ def jfif_decode(blob: bytes) -> np.ndarray:
                     col = mx * ch + bx
                     coeffs[cid][row * (mcux * ch) + col] = blk
 
-    # device pixel pipeline: dequant + IDCT + plane assembly + upsample
+    # pixel pipeline: dequant + IDCT + plane assembly + upsample. With an
+    # ROI only the covered blocks enter the (device) IDCT stage.
+    if roi is None:
+        rx, ry, rw, rh = 0, 0, w, h
+    else:
+        rx, ry, rw, rh = roi
+        assert 0 <= rx < w and 0 <= ry < h, "ROI out of bounds"
+        rw = min(rw, w - rx)
+        rh = min(rh, h - ry)
     inv = np.zeros(64, np.int32)
     inv[zz] = np.arange(64)
     planes = []
@@ -373,16 +399,320 @@ def jfif_decode(blob: bytes) -> np.ndarray:
         cid = comp["id"]
         ch, cv = comp["h"], comp["v"]
         nby, nbx = mcuy * cv, mcux * ch
+        sy, sx = vmax // cv, hmax // ch         # upsample factors
+        by0 = (ry // sy) // 8
+        by1 = -(-((ry + rh) // sy + ((ry + rh) % sy > 0)) // 8)
+        bx0 = (rx // sx) // 8
+        bx1 = -(-((rx + rw) // sx + ((rx + rw) % sx > 0)) // 8)
+        by1, bx1 = min(by1, nby), min(bx1, nbx)
         q = qt[comp["tq"]][inv].reshape(8, 8).astype(np.float32)
-        co = coeffs[cid][:, inv].reshape(-1, 8, 8).astype(np.float32)
-        blocks = np.asarray(idct8x8(jnp.asarray(co) * jnp.asarray(q))) + 128.0
-        plane = blocks.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3)
-        plane = plane.reshape(nby * 8, nbx * 8)
+        sel = coeffs[cid].reshape(nby, nbx, 64)[by0:by1, bx0:bx1]
+        co = sel.reshape(-1, 64)[:, inv].reshape(-1, 8, 8).astype(np.float32)
+        if backend == "hybrid":
+            blocks = np.asarray(idct8x8(jnp.asarray(co)
+                                        * jnp.asarray(q))) + 128.0
+        else:  # host reference pixel stage
+            d = _dct_matrix()
+            blocks = np.einsum("ji,njk,kl->nil", d, co * q, d) + 128.0
+        rby, rbx = by1 - by0, bx1 - bx0
+        plane = blocks.reshape(rby, rbx, 8, 8).transpose(0, 2, 1, 3)
+        plane = plane.reshape(rby * 8, rbx * 8)
         # upsample to full resolution (nearest, per JFIF sampling factors)
-        plane = np.repeat(np.repeat(plane, vmax // cv, 0), hmax // ch, 1)
-        planes.append(plane[:h, :w])
+        plane = np.repeat(np.repeat(plane, sy, 0), sx, 1)
+        # crop to the exact ROI (offset of this block window in pixels)
+        oy = ry - by0 * 8 * sy
+        ox = rx - bx0 * 8 * sx
+        planes.append(plane[oy:oy + rh, ox:ox + rw])
     if len(planes) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     ycc = np.stack(planes, axis=-1)
     rgb = np.asarray(ycbcr_to_rgb(jnp.asarray(ycc, jnp.float32)))
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------- real JFIF (baseline DCT) ENCODER ----------------
+#
+# ≙ nvJPEG-Encoder-MultipleInstances/nvJPEG-Encoder.cpp — emits a
+# spec-conformant JFIF stream that any libjpeg-family decoder opens. The
+# device runs the pixel pipeline (color transform, optional 4:2:0 chroma
+# pooling, 8×8 DCT matmul sandwich, quantization, zigzag); the host runs
+# the entropy stage with per-image OPTIMIZED Huffman tables built by the
+# JPEG Annex K.2 algorithm (written in DHT markers, like jpeg_write's
+# optimize_coding mode).
+
+_QTABLE_CHROMA = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99]], np.float32)
+
+
+def _ijg_qtable(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling → integer quantization table (what the DQT
+    marker carries and the device divides by — identical by construction)."""
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = np.floor((base * scale + 50.0) / 100.0)
+    return np.clip(q, 1, 255).astype(np.float32)
+
+
+@jax.jit
+def _encode_blocks_jfif(img, qtab):
+    """(H, W) plane + (8,8) integer qtable → (nb, 64) int32 coefficients in
+    JFIF zigzag order (device: DCT + quantization + zigzag)."""
+    h, w = img.shape
+    blocks = img.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    co = jnp.round(dct8x8(blocks - 128.0) / qtab).astype(jnp.int32)
+    return co.reshape(-1, 64)[:, jnp.asarray(_JFIF_ZZ)]
+
+
+@jax.jit
+def _pool2x2(p):
+    return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) * 0.25
+
+
+def _huff_spec_from_freq(freq: np.ndarray):
+    """JPEG Annex K.2 Huffman generation: symbol frequencies → (BITS[16],
+    HUFFVAL) with code lengths ≤ 16 and the all-ones code reserved."""
+    freq = freq.astype(np.int64).copy()
+    freq = np.concatenate([freq, [1]])            # reserved symbol 256
+    codesize = np.zeros(257, np.int64)
+    others = -np.ones(257, np.int64)
+    while True:
+        nz = np.nonzero(freq > 0)[0]
+        if len(nz) <= 1:
+            break
+        fmin = freq[nz].min()
+        v1 = nz[freq[nz] == fmin][-1]             # largest value ties last
+        rest = nz[nz != v1]
+        fmin2 = freq[rest].min()
+        v2 = rest[freq[rest] == fmin2][-1]
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        t = v1
+        while others[t] != -1:
+            t = others[t]
+            codesize[t] += 1
+        others[t] = v2
+        codesize[v2] += 1
+        t = v2
+        while others[t] != -1:
+            t = others[t]
+            codesize[t] += 1
+    bits = np.zeros(33, np.int64)
+    for v in range(257):
+        if codesize[v]:
+            bits[min(codesize[v], 32)] += 1
+    i = 32                                        # Adjust_BITS: limit to 16
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1                                  # drop the reserved code
+    order = sorted((codesize[v], v) for v in range(256) if codesize[v])
+    huffval = [v for _, v in order]
+    return bits[1:17].astype(np.int64), huffval
+
+
+def _huff_encode_map(bits, huffval):
+    """Canonical codes: symbol → (code, length)."""
+    out = {}
+    code = 0
+    k = 0
+    for l in range(1, 17):
+        for _ in range(int(bits[l - 1])):
+            out[huffval[k]] = (code, l)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int):
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:                         # byte stuffing
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)         # pad with 1-bits
+        return bytes(self.out)
+
+
+def _block_symbols(blk, prev_dc):
+    """One zigzag block → [(is_dc, symbol, extra_val, extra_len)] + new dc."""
+    syms = []
+    dc = int(blk[0])
+    diff = dc - prev_dc
+    s = abs(diff).bit_length()
+    extra = diff if diff >= 0 else diff + (1 << s) - 1
+    syms.append((True, s, extra, s))
+    run = 0
+    last = 63
+    while last > 0 and blk[last] == 0:
+        last -= 1
+    for k in range(1, last + 1):
+        v = int(blk[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            syms.append((False, 0xF0, 0, 0))      # ZRL
+            run -= 16
+        s = abs(v).bit_length()
+        extra = v if v >= 0 else v + (1 << s) - 1
+        syms.append((False, (run << 4) | s, extra, s))
+        run = 0
+    if last < 63:
+        syms.append((False, 0x00, 0, 0))          # EOB
+    return syms, dc
+
+
+def jfif_encode(image, quality: int = 75, subsampling: str = "444") -> bytes:
+    """Encode uint8 (H, W) gray or (H, W, 3) RGB into a REAL baseline JFIF
+    stream (opens in libjpeg/Pillow). subsampling: "444" | "420".
+
+    ≙ nvjpegEncodeImage with NVJPEG_CSS_444/420
+    (nvJPEG/nvJPEG-Encoder-MultipleInstances/nvJPEG-Encoder.cpp)."""
+    img = np.asarray(image)
+    true_h, true_w = img.shape[:2]
+    gray = img.ndim == 2
+    mcu = 8 if gray or subsampling == "444" else 16
+    ph = -true_h % mcu
+    pw = -true_w % mcu
+    if ph or pw:
+        img = np.pad(img, ((0, ph), (0, pw)) + ((0, 0),) * (img.ndim - 2),
+                     mode="edge")
+    h, w = img.shape[:2]
+
+    qlum = _ijg_qtable(_QTABLE, quality)
+    qchr = _ijg_qtable(_QTABLE_CHROMA, quality)
+    if gray:
+        planes = [np.asarray(_encode_blocks_jfif(
+            jnp.asarray(img, jnp.float32), jnp.asarray(qlum)))]
+        samp = [(1, 1)]
+        qsel = [0]
+    else:
+        ycc = np.asarray(rgb_to_ycbcr(jnp.asarray(img, jnp.float32)))
+        y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        if subsampling == "420":
+            cb = np.asarray(_pool2x2(jnp.asarray(cb)))
+            cr = np.asarray(_pool2x2(jnp.asarray(cr)))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [np.asarray(_encode_blocks_jfif(
+            jnp.asarray(p, jnp.float32),
+            jnp.asarray(qlum if i == 0 else qchr)))
+            for i, p in enumerate((y, cb, cr))]
+        qsel = [0, 1, 1]
+
+    ncomp = len(planes)
+    # MCU-interleaved block order + symbol stream per table class
+    seq = []                                      # (comp, sym-list) in order
+    prev = [0] * ncomp
+    if ncomp == 1 or subsampling == "444":
+        nbh, nbw = h // 8, w // 8
+        for r in range(nbh):
+            for c in range(nbw):
+                for comp in range(ncomp):
+                    blk = planes[comp][r * nbw + c]
+                    syms, prev[comp] = _block_symbols(blk, prev[comp])
+                    seq.append((comp, syms))
+    else:
+        mh, mw = h // 16, w // 16
+        ybw = w // 8
+        cbw = w // 16
+        for r in range(mh):
+            for c in range(mw):
+                for (dy, dx_) in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                    blk = planes[0][(2 * r + dy) * ybw + 2 * c + dx_]
+                    syms, prev[0] = _block_symbols(blk, prev[0])
+                    seq.append((0, syms))
+                for comp in (1, 2):
+                    blk = planes[comp][r * cbw + c]
+                    syms, prev[comp] = _block_symbols(blk, prev[comp])
+                    seq.append((comp, syms))
+
+    # frequency counting per table class (0 = luma, 1 = chroma)
+    fdc = [np.zeros(256), np.zeros(256)]
+    fac = [np.zeros(256), np.zeros(256)]
+    for comp, syms in seq:
+        t = 0 if comp == 0 else 1
+        for is_dc, sym, _, _ in syms:
+            (fdc if is_dc else fac)[t][sym] += 1
+    ntab = 1 if ncomp == 1 else 2
+    dht = []
+    enc = {}
+    for t in range(ntab):
+        bits_d, val_d = _huff_spec_from_freq(fdc[t])
+        bits_a, val_a = _huff_spec_from_freq(fac[t])
+        enc[("dc", t)] = _huff_encode_map(bits_d, val_d)
+        enc[("ac", t)] = _huff_encode_map(bits_a, val_a)
+        dht.append((0x00 | t, bits_d, val_d))
+        dht.append((0x10 | t, bits_a, val_a))
+
+    # entropy-coded data
+    bwr = _BitWriter()
+    for comp, syms in seq:
+        t = 0 if comp == 0 else 1
+        for is_dc, sym, extra, elen in syms:
+            code, ln = enc[("dc" if is_dc else "ac", t)][sym]
+            bwr.put(code, ln)
+            if elen:
+                bwr.put(extra, elen)
+    data = bwr.flush()
+
+    # markers
+    out = bytearray(b"\xff\xd8")                  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"  # APP0
+    zz = _JFIF_ZZ
+    for tq, q in ([(0, qlum)] + ([(1, qchr)] if ncomp == 3 else [])):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) \
+            + bytes(int(q.reshape(-1)[zz[k]]) for k in range(64))
+    sof = struct.pack(">BHHB", 8, true_h, true_w, ncomp)
+    for i in range(ncomp):
+        sof += bytes([i + 1, (samp[i][0] << 4) | samp[i][1], qsel[i]])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, bits, vals in dht:
+        seg = bytes([tc]) + bytes(int(b) for b in bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        t = 0 if i == 0 else (1 if ntab == 2 else 0)
+        sos += bytes([i + 1, (t << 4) | t])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += data
+    out += b"\xff\xd9"                            # EOI
+    return bytes(out)
