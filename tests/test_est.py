@@ -149,3 +149,148 @@ def test_h2o_density_fitting():
     e, _, _ = est.rhf(_H2O)
     edf, _, _ = est.rhf(_H2O, density_fit=True)
     assert abs(edf - e) < 1e-3, (edf, e)
+
+
+# ---------------- cuEST step 3: grids, XC, UHF/UKS ----------------
+
+def test_molecular_grid_integrates_density():
+    """Becke molecular grid integrates the SCF density to the electron
+    count (the standard grid-quality oracle, ≙ cuest_molecular_grid)."""
+    from tpumathlib.apps import est
+    from tpumathlib.apps.xc import eval_aos, molecular_grid
+
+    e, c, _ = est.rhf(_H2O)
+    shells = est.sto3g_shells(_H2O)
+    d = 2.0 * c[:, :5] @ c[:, :5].T
+    pts, w = molecular_grid(_H2O, n_rad=90, n_theta=20, n_phi=40)
+    ao = eval_aos(shells, pts)
+    rho = np.einsum("gm,mn,gn->g", ao, d, ao)
+    ne = float(np.sum(w * rho))
+    assert abs(ne - 10.0) < 1e-6, ne
+
+
+def test_lda_exchange_analytic_gaussian():
+    """Grid + Slater functional vs the CLOSED FORM LDA exchange of a
+    normalized Gaussian density: E_x = -Cx (2a/pi)^2 (3*pi/(8a))^{3/2}."""
+    from tpumathlib.apps.xc import _CX, f_slater_x, molecular_grid
+
+    a = 0.8
+    mol = Molecule(["H"], np.zeros((1, 3)))
+    pts, w = molecular_grid(mol, n_rad=80, n_theta=16, n_phi=32)
+    r2 = np.sum(pts**2, axis=1)
+    rho = (2.0 * a / np.pi) ** 1.5 * np.exp(-2.0 * a * r2)
+    got = float(np.sum(w * f_slater_x(rho / 2, rho / 2, xp=np)))
+    ref = -_CX * (2.0 * a / np.pi) ** 2 * (3.0 * np.pi / (8.0 * a)) ** 1.5
+    assert abs(got - ref) < 1e-8 * abs(ref) + 1e-10, (got, ref)
+
+
+def test_uhf_closed_shell_matches_rhf():
+    """UHF with spin=0 must land on the RHF solution (uhf.py's own
+    consistency bar)."""
+    from tpumathlib.apps import est
+    from tpumathlib.apps.xc import uhf
+
+    e_rhf, _, _ = est.rhf(_H2O)
+    e_uhf, _, _, s2 = uhf(_H2O, spin=0)
+    assert abs(e_uhf - e_rhf) < 1e-7, (e_uhf, e_rhf)
+    assert abs(s2) < 1e-8
+
+
+def test_uhf_hydrogen_atom():
+    """One-electron exact check: UHF H atom (doublet) equals the
+    variational minimum of hcore in the STO-3G basis; S² = 0.75."""
+    from tpumathlib.apps import est
+    from tpumathlib.apps.xc import uhf
+    import scipy.linalg
+
+    mol = Molecule(["H"], np.zeros((1, 3)))
+    e, _, _, s2 = uhf(mol, spin=1)
+    shells = est.sto3g_shells(mol)
+    h = est.kinetic(shells) + est.nuclear(shells, mol)
+    s = est.overlap(shells)
+    ref = scipy.linalg.eigh(h, s)[0][0]
+    assert abs(e - ref) < 1e-10, (e, ref)
+    assert abs(s2 - 0.75) < 1e-10
+
+
+def test_uhf_triplet_below_singlet_h2_stretched():
+    """Stretched H2: UHF triplet and broken-symmetry physics sanity —
+    the open-shell solution exists and S² ≈ 2 for spin=2."""
+    from tpumathlib.apps.xc import uhf
+
+    mol = Molecule(["H", "H"], np.array([[0., 0., 0.], [0., 0., 6.0]]))
+    e_t, _, _, s2 = uhf(mol, spin=2)
+    # two nearly noninteracting H atoms: E ≈ 2 * (-0.46658)
+    assert abs(e_t - 2 * (-0.4665818495572751)) < 1e-3
+    assert abs(s2 - 2.0) < 1e-6
+
+
+def test_rks_svwn_h2o():
+    """SVWN (LDA) Kohn–Sham H2O: converges, integrates electrons, lands in
+    the physically expected window below/near RHF exchange energetics
+    (≙ 4_exchange_correlation/local_xc_potential driving an SCF)."""
+    from tpumathlib.apps.xc import rks
+
+    e, c, eps = rks(_H2O, xc="svwn")
+    assert -75.5 < e < -74.0, e
+    # idempotent-density electron count via the converged orbitals
+    assert c.shape == (7, 7)
+
+
+def test_pbe_autodiff_potential_consistency():
+    """The GGA potential comes from jax.grad of the energy density — check
+    it against finite differences of E_xc w.r.t. the density matrix."""
+    import jax.numpy as jnp
+
+    from tpumathlib.apps import est
+    from tpumathlib.apps.xc import XCIntegrator
+
+    mol = Molecule(["H", "H"], np.array([[0., 0., 0.], [0., 0., 1.4]]))
+    shells = est.sto3g_shells(mol)
+    xci = XCIntegrator(shells, mol, xc="pbe", n_rad=30, n_theta=8,
+                       n_phi=16)
+    rng = np.random.default_rng(0)
+    c = rng.normal(size=(2, 1))
+    d = (c @ c.T).astype(np.float64)
+    d = d / np.trace(d)
+    exc, va, vb = xci.evaluate(jnp.asarray(d, jnp.float32),
+                               jnp.asarray(d, jnp.float32))
+    # finite difference in a random symmetric direction
+    z = rng.normal(size=(2, 2))
+    z = (z + z.T) / 2
+    h = 1e-3
+    ep = xci.exc_only(d + h * z, d)
+    em = xci.exc_only(d - h * z, d)
+    fd = (ep - em) / (2 * h)
+    ad = float(np.sum(np.asarray(va) * z))
+    assert abs(fd - ad) < 5e-3 * max(abs(fd), 1e-6), (fd, ad)
+
+
+def test_uks_pbe_runs():
+    """UKS/PBE on the OH radical (doublet): converges with sensible S²."""
+    from tpumathlib.apps.xc import uhf
+
+    mol = Molecule(["O", "H"], np.array([[0., 0., 0.], [0., 0., 1.832]]))
+    e, _, _, s2 = uhf(mol, spin=1, xc="pbe",
+                      grid_kw=dict(n_rad=40, n_theta=10, n_phi=20))
+    assert -76.0 < e < -73.0, e
+    assert 0.74 < s2 < 0.80, s2
+
+
+def test_cuest_xc_api():
+    """Context → GridPlan/XCPlan plan-compute lifecycle
+    (≙ 4_exchange_correlation python example flow)."""
+    import jax.numpy as jnp
+
+    from tpumathlib.apps import est
+    from tpumathlib.apps.cuest_api import Context, GridPlan, XCPlan
+
+    mol = Molecule(["H", "H"], np.array([[0., 0., 0.], [0., 0., 1.4]]))
+    with Context() as ctx:
+        pts, w = GridPlan(ctx, mol, n_rad=30, n_theta=8, n_phi=16).compute()
+        assert pts.shape[1] == 3 and len(w) == len(pts)
+        plan = XCPlan(ctx, mol, xc="svwn", n_rad=30, n_theta=8, n_phi=16)
+        e, c, _ = est.rhf(mol)
+        d = 2.0 * c[:, :1] @ c[:, :1].T
+        exc, vxc = plan.compute(d)
+        assert float(exc) < 0 and vxc.shape == d.shape

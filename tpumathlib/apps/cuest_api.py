@@ -10,9 +10,14 @@ Parity (cuEST c_examples/examples/* and python_examples — SURVEY.md §2.13):
   2_one_electron_integrals → plan/compute pairs: overlap, kinetic,
                              potential, dipole
   3_density_fitting (J/K)  → compute_coulomb / compute_exchange (exact ERI
-                             contraction; DF-fitted path is a later round)
-  4_xc / 5_ecp / 6_pcm     → declared, NotSupported (round-2 scope)
-  cuest_scf rhf driver     → apps.scf.rhf
+                             contraction + DF via the df_b plan)
+  4_exchange_correlation   → GridPlan + XCPlan (molecular Becke grid, XC
+                             energy/potential on device — apps.xc,
+                             ≙ local_xc_potential/run.py:1 and
+                             cuest_molecular_grid.py:1)
+  5_ecp / 6_pcm            → declared, NotSupported (future round)
+  cuest_scf rhf driver     → apps.scf.rhf / apps.est.rhf; uhf/uks/rks →
+                             apps.xc.uhf / apps.xc.rks (≙ uhf.py:1)
 """
 
 from __future__ import annotations
@@ -117,7 +122,52 @@ class IntegralPlan:
             return jnp.asarray(_dipole(self.basis))
         if self.kind == "eri":
             return jnp.asarray(eri_tensor(self.basis))
-        raise NotSupportedError(f"integral kind {self.kind} (ecp/pcm/xc: round 2)")
+        raise NotSupportedError(f"integral kind {self.kind} (ecp/pcm: future round)")
+
+
+class GridPlan:
+    """≙ cuestCreateGrid/cuestComputeGrid (cuest_molecular_grid.py:1):
+    plan captures (molecule, sizes); compute returns (points, weights)."""
+
+    def __init__(self, ctx: Context, mol: Molecule, n_rad: int = 60,
+                 n_theta: int = 12, n_phi: int = 24):
+        ctx._check()
+        self.ctx = ctx
+        self.mol = mol
+        self.kw = dict(n_rad=n_rad, n_theta=n_theta, n_phi=n_phi)
+
+    def compute(self):
+        self.ctx._check()
+        from tpumathlib.apps.xc import molecular_grid
+
+        return molecular_grid(self.mol, **self.kw)
+
+
+class XCPlan:
+    """≙ the 4_exchange_correlation local-XC-potential flow
+    (local_xc_potential/run.py:1): plan captures (molecule, functional,
+    grid); compute(density) returns (E_xc, V_xc) — spin-resolved when
+    given (Da, Db)."""
+
+    def __init__(self, ctx: Context, mol: Molecule, xc: str = "svwn",
+                 **grid_kw):
+        ctx._check()
+        self.ctx = ctx
+        from tpumathlib.apps import est
+        from tpumathlib.apps.xc import XCIntegrator
+
+        self.xci = XCIntegrator(est.sto3g_shells(mol), mol, xc, **grid_kw)
+
+    def compute(self, density, density_b=None):
+        self.ctx._check()
+        da = jnp.asarray(density, jnp.float32)
+        db = jnp.asarray(density_b, jnp.float32) if density_b is not None \
+            else da
+        if density_b is None:
+            da = da * 0.5
+            db = db * 0.5
+        exc, va, vb = self.xci.evaluate(da, db)
+        return (exc, va) if density_b is None else (exc, va, vb)
 
 
 def _dipole(basis: list[Shell]) -> np.ndarray:
