@@ -105,3 +105,38 @@ def test_stage_timer():
     rep = t.report()
     assert "gemm" in rep and "total" in rep
     assert t.stages[0][2]["gflops"] > 0
+
+
+def test_sanitize_checkify(monkeypatch):
+    """SURVEY §5 sanitizer: under TPUMATHLIB_CHECKIFY=1 a NaN produced in
+    a device sweep raises instead of propagating (memcheck-class numeric
+    sanitation; races are precluded by jit purity)."""
+    import jax.numpy as jnp
+
+    from tpumathlib.core.sanitize import sanitize, sanitizing
+
+    assert not sanitizing()
+
+    @sanitize(force=True)
+    def bad(x):
+        return x / jnp.sum(x * 0.0)  # 1/0 -> inf -> flagged
+
+    import pytest
+
+    with pytest.raises(Exception):
+        bad(jnp.ones(4))
+
+    @sanitize(force=True)
+    def good(x):
+        return x + 1.0
+
+    np.testing.assert_allclose(np.asarray(good(jnp.ones(4))), 2.0)
+    # spsv path honors the env flag
+    monkeypatch.setenv("TPUMATHLIB_CHECKIFY", "1")
+    from tpumathlib.sparse.containers import CSR
+    from tpumathlib.sparse.spsv import spsv
+
+    a = CSR(jnp.asarray(np.array([0, 1, 2])), jnp.asarray(np.array([0, 1])),
+            jnp.asarray(np.array([1.0, 0.0])), (2, 2))  # zero diagonal
+    with pytest.raises(Exception):
+        spsv(a, jnp.ones(2), lower=True)

@@ -215,6 +215,9 @@ def run_all() -> list[dict]:
     records.extend(bench_canny(sizes=((512, 512),)))
     for r in records:
         print(json.dumps(r))
+    # ≙ the reference samples' sentinel contract (&&&& PASSED / FAILED
+    # greppable by harnesses, e.g. cuRAND/nvJPEG sample main()s)
+    print("&&&& PASSED tpumathlib.benchmarks")
     return records
 
 

@@ -22,6 +22,7 @@ from tpumathlib.core.check import (  # noqa: F401
     rel_linf,
     assert_allclose,
 )
+from tpumathlib.core.sanitize import sanitize, sanitizing  # noqa: F401
 from tpumathlib.core.timer import benchmark  # noqa: F401
 from tpumathlib.core.plan import Handle, Plan, PlanCache  # noqa: F401
 from tpumathlib.core.tuning import AutotuneCache  # noqa: F401
