@@ -104,6 +104,22 @@ def _declare(l):
                                np.ctypeslib.ndpointer(np.float64),
                                c.c_int64, c.c_int, c.c_int]
     l.csr_trisolve.restype = c.c_int64
+    l.spgemm_count.argtypes = [c.c_int64, c.c_int64, c.c_int64,
+                               np.ctypeslib.ndpointer(np.int64),
+                               np.ctypeslib.ndpointer(np.int64),
+                               np.ctypeslib.ndpointer(np.uint8),
+                               np.ctypeslib.ndpointer(np.int64),
+                               np.ctypeslib.ndpointer(np.uint8)]
+    l.spgemm_count.restype = c.c_int64
+    l.spgemm_symbolic.argtypes = [c.c_int64, c.c_int64, c.c_int64,
+                                  np.ctypeslib.ndpointer(np.int64),
+                                  np.ctypeslib.ndpointer(np.int64),
+                                  np.ctypeslib.ndpointer(np.uint8),
+                                  np.ctypeslib.ndpointer(np.int64),
+                                  np.ctypeslib.ndpointer(np.int64),
+                                  np.ctypeslib.ndpointer(np.uint8)] + [
+        np.ctypeslib.ndpointer(np.int64)] * 5
+    l.spgemm_symbolic.restype = c.c_int64
 
 
 # ---------------- Python wrappers ----------------

@@ -22,6 +22,7 @@ map to:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
 import jax
@@ -52,15 +53,56 @@ class SpGemmPlan:
         return CSR(self.c_indptr, self.c_indices, vals.astype(out_dtype), self.c_shape)
 
 
+def _symbolic_native(a_indptr, a_indices, a_data, b_indptr, b_indices,
+                     b_data, m: int, n: int, row_lo: int, row_hi: int):
+    """Native C++ symbolic phase (per-row local sorts — the reference's
+    workEstimation is likewise a native kernel, cuSPARSE/spgemm)."""
+    from tpumathlib import native
+
+    l = native.lib()
+    k = b_indptr.shape[0] - 1
+    a_keep = np.ascontiguousarray(a_data != 0, np.uint8)
+    b_keep = np.ascontiguousarray(b_data != 0, np.uint8)
+    a_indptr = np.ascontiguousarray(a_indptr, np.int64)
+    a_indices = np.ascontiguousarray(a_indices, np.int64)
+    b_indptr = np.ascontiguousarray(b_indptr, np.int64)
+    b_indices = np.ascontiguousarray(b_indices, np.int64)
+    nmul = l.spgemm_count(row_lo, row_hi, k, a_indptr, a_indices, a_keep,
+                          b_indptr, b_keep)
+    a_pos = np.empty(nmul, np.int64)
+    b_pos = np.empty(nmul, np.int64)
+    c_seg = np.empty(nmul, np.int64)
+    c_idx = np.empty(max(nmul, 1), np.int64)
+    c_indptr = np.empty(row_hi - row_lo + 1, np.int64)
+    nnz = l.spgemm_symbolic(row_lo, row_hi, k, a_indptr, a_indices, a_keep,
+                            b_indptr, b_indices, b_keep, a_pos, b_pos,
+                            c_seg, c_idx, c_indptr)
+    return a_pos, b_pos, c_seg, c_indptr, c_idx[:nnz], int(nnz)
+
+
 def _symbolic(a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
               m: int, n: int, row_lo: int = 0, row_hi: int | None = None):
-    """Vectorized symbolic product over A rows [row_lo, row_hi).
+    """Symbolic product over A rows [row_lo, row_hi): native C++ when the
+    runtime builds, vectorized NumPy otherwise.
 
     Returns host arrays (a_pos, b_pos, c_seg, c_indptr, c_indices, nnz)
     with C columns in sorted order per row (canonical CSR). Zero-valued
     entries (the capacity-padding convention) are treated as absent so
     padding can't manufacture fill-in.
     """
+    try:
+        return _symbolic_native(a_indptr, a_indices, a_data, b_indptr,
+                                b_indices, b_data, m, n, row_lo,
+                                m if row_hi is None else row_hi)
+    except Exception:
+        pass
+    return _symbolic_np(a_indptr, a_indices, a_data, b_indptr, b_indices,
+                        b_data, m, n, row_lo, row_hi)
+
+
+def _symbolic_np(a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
+                 m: int, n: int, row_lo: int = 0, row_hi: int | None = None):
+    """Vectorized NumPy fallback for the symbolic phase."""
     row_hi = m if row_hi is None else row_hi
     nrows = row_hi - row_lo
     # kept (nonzero) A entries restricted to the row window
@@ -102,6 +144,15 @@ def _symbolic(a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
               out=c_indptr[1:])
     return (a_pos, b_pos, c_seg.astype(np.int64), c_indptr, c_indices,
             len(uniq))
+
+
+@functools.partial(jax.jit, static_argnames=("nseg",))
+def _numeric_chunk(a_data, b_data, a_pos, b_pos, c_seg, nseg: int):
+    """Numeric phase for one padded chunk: compiled once per
+    (workspace-width, nseg, dtype) — padding rows carry c_seg == nseg-1 and
+    are sliced off by the caller."""
+    prod = a_data[a_pos] * b_data[b_pos]
+    return jax.ops.segment_sum(prod, c_seg, num_segments=nseg)
 
 
 def spgemm_plan(a: CSR, b: CSR) -> SpGemmPlan:
@@ -172,16 +223,35 @@ def spgemm_mem(a: CSR, b: CSR, max_products: int = 1 << 22,
     parts_idx = []
     parts_val = []
     total = 0
+    ad = jnp.asarray(a.data)
+    bd = jnp.asarray(b.data)
+
+    def _bucket(k):  # next power of two: bounds stragglers to O(log) shapes
+        return 1 << max(int(k - 1).bit_length(), 4)
+
+    # every chunk is padded to ONE fixed workspace shape (= the budget), so
+    # the numeric kernel compiles once per (max_products, dtype) — a chunk
+    # whose single row overflows the budget falls back to a pow2 bucket
+    cap = max_products
     for row_lo, row_hi in chunks:
         a_pos, b_pos, c_seg, c_indptr, c_indices, nnz = _symbolic(
             a_indptr, a_indices, a_data_h, b_indptr, b_indices, b_data_h,
             m, n, row_lo, row_hi)
         if nnz:
-            prod = jnp.asarray(a.data)[jnp.asarray(a_pos)] * \
-                jnp.asarray(b.data)[jnp.asarray(b_pos)]
-            vals = jax.ops.segment_sum(prod, jnp.asarray(c_seg),
-                                       num_segments=nnz)
-            parts_val.append(np.asarray(vals))
+            nm = len(a_pos)
+            width = cap if nm <= cap else _bucket(nm)
+            nseg = width + 1
+            ap = np.zeros(width, np.int64)
+            ap[:nm] = a_pos
+            bp = np.zeros(width, np.int64)
+            bp[:nm] = b_pos
+            cs = np.full(width, nseg - 1, np.int64)  # padding → dropped seg
+            cs[:nm] = c_seg
+            vals = _numeric_chunk(ad, bd, jnp.asarray(ap.astype(np.int32)),
+                                  jnp.asarray(bp.astype(np.int32)),
+                                  jnp.asarray(cs.astype(np.int32)),
+                                  nseg)
+            parts_val.append(np.asarray(vals[:nnz]))
         else:
             parts_val.append(np.zeros(0, np.asarray(a.data).dtype))
         parts_idx.append(c_indices)
