@@ -1,0 +1,169 @@
+"""cuEST step 4: nuclear-gradient oracles.
+
+Finite-difference checks of the analytic derivative integrals
+(tpumathlib/apps/deriv.py) and SCF nuclear gradients, plus the
+autodiff XC gradient (tpumathlib/apps/xcgrad.py).
+≙ cuEST/python_examples/4_exchange_correlation/local_xc_gradient/run.py:1
+and the gradient machinery behind cuest_scf (Pulay forces).
+"""
+
+import numpy as np
+import pytest
+
+from tpumathlib.apps import deriv, est
+from tpumathlib.apps.scf import Molecule
+
+H2 = Molecule(["H", "H"], np.array([[0., 0., 0.], [0., 0., 1.4]]))
+HEH = Molecule(["He", "H"], np.array([[0., 0., 0.], [0., 0., 1.5]]),
+               charge=1)
+
+
+def _displaced(mol, a, ax, h):
+    c = np.asarray(mol.coords, float).copy()
+    c[a, ax] += h
+    return Molecule(mol.symbols, c, mol.charge)
+
+
+def _fd_matrix(fn, mol, h=1e-5):
+    """(natom, 3, ...) central finite difference of a matrix-valued fn."""
+    base = np.asarray(fn(mol))
+    natom = len(mol.symbols)
+    out = np.zeros((natom, 3) + base.shape)
+    for a in range(natom):
+        for ax in range(3):
+            fp = np.asarray(fn(_displaced(mol, a, ax, h)))
+            fm = np.asarray(fn(_displaced(mol, a, ax, -h)))
+            out[a, ax] = (fp - fm) / (2 * h)
+    return out
+
+
+def test_grad_overlap_kinetic_fd():
+    mol = HEH
+    shells = est.sto3g_shells(mol)
+    gs = deriv.grad_overlap(shells, mol)
+    gt = deriv.grad_kinetic(shells, mol)
+    fs = _fd_matrix(lambda m: est.overlap(est.sto3g_shells(m)), mol)
+    ft = _fd_matrix(lambda m: est.kinetic(est.sto3g_shells(m)), mol)
+    np.testing.assert_allclose(gs, fs, atol=5e-8)
+    np.testing.assert_allclose(gt, ft, atol=5e-8)
+
+
+def test_grad_nuclear_fd():
+    mol = HEH
+    shells = est.sto3g_shells(mol)
+    gv = deriv.grad_nuclear(shells, mol)
+    fv = _fd_matrix(lambda m: est.nuclear(est.sto3g_shells(m), m), mol)
+    np.testing.assert_allclose(gv, fv, atol=5e-8)
+
+
+def test_grad_eri_fd():
+    mol = H2
+    shells = est.sto3g_shells(mol)
+    ge = deriv.grad_eri(shells, mol)
+    fe = _fd_matrix(lambda m: est.eri_tensor(est.sto3g_shells(m)), mol)
+    np.testing.assert_allclose(ge, fe, atol=5e-8)
+
+
+def test_potential_integrals_vs_nuclear():
+    """V_nuc = -Σ_c Z_c ⟨μ|1/|r-R_c||ν⟩ ties the multi-center potential
+    workhorse to the independently-tested nuclear-attraction matrix."""
+    from tpumathlib.apps.scf import _Z
+
+    mol = HEH
+    shells = est.sto3g_shells(mol)
+    pots = deriv.potential_integrals(shells, np.asarray(mol.coords))
+    zs = np.array([_Z[s] for s in mol.symbols])
+    v = -(zs[:, None, None] * pots).sum(0)
+    np.testing.assert_allclose(v, est.nuclear(shells, mol), atol=1e-12)
+
+
+def test_grad_potential_integrals_fd():
+    mol = H2
+    centers = np.array([[0.3, -0.2, 0.5], [1.0, 0.4, 0.9]])
+    shells = est.sto3g_shells(mol)
+    datom, dcen = deriv.grad_potential_integrals(shells, centers, mol)
+    fa = _fd_matrix(
+        lambda m: deriv.potential_integrals(est.sto3g_shells(m), centers),
+        mol)
+    np.testing.assert_allclose(datom, fa, atol=5e-8)
+    # operator-center derivative by displacing the centers themselves
+    for g in range(len(centers)):
+        for ax in range(3):
+            h = 1e-5
+            cp = centers.copy()
+            cp[g, ax] += h
+            cm = centers.copy()
+            cm[g, ax] -= h
+            fd = (deriv.potential_integrals(shells, cp)[g]
+                  - deriv.potential_integrals(shells, cm)[g]) / (2 * h)
+            np.testing.assert_allclose(dcen[g, ax], fd, atol=5e-8)
+
+
+def test_rhf_gradient_fd():
+    mol = HEH
+    # tight SCF convergence: FD error is ~conv/h, so 1e-12 keeps the
+    # comparison below the 1e-7 truncation floor
+    g = deriv.rhf_gradient(mol, scf=est.rhf(mol, conv=1e-12))
+    # translational invariance
+    np.testing.assert_allclose(g.sum(0), 0.0, atol=1e-9)
+    h = 1e-4
+    for a in range(2):
+        ax = 2
+        ep = est.rhf(_displaced(mol, a, ax, h), conv=1e-12)[0]
+        em = est.rhf(_displaced(mol, a, ax, -h), conv=1e-12)[0]
+        np.testing.assert_allclose(g[a, ax], (ep - em) / (2 * h), atol=3e-6)
+
+
+def test_uhf_gradient_triplet_fd():
+    from tpumathlib.apps.xc import uhf
+
+    mol = Molecule(["H", "H"], np.array([[0., 0., 0.], [0., 0., 2.0]]))
+    g = deriv.uhf_gradient(mol, spin=2)
+    np.testing.assert_allclose(g.sum(0), 0.0, atol=1e-9)
+    h = 1e-4
+    ep = uhf(_displaced(mol, 0, 2, h), spin=2)[0]
+    em = uhf(_displaced(mol, 0, 2, -h), spin=2)[0]
+    np.testing.assert_allclose(g[0, 2], (ep - em) / (2 * h), atol=3e-6)
+
+
+def test_uhf_gradient_matches_rhf_closed_shell():
+    g_u = deriv.uhf_gradient(H2, spin=0)
+    g_r = deriv.rhf_gradient(H2)
+    np.testing.assert_allclose(g_u, g_r, atol=1e-6)
+
+
+def test_xc_gradient_fd():
+    """jax.grad XC gradient vs finite differences of the SAME discretized
+    grid energy (grid + Becke weights + AOs all move with the atoms)."""
+    from tpumathlib.apps.xcgrad import xc_energy_fn, xc_gradient
+
+    mol = H2
+    rng = np.random.default_rng(0)
+    n = est.nbf(est.sto3g_shells(mol))
+    da = rng.standard_normal((n, n))
+    da = 0.1 * (da + da.T) + np.eye(n)
+    db = 0.5 * da
+    gkw = dict(n_rad=30, n_theta=8, n_phi=16)
+    g = xc_gradient(mol, da, db, xc="pbe", grid_kw=gkw)
+    fn = xc_energy_fn(mol, xc="pbe", **gkw)
+    h = 1e-5
+    for a in range(2):
+        cp = np.asarray(mol.coords, float).copy()
+        cp[a, 2] += h
+        cm = np.asarray(mol.coords, float).copy()
+        cm[a, 2] -= h
+        fd = (float(fn(cp, da, db)) - float(fn(cm, da, db))) / (2 * h)
+        np.testing.assert_allclose(g[a, 2], fd, atol=1e-7)
+
+
+def test_uks_gradient_fd():
+    from tpumathlib.apps.xc import uhf
+    from tpumathlib.apps.xcgrad import uks_gradient
+
+    mol = Molecule(["H", "H"], np.array([[0., 0., 0.], [0., 0., 1.6]]))
+    gkw = dict(n_rad=30, n_theta=8, n_phi=16)
+    g = uks_gradient(mol, spin=0, xc="svwn", grid_kw=gkw)
+    h = 1e-3
+    ep = uhf(_displaced(mol, 0, 2, h), spin=0, xc="svwn", grid_kw=gkw)[0]
+    em = uhf(_displaced(mol, 0, 2, -h), spin=0, xc="svwn", grid_kw=gkw)[0]
+    np.testing.assert_allclose(g[0, 2], (ep - em) / (2 * h), atol=5e-5)
