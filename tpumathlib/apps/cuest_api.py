@@ -201,3 +201,82 @@ def compute_exchange(eri, density):
     from tpumathlib.tensor import einsum
 
     return einsum("ulvs,ls->uv", eri, density)
+
+
+class ECPIntPlanHandle:
+    """≙ cuestECPIntPlanCreate → cuestECPIntCompute
+    (5_effective_core_potentials/ecp_integrals/run.py:1): plan captures
+    (basis, geometry, active ECP atoms); compute returns ⟨μ|U_ECP|ν⟩."""
+
+    def __init__(self, ctx: Context, mol: Molecule, ecp_atoms: dict,
+                 **kw):
+        ctx._check()
+        self.ctx = ctx
+        from tpumathlib.apps.ecp import ECPIntPlan
+
+        self.plan = ECPIntPlan(mol, ecp_atoms, **kw)
+
+    def compute(self):
+        self.ctx._check()
+        return np.asarray(self.plan.matrix(), float)
+
+    def gradient(self, density):
+        """≙ ecp_gradients/run.py:1 — density-contracted dU/dR."""
+        self.ctx._check()
+        from tpumathlib.apps.ecp import ecp_gradient
+
+        return ecp_gradient(self.plan.mol, density, self.plan.ecp_atoms)
+
+
+class PCMIntPlanHandle:
+    """≙ cuestPCMIntPlanCreate → cuestPCMPotentialCompute
+    (6_pcm/pcm_potential/run.py:1). `npoints` mirrors the
+    CUEST_PCMINTPLAN_NUM_POINT query; compute(density, in_q) returns
+    (out_q, V_pcm, results) with the dielectric energy / residual /
+    iteration / convergence attributes on results."""
+
+    def __init__(self, ctx: Context, mol: Molecule, epsilon: float = 80.0,
+                 **kw):
+        ctx._check()
+        self.ctx = ctx
+        from tpumathlib.apps.pcm import PCMPlan
+
+        self.plan = PCMPlan(mol, epsilon=epsilon, **kw)
+        self.npoints = self.plan.npoints
+
+    def compute(self, density, in_q=None):
+        self.ctx._check()
+        return self.plan.potential_compute(density, in_q=in_q)
+
+    def gradient(self, density):
+        """≙ 6_pcm/pcm_gradients/run.py:1."""
+        self.ctx._check()
+        from tpumathlib.apps.pcm import pcm_gradient
+
+        return pcm_gradient(self.plan.mol, density, self.plan)
+
+
+class GradientPlan:
+    """SCF nuclear-gradient plan (≙ the cuest_scf gradient machinery:
+    Pulay forces + energy-weighted density). kind: 'rhf' | 'uhf' | 'uks'."""
+
+    def __init__(self, ctx: Context, mol: Molecule, kind: str = "rhf",
+                 **kw):
+        ctx._check()
+        self.ctx = ctx
+        self.mol = mol
+        self.kind = kind
+        self.kw = kw
+
+    def compute(self):
+        self.ctx._check()
+        from tpumathlib.apps import deriv
+        from tpumathlib.apps.xcgrad import uks_gradient
+
+        if self.kind == "rhf":
+            return deriv.rhf_gradient(self.mol, **self.kw)
+        if self.kind == "uhf":
+            return deriv.uhf_gradient(self.mol, **self.kw)
+        if self.kind == "uks":
+            return uks_gradient(self.mol, **self.kw)
+        raise ValueError(f"unknown gradient kind {self.kind!r}")
