@@ -167,3 +167,27 @@ def test_uks_gradient_fd():
     ep = uhf(_displaced(mol, 0, 2, h), spin=0, xc="svwn", grid_kw=gkw)[0]
     em = uhf(_displaced(mol, 0, 2, -h), spin=0, xc="svwn", grid_kw=gkw)[0]
     np.testing.assert_allclose(g[0, 2], (ep - em) / (2 * h), atol=5e-5)
+
+
+def test_sad_guess():
+    """SAD guess (≙ cuest_scf/sad_guess.py): correct electron count,
+    same converged energy, fewer SCF iterations than the core guess."""
+    from tpumathlib.apps.est import overlap, sto3g_shells
+    from tpumathlib.apps.sad import atomic_half_density, sad_half_density
+
+    d_o = atomic_half_density("O")
+    s_o = overlap(sto3g_shells(Molecule(["O"], np.zeros((1, 3)))))
+    np.testing.assert_allclose(np.sum(d_o * s_o), 4.0, atol=1e-6)
+
+    mol = Molecule(["O", "H", "H"], np.array([
+        [0.0, 0.0, 0.2217],
+        [0.0, 1.4309, -0.8867],
+        [0.0, -1.4309, -0.8867]]))
+    d = sad_half_density(mol)
+    s = overlap(sto3g_shells(mol))
+    # block-diagonal guess traces each atom against its own overlap block
+    np.testing.assert_allclose(np.trace(d @ s), mol.nelec / 2.0, atol=0.2)
+    e_core, _, _, it_core = est.rhf(mol, return_iters=True)
+    e_sad, _, _, it_sad = est.rhf(mol, guess="sad", return_iters=True)
+    np.testing.assert_allclose(e_sad, e_core, atol=1e-8)
+    assert it_sad < it_core

@@ -305,9 +305,13 @@ class DFTensors:
 
 
 def rhf(mol: Molecule, max_iters: int = 80, conv: float = 1e-9,
-        density_fit: bool = False):
+        density_fit: bool = False, guess: str = "core",
+        return_iters: bool = False):
     """General-ℓ restricted Hartree–Fock with DIIS. Returns
-    (E_total, C, eps). density_fit=True builds J/K from DF tensors.
+    (E_total, C, eps) — plus the iteration count when return_iters.
+    density_fit=True builds J/K from DF tensors. guess: "core" (Hcore
+    eigenvectors) or "sad" (superposition of atomic densities,
+    ≙ cuest_scf/sad_guess.py:1).
 
     Hybrid precision split: the O(N⁴) J/K contractions run on device
     (MXU einsums — f32 on TPU, f64 under x64), while the small-matrix
@@ -347,7 +351,13 @@ def rhf(mol: Molecule, max_iters: int = 80, conv: float = 1e-9,
         cocc = c[:, :nocc]
         return cocc @ cocc.T, c, w
 
-    d, c, eps = density(hcore)
+    if guess == "sad":
+        from tpumathlib.apps.sad import sad_half_density
+
+        d = sad_half_density(mol)
+        _, c, eps = density(hcore)
+    else:
+        d, c, eps = density(hcore)
     e_old = 0.0
     errs, focks = [], []
     e = 0.0
@@ -390,4 +400,6 @@ def rhf(mol: Molecule, max_iters: int = 80, conv: float = 1e-9,
         bd = np.einsum("mlp,ls->msp", df.b_np, d)
         k = np.einsum("msp,nsp->mn", bd, df.b_np)
     e = float(np.sum(d * (2 * hcore + 2 * j - k))) + mol.nuclear_repulsion()
+    if return_iters:
+        return e, c, eps, it + 1
     return e, c, eps
