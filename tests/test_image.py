@@ -379,12 +379,17 @@ def test_j2k_real_codestream_decode(rng):
     ref = rng.integers(0, 255, (64, 64), dtype=np.uint8)
     got = j2k_decode(enc(ref), region=(8, 4, 16, 24))
     np.testing.assert_array_equal(got, ref[8:24, 4:28])
-    # irreversible 9/7 is an explicit NotSupported, not silent garbage
-    import pytest
-
-    from tpumathlib.core.errors import NotSupportedError
-
-    buf = io.BytesIO()
-    Image.fromarray(ref).save(buf, "JPEG2000", irreversible=True)
-    with pytest.raises(NotSupportedError):
-        j2k_decode(buf.getvalue())
+    # irreversible 9/7 path: scalar dequantization + float CDF 9/7
+    # synthesis + ICT, within ±1 of openjpeg's own lossy reconstruction
+    x = np.linspace(0, 4 * np.pi, 64)
+    smooth = ((np.sin(x)[:, None] * np.cos(x)[None, :]) * 100
+              + 128).astype(np.uint8)
+    for ref97 in (smooth, smooth[:37, :53],
+                  np.stack([smooth, smooth.T, 255 - smooth], -1),
+                  rng.integers(0, 255, (48, 40), dtype=np.uint8)):
+        buf = io.BytesIO()
+        Image.fromarray(ref97).save(buf, "JPEG2000", irreversible=True)
+        blob = buf.getvalue()
+        oj = np.asarray(Image.open(io.BytesIO(blob)))
+        got = j2k_decode(blob)
+        assert np.abs(got.astype(int) - oj.astype(int)).max() <= 1

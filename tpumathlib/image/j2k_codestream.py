@@ -388,6 +388,68 @@ def _sr2d(ll, hl, lh, hh):
     return a
 
 
+# ---------------- Annex F: irreversible 9/7 synthesis ----------------
+
+_A97 = -1.586134342059924
+_B97 = -0.052980118572961
+_G97 = 0.882911075530934
+_D97 = 0.443506852043971
+_K97 = 1.230174104914001
+
+
+def _sr1d_97(a: np.ndarray) -> np.ndarray:
+    """1D inverse CDF 9/7 along the last axis of an interleaved signal
+    (even = lowpass, odd = highpass), whole-sample symmetric extension.
+    Vectorized float64 lifting — the exact reverse of the Annex F
+    analysis chain (descale, −δ, −γ, −β, −α)."""
+    n = a.shape[-1]
+    if n == 1:
+        return a.copy()
+    # scaling pinned against openjpeg: the analysis lowpass carries DC
+    # gain 1 (s was divided by K in the forward), so synthesis multiplies
+    # s by K and divides d by K
+    s = a[..., 0::2] * _K97
+    d = a[..., 1::2] / _K97
+    ns, nd = s.shape[-1], d.shape[-1]
+
+    def d_at_s(x):                      # (d[k-1] + d[k]) aligned to s_k
+        dl = np.concatenate([x[..., :1], x[..., :ns - 1]], axis=-1)
+        dr = x if nd == ns else np.concatenate([x, x[..., -1:]], axis=-1)
+        return dl, dr[..., :ns]
+
+    def s_at_d(x):                      # (s[k] + s[k+1]) aligned to d_k
+        sr = np.concatenate([x[..., 1:], x[..., -1:]], axis=-1) \
+            if nd == ns else x[..., 1:]
+        return x[..., :nd], sr[..., :nd]
+
+    dl, dr = d_at_s(d)
+    s = s - _D97 * (dl + dr)
+    sl, sr = s_at_d(s)
+    d = d - _G97 * (sl + sr)
+    dl, dr = d_at_s(d)
+    s = s - _B97 * (dl + dr)
+    sl, sr = s_at_d(s)
+    d = d - _A97 * (sl + sr)
+    out = np.empty_like(a, dtype=np.float64)
+    out[..., 0::2] = s
+    out[..., 1::2] = d
+    return out
+
+
+def _sr2d_97(ll, hl, lh, hh):
+    """One 2D 9/7 synthesis level (horizontal inverse then vertical, the
+    order pinned against openjpeg exactly as for the 5/3 path)."""
+    h0, w0 = ll.shape
+    a = np.zeros((h0 + lh.shape[0], w0 + hl.shape[1]), np.float64)
+    a[0::2, 0::2] = ll
+    a[0::2, 1::2] = hl
+    a[1::2, 0::2] = lh
+    a[1::2, 1::2] = hh
+    a = _sr1d_97(a)
+    a = _sr1d_97(a.T).T
+    return a
+
+
 # ---------------- codestream parsing ----------------
 
 def _unwrap_jp2(blob: bytes) -> bytes:
@@ -466,19 +528,33 @@ def j2k_decode_codestream(blob: bytes) -> np.ndarray:
     ycb = (cod[7] & 0xF) + 2
     cbsty = cod[8]
     wavelet = cod[9]
-    check(wavelet == 1, "only the reversible 5/3 wavelet is supported "
-                        "(irreversible 9/7: NotSupported)",
-          err=NotSupportedError)
+    check(wavelet in (0, 1), "unknown wavelet kind", err=NotSupportedError)
+    reversible = wavelet == 1
     check(cbsty == 0, "code-block style flags (bypass/termall/...) "
                       "unsupported", err=NotSupportedError)
     check(prog == 0, "only LRCP progression is supported",
           err=NotSupportedError)
 
-    # QCD: reversible → Sqcd style 0, one SPqcd byte per band
+    # QCD: style 0 = no quantization (one SPqcd byte/band, reversible);
+    # style 1 = scalar derived / 2 = scalar expounded (16-bit exponent +
+    # 11-bit mantissa per band, irreversible)
     sqcd = qcd[0]
-    check(sqcd & 0x1F == 0, "QCD: expected no-quantization (reversible)")
+    qstyle = sqcd & 0x1F
     guard = sqcd >> 5
-    exps = [b >> 3 for b in qcd[1:]]
+    if reversible:
+        check(qstyle == 0, "QCD: expected no-quantization (reversible)")
+        exps = [b >> 3 for b in qcd[1:]]
+        mants = [0] * len(exps)
+    else:
+        check(qstyle in (1, 2), "QCD: expected scalar quantization "
+                                "(irreversible)")
+        vals = struct.unpack(f">{(len(qcd) - 1) // 2}H", qcd[1:])
+        exps = [v >> 11 for v in vals]
+        mants = [v & 0x7FF for v in vals]
+        if qstyle == 1:
+            # scalar derived: band values follow from the LL entry
+            e0, m0 = exps[0], mants[0]
+            exps, mants = [e0], [m0]
 
     data = b"".join(tile_parts)
 
@@ -512,6 +588,14 @@ def j2k_decode_codestream(blob: bytes) -> np.ndarray:
     # band index in the QCD exponent list
     def qcd_index(r, band):
         return 0 if r == 0 else 1 + 3 * (r - 1) + (band - 1)
+
+    def quant_params(r, band, lev):
+        """(ε_b, μ_b) — scalar-derived bands follow the LL entry with the
+        exponent dropping one per resolution (Annex E.1.1)."""
+        if reversible or qstyle == 2:
+            i = qcd_index(r, band)
+            return exps[i], mants[i]
+        return exps[0] - (nl - lev), mants[0]
 
     # per-component band coefficient arrays
     coeffs = [{} for _ in range(ncomp)]
@@ -588,7 +672,8 @@ def j2k_decode_codestream(blob: bytes) -> np.ndarray:
                     y0b = cy << ycb
                     bw = min(1 << xcb, st["bw"] - x0b)
                     bh = min(1 << ycb, st["bh"] - y0b)
-                    mb = guard + exps[qcd_index(rr, band)] - 1
+                    eps_b, _ = quant_params(rr, band, lev)
+                    mb = guard + eps_b - 1
                     numbps = mb - zbp
                     blk = decode_codeblock(data[pos:pos + ln_], bw, bh,
                                            numbps, np_, band)
@@ -596,26 +681,53 @@ def j2k_decode_codestream(blob: bytes) -> np.ndarray:
                     pos += ln_
 
     # synthesis per component
+    _GAIN = {0: 0, 1: 1, 2: 1, 3: 2}
+
+    def dequant(q, r, band, lev, depth):
+        """Annex E midpoint reconstruction: v = sign·(|q|+0.5)·Δ_b with
+        Δ_b = 2^(R_b−ε_b)·(1+μ_b/2^11), R_b = depth + band gain."""
+        eps_b, mu_b = quant_params(r, band, lev)
+        delta = 2.0 ** (depth + _GAIN[band] - eps_b) * (1.0 + mu_b / 2048.0)
+        mag = np.abs(q).astype(np.float64)
+        return np.where(q == 0, 0.0, np.sign(q) * (mag + 0.5) * delta)
+
     planes = []
     for c in range(ncomp):
-        cur = coeffs[c][(0, 0)].astype(np.int64)
-        for r in range(1, nl + 1):
-            hl = coeffs[c][(r, 1)].astype(np.int64)
-            lh = coeffs[c][(r, 2)].astype(np.int64)
-            hh = coeffs[c][(r, 3)].astype(np.int64)
-            cur = _sr2d(cur, hl, lh, hh)
+        depth = comps[c]["depth"]
+        if reversible:
+            cur = coeffs[c][(0, 0)].astype(np.int64)
+            for r in range(1, nl + 1):
+                cur = _sr2d(cur, coeffs[c][(r, 1)].astype(np.int64),
+                            coeffs[c][(r, 2)].astype(np.int64),
+                            coeffs[c][(r, 3)].astype(np.int64))
+        else:
+            cur = dequant(coeffs[c][(0, 0)], 0, 0, nl, depth)
+            for r in range(1, nl + 1):
+                lev = nl - r + 1
+                cur = _sr2d_97(cur,
+                               dequant(coeffs[c][(r, 1)], r, 1, lev, depth),
+                               dequant(coeffs[c][(r, 2)], r, 2, lev, depth),
+                               dequant(coeffs[c][(r, 3)], r, 3, lev, depth))
         planes.append(cur)
 
-    if mct and ncomp >= 3:                  # RCT inverse (reversible)
-        y_, cb, cr = planes[0], planes[1], planes[2]
-        g = y_ - ((cb + cr) >> 2)
-        r_ = cr + g
-        b_ = cb + g
+    if mct and ncomp >= 3:
+        if reversible:                      # RCT inverse
+            y_, cb, cr = planes[0], planes[1], planes[2]
+            g = y_ - ((cb + cr) >> 2)
+            r_ = cr + g
+            b_ = cb + g
+        else:                               # ICT inverse (irreversible)
+            y_, cb, cr = planes[0], planes[1], planes[2]
+            r_ = y_ + 1.402 * cr
+            g = y_ - 0.344136 * cb - 0.714136 * cr
+            b_ = y_ + 1.772 * cb
         planes[0], planes[1], planes[2] = r_, g, b_
     out = []
     for c in range(ncomp):
         depth = comps[c]["depth"]
         v = planes[c] + (0 if comps[c]["signed"] else (1 << (depth - 1)))
+        if not reversible:
+            v = np.floor(v + 0.5)
         out.append(np.clip(v, 0, (1 << depth) - 1))
     arr = out[0] if ncomp == 1 else np.stack(out, axis=-1)
     return arr.astype(np.uint8 if max(x["depth"] for x in comps) <= 8
