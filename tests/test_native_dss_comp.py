@@ -154,14 +154,15 @@ def test_dss_mgmn(rng):
 # ---------------- comp ----------------
 
 @pytest.mark.parametrize("codec", ["lz4", "deflate", "gzip", "snappy",
-                                   "cascaded", "bitcomp", "ans"])
+                                   "cascaded", "bitcomp", "ans", "gdeflate"])
 def test_codec_roundtrip(codec, rng):
     data = (np.repeat(rng.integers(0, 50, 200), rng.integers(1, 20, 200))
             .astype(np.int32).tobytes())
     c = comp.batched_compress(codec, [data])[0]
     d = comp.batched_decompress(codec, [c], [len(data)])[0]
     assert d == data
-    if codec in ("lz4", "cascaded", "bitcomp", "ans", "deflate"):
+    if codec in ("lz4", "cascaded", "bitcomp", "ans", "deflate",
+                 "gdeflate"):
         assert len(c) < len(data)  # really compresses RLE-friendly data
 
 
@@ -482,3 +483,21 @@ def test_dss_threading_and_comm_layer(rng):
     x2 = np.concatenate(mgmn_solve(parts, bp, grid=grid, comm="all_gather"))
     np.testing.assert_allclose(x1, xt, atol=2e-3 * np.abs(xt).max())
     np.testing.assert_allclose(x2, x1, atol=1e-5)
+
+
+def test_gdeflate_pages(rng):
+    """GDeflate pages (≙ nvCOMP gdeflate_cpu_compression): 64 KB bound
+    enforced, payload is a standard raw RFC 1951 stream."""
+    import zlib
+
+    from tpumathlib.comp import gdeflate
+    from tpumathlib.core.errors import TpuMathError
+
+    data = bytes(rng.integers(0, 16, 50000, dtype=np.uint8))
+    page = gdeflate.compress(data)
+    assert page[0] == 1
+    # interoperates with any RFC 1951 inflater
+    assert zlib.decompressobj(-15).decompress(page[1:]) == data
+    assert gdeflate.decompress(page, len(data)) == data
+    with pytest.raises(TpuMathError):
+        gdeflate.compress(bytes(70000))

@@ -60,6 +60,12 @@ def _codec_fns(codec: str):
         from tpumathlib.comp import snappy as _snappy
 
         return (_snappy.compress, lambda b, n: _snappy.decompress(b, n))
+    if codec == "gdeflate":
+        # paged deflate (single-substream GDeflate degenerate form;
+        # comp/gdeflate.py documents the bitstream relationship)
+        from tpumathlib.comp import gdeflate as _gd
+
+        return (_gd.compress, _gd.decompress)
     if codec == "cascaded":
         return (cascaded_compress, cascaded_decompress)
     if codec == "ans":
