@@ -148,7 +148,142 @@ def bell_spmm_pallas(a: BlockedELL, b, alpha=1.0, tk: int = 256):
 
 def bell_spmv_pallas(a: BlockedELL, x, alpha=1.0):
     """y = alpha·A@x with A Blocked-ELL: the SpMM kernel with a 128-wide
-    padded RHS (A-data streaming dominates; the extra MXU lanes are free)."""
+    padded RHS (A-data streaming dominates; the extra MXU lanes are free).
+
+    For repeated products (iterative solvers) use SpmvPlan, whose
+    analysis phase pre-splits A into bf16 hi/lo planes so the execute
+    kernel runs 3 single-pass MXU products instead of 6-pass HIGHEST
+    and stays A-stream-bound."""
     xb = jnp.zeros((x.shape[0], 128), x.dtype).at[:, 0].set(x)
     out = bell_spmm_pallas(a, xb, alpha=alpha, tk=128)
     return out[:, 0]
+
+
+def _bell_split_kernel(bs: int, mb: int, ellw: int, n: int):
+    """SpMV execute kernel over pre-split operands: A and the padded x
+    stripe arrive as bf16 (hi, lo) plane pairs; per block-row the product
+    is 3 single-pass bf16 MXU dots (hi·hi + hi·lo + lo·hi ≈ f32, ~1e-6
+    rel) with NO in-kernel splitting — compute hides behind the A
+    stream."""
+
+    def kernel(cols_ref, ah_hbm, al_hbm, xh_hbm, xl_hbm, o_hbm,
+               bh, bl, abuf_h, abuf_l, obuf, bsem, asem, osem):
+        def a_load(slot, i):
+            return [pltpu.make_async_copy(h.at[i], buf.at[slot],
+                                          asem.at[slot, p])
+                    for p, (h, buf) in enumerate(((ah_hbm, abuf_h),
+                                                  (al_hbm, abuf_l)))]
+
+        def o_store(slot, i):
+            return pltpu.make_async_copy(
+                obuf.at[slot], o_hbm.at[pl.ds(i * bs, bs), :],
+                osem.at[slot])
+
+        for p, (h, buf) in enumerate(((xh_hbm, bh), (xl_hbm, bl))):
+            pltpu.make_async_copy(h, buf, bsem.at[p]).start()
+        for dma in a_load(0, 0):
+            dma.start()
+        for p in range(2):
+            pltpu.make_async_copy(
+                (xh_hbm, xl_hbm)[p], (bh, bl)[p], bsem.at[p]).wait()
+
+        def i_body(i, _):
+            slot = jax.lax.rem(i, 2)
+            nxt = jax.lax.rem(i + 1, 2)
+
+            @pl.when(i + 1 < mb)
+            def _():
+                for dma in a_load(nxt, i + 1):
+                    dma.start()
+
+            for dma in a_load(slot, i):
+                dma.wait()
+
+            @pl.when(i >= 2)
+            def _():
+                o_store(slot, i - 2).wait()
+
+            ah_cat = jnp.concatenate(
+                [abuf_h[slot, j] for j in range(ellw)], axis=1)
+            al_cat = jnp.concatenate(
+                [abuf_l[slot, j] for j in range(ellw)], axis=1)
+            bh_cat = jnp.concatenate(
+                [bh[pl.ds(cols_ref[i, j] * bs, bs), :]
+                 for j in range(ellw)], axis=0)
+            bl_cat = jnp.concatenate(
+                [bl[pl.ds(cols_ref[i, j] * bs, bs), :]
+                 for j in range(ellw)], axis=0)
+            obuf[slot] = (
+                jnp.dot(ah_cat, bh_cat,
+                        preferred_element_type=jnp.float32)
+                + jnp.dot(ah_cat, bl_cat,
+                          preferred_element_type=jnp.float32)
+                + jnp.dot(al_cat, bh_cat,
+                          preferred_element_type=jnp.float32))
+            o_store(slot, i).start()
+            return ()
+
+        jax.lax.fori_loop(0, mb, i_body, ())
+        for i in range(max(0, mb - 2), mb):
+            o_store(i % 2, i).wait()
+
+    return kernel
+
+
+class SpmvPlan:
+    """cuSPARSE SpMV descriptor lifecycle for Blocked-ELL: the analysis
+    phase splits A (and nothing else) into bf16 hi/lo planes — same total
+    bytes as f32 — so every execute() streams A once and runs single-pass
+    MXU products (≙ cusparseSpMV's create/analyze/execute split,
+    cuSPARSE/spmv_csr/spmv_csr_example.c lifecycle)."""
+
+    def __init__(self, a: BlockedELL):
+        check(a.blocksize % 8 == 0, "blocksize must be a multiple of 8")
+        self.bs = a.blocksize
+        self.mb, self.ellw = a.cols.shape
+        self.shape = a.shape
+        self.cols = jnp.maximum(a.cols, 0).astype(jnp.int32)
+        d = jnp.asarray(a.data, jnp.float32)
+        self.ah = d.astype(jnp.bfloat16)
+        self.al = (d - self.ah.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    @classmethod
+    def from_parts(cls, cols, ah, al, shape, bs):
+        """Rebuild from the analysis products — lets callers thread the
+        split planes as jit arguments (closing over them embeds ~2x nnz
+        bytes as program constants; axon remote-compile rejects that)."""
+        p = object.__new__(cls)
+        p.bs = bs
+        p.mb, p.ellw = cols.shape
+        p.shape = shape
+        p.cols, p.ah, p.al = cols, ah, al
+        return p
+
+    def execute(self, x, alpha=1.0):
+        m, n = self.shape
+        xb = jnp.zeros((n, 128), jnp.float32).at[:, 0].set(
+            jnp.asarray(x, jnp.float32))
+        xh = xb.astype(jnp.bfloat16)
+        xl = (xb - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = pl.pallas_call(
+            _bell_split_kernel(self.bs, self.mb, self.ellw, n),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((m, 128), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((n, 128), jnp.bfloat16),
+                pltpu.VMEM((n, 128), jnp.bfloat16),
+                pltpu.VMEM((2, self.ellw, self.bs, self.bs),
+                           jnp.bfloat16),
+                pltpu.VMEM((2, self.ellw, self.bs, self.bs),
+                           jnp.bfloat16),
+                pltpu.VMEM((2, self.bs, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret_mode(),
+        )(self.cols, self.ah, self.al, xh, xl)
+        return alpha * out[:, 0]
