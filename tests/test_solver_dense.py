@@ -170,6 +170,38 @@ def test_xgeev(rng):
     assert_allclose(a @ np.asarray(v), np.asarray(v) * wn[None, :], rtol=1e-5)
 
 
+def test_xgeev_device_pipeline(rng):
+    """The on-device dgehrd + Francis-dhseqr path (solver/geev.py):
+    batched Schur similarity, orthogonality, eigenvalues vs LAPACK —
+    including the symmetric-spectrum stagnation cases (circulant,
+    rotation blocks) that require LAPACK exceptional shifts."""
+    from tpumathlib.solver.geev import hessenberg, xgeev_device
+
+    def eigs_match(a, atol=1e-8):
+        aa = a[None] if a.ndim == 2 else a
+        wr, wi, t, q = map(np.asarray, xgeev_device(jnp.asarray(aa)))
+        rec = np.einsum("bij,bjk,blk->bil", q, t, q)
+        assert np.abs(rec - aa).max() < atol * 10
+        for b in range(len(aa)):
+            ref = np.linalg.eigvals(aa[b])
+            got = (wr[b] + 1j * wi[b]).copy()
+            # tolerant greedy matching (sort_complex misorders
+            # near-identical values)
+            for rv in ref:
+                k = np.argmin(np.abs(got - rv))
+                assert abs(got[k] - rv) < atol, (rv, got)
+                got[k] = 1e18
+    eigs_match(rng.normal(size=(3, 16, 16)))
+    eigs_match(np.roll(np.eye(12), 1, axis=1))           # circulant
+    eigs_match(np.kron(np.eye(4), [[0., -1.], [1., 0.]]))  # ±i ×4
+    eigs_match(np.kron(np.eye(2), rng.normal(size=(4, 4))))  # repeated
+    eigs_match(np.triu(np.ones((8, 8))))                  # defective
+    h, q = hessenberg(jnp.asarray(rng.normal(size=(2, 10, 10))))
+    h, q = np.asarray(h), np.asarray(q)
+    assert np.abs(np.tril(h[0], -2)).max() == 0.0
+    assert np.abs(q[0] @ q[0].T - np.eye(10)).max() < 1e-10
+
+
 @pytest.mark.parametrize("refinement", ["classical", "gmres"])
 def test_irs_gesv(gen, rng, refinement):
     """≙ cusolverDnIRSXgesv: f64 solve from f32 LU + refinement."""
