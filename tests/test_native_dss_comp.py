@@ -501,3 +501,37 @@ def test_gdeflate_pages(rng):
     assert gdeflate.decompress(page, len(data)) == data
     with pytest.raises(TpuMathError):
         gdeflate.compress(bytes(70000))
+
+
+def test_spchol_supernodal_matches_simplicial(rng):
+    """The amalgamated supernodal engine (≙ cuDSS's supernodal
+    factorization) reproduces L·Lᵀ = A with the spchol_ll output contract
+    (CSR rows, diag last); panel fill adds only structural zeros."""
+    import scipy.sparse as sp
+
+    from tpumathlib import native
+
+    k = 20
+    n = k * k
+    d = sp.eye(n) * 4
+    o1 = sp.diags([np.ones(n - 1)], [1])
+    ok_ = sp.diags([np.ones(n - k)], [k])
+    a = (d - (o1 + o1.T) - (ok_ + ok_.T)).tocsr()
+    al = sp.tril(a).tocsr()
+    args = (al.indptr.astype(np.int64), al.indices.astype(np.int64),
+            al.data.astype(np.float64))
+    lp1, li1, lx1 = native.spchol(*args)
+    lp2, li2, lx2 = native.spchol_supernodal(*args)
+    def dense_l(lp, li, lx):
+        out = np.zeros((n, n))
+        for i in range(n):
+            out[i, li[lp[i]:lp[i + 1]]] = lx[lp[i]:lp[i + 1]]
+        return out
+    l1 = dense_l(lp1, li1, lx1)
+    l2 = dense_l(lp2, li2, lx2)
+    assert_allclose(l2, l1, rtol=1e-10, atol=1e-12, msg="supernodal L")
+    assert_allclose(l2 @ l2.T, a.toarray(), rtol=1e-10, atol=1e-12,
+                    msg="L L^T")
+    # diag-last ordering per row (the solve path's assumption)
+    for i in range(0, n, 37):
+        assert li2[lp2[i + 1] - 1] == i

@@ -65,6 +65,9 @@ class Config:
     matrix_type: MatrixType = MatrixType.GENERAL
     reordering: str = "md"          # "md" | "natural"
     pivot_tol: float = 0.1          # threshold partial pivoting (LU)
+    supernodal: bool = True         # SPD: amalgamated supernodal panels
+                                    # (native/src/supernodal.cpp, 2-4x the
+                                    # simplicial engine); False → spchol_ll
     hybrid_execute: bool = True     # host triangular solves (False → device
                                     # level-scheduled SpSV)
     hybrid_memory: bool = False     # ≙ cuDSS hybrid host/device memory
@@ -160,8 +163,10 @@ class Solver:
             keep = api <= rows
             lowp = np.zeros(n + 1, np.int64)
             np.add.at(lowp, rows[keep] + 1, 1)
-            lp, li, lx = native.spchol(np.cumsum(lowp), api[keep],
-                                       apx[keep], cap=cap)
+            chol = (native.spchol_supernodal if self.config.supernodal
+                    else native.spchol)
+            lp, li, lx = chol(np.cumsum(lowp), api[keep],
+                              apx[keep], cap=cap)
             self.data.l_fac = (lp, li, lx)
             self.data.u_fac = None
             self.data.prow = np.arange(n, dtype=np.int64)

@@ -104,6 +104,15 @@ def _declare(l):
                                np.ctypeslib.ndpointer(np.float64),
                                c.c_int64, c.c_int, c.c_int]
     l.csr_trisolve.restype = c.c_int64
+    l.spchol_super.argtypes = [c.c_int64,
+                               np.ctypeslib.ndpointer(np.int64),
+                               np.ctypeslib.ndpointer(np.int64),
+                               np.ctypeslib.ndpointer(np.float64),
+                               np.ctypeslib.ndpointer(np.int64),
+                               np.ctypeslib.ndpointer(np.int64),
+                               np.ctypeslib.ndpointer(np.float64),
+                               c.c_int64, c.c_int64]
+    l.spchol_super.restype = c.c_int64
     l.spgemm_count.argtypes = [c.c_int64, c.c_int64, c.c_int64,
                                np.ctypeslib.ndpointer(np.int64),
                                np.ctypeslib.ndpointer(np.int64),
@@ -235,6 +244,31 @@ def spchol(indptr, indices, data, cap: int | None = None):
             raise RuntimeError(f"spchol rc={rc} (matrix not positive definite?)")
         return lp, li[:rc], lx[:rc]
     raise RuntimeError("spchol: capacity growth failed")
+
+
+def spchol_supernodal(indptr, indices, data, cap: int | None = None,
+                      max_width: int = 32):
+    """Supernodal sparse Cholesky (native/src/supernodal.cpp): same
+    lower-CSR contract and output layout as spchol, dense-panel GEMM
+    updates inside (≙ cuDSS's supernodal factorization engine)."""
+    n = len(indptr) - 1
+    cap = cap or max(4 * len(data) + 16 * n, 64)
+    for _ in range(8):
+        lp = np.zeros(n + 1, np.int64)
+        li = np.zeros(cap, np.int64)
+        lx = np.zeros(cap, np.float64)
+        rc = lib().spchol_super(n, np.ascontiguousarray(indptr, np.int64),
+                                np.ascontiguousarray(indices, np.int64),
+                                np.ascontiguousarray(data, np.float64),
+                                lp, li, lx, cap, max_width)
+        if rc == -1:
+            cap *= 4
+            continue
+        if rc < 0:
+            raise RuntimeError(
+                f"spchol_super rc={rc} (matrix not positive definite?)")
+        return lp, li[:rc], lx[:rc]
+    raise RuntimeError("spchol_super: capacity growth failed")
 
 
 def splu(indptr, indices, data, pivot_tol: float = 0.1, cap: int | None = None):
