@@ -20,7 +20,17 @@ completion (see .claude/skills/verify/SKILL.md).
 from __future__ import annotations
 
 import json
+import os
 import time
+
+import jax
+
+# Persistent compilation cache: remote compiles through the axon tunnel
+# run 20-165 s each (measured), so a cold bench cannot finish inside the
+# driver's window without one. Second process re-use measured at ~10x.
+os.makedirs("/root/.cache/jax", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 # bf16 peak TFLOP/s by device kind (public specs)
 _PEAK = {
