@@ -379,6 +379,13 @@ def test_j2k_real_codestream_decode(rng):
     ref = rng.integers(0, 255, (64, 64), dtype=np.uint8)
     got = j2k_decode(enc(ref), region=(8, 4, 16, 24))
     np.testing.assert_array_equal(got, ref[8:24, 4:28])
+    # precinct-partitioned streams (scod&1): per-precinct packets and
+    # tag trees, effective code-block clamping — bit-exact lossless
+    for psize in ((128, 128), (64, 64)):
+        buf = io.BytesIO()
+        Image.fromarray(ref).save(buf, "JPEG2000", irreversible=False,
+                                  precinct_size=psize)
+        np.testing.assert_array_equal(j2k_decode(buf.getvalue()), ref)
     # irreversible 9/7 path: scalar dequantization + float CDF 9/7
     # synthesis + ICT, within ±1 of openjpeg's own lossy reconstruction
     x = np.linspace(0, 4 * np.pi, 64)

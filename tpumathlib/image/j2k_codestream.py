@@ -520,14 +520,19 @@ def j2k_decode_codestream(blob: bytes) -> np.ndarray:
 
     # COD
     scod = cod[0]
-    check(scod & 0x01 == 0, "precinct-partitioned streams unsupported",
-          err=NotSupportedError)
     prog, nlayers, mct = cod[1], struct.unpack_from(">H", cod, 2)[0], cod[4]
     nl = cod[5]
     xcb = (cod[6] & 0xF) + 2
     ycb = (cod[7] & 0xF) + 2
     cbsty = cod[8]
     wavelet = cod[9]
+    # precinct sizes per resolution (scod&1); without the flag the spec's
+    # default is one 2^15-sized precinct — the same code path either way
+    if scod & 0x01:
+        prec = [(cod[10 + r] & 0xF, cod[10 + r] >> 4)
+                for r in range(nl + 1)]
+    else:
+        prec = [(15, 15)] * (nl + 1)
     check(wavelet in (0, 1), "unknown wavelet kind", err=NotSupportedError)
     reversible = wavelet == 1
     check(cbsty == 0, "code-block style flags (bypass/termall/...) "
@@ -599,86 +604,127 @@ def j2k_decode_codestream(blob: bytes) -> np.ndarray:
 
     # per-component band coefficient arrays
     coeffs = [{} for _ in range(ncomp)]
-    # tag trees + Lblock state per (comp, res, band)
+    # per-resolution geometry: effective code-block sizes are clamped by
+    # the precinct (Annex B.7), precinct counts come from the RESOLUTION
+    # grid, band-space precincts are half-size for r >= 1
+    res_geom = []
+    for r in range(nl + 1):
+        ppx, ppy = prec[r]
+        xcb_r = min(xcb, ppx - (1 if r else 0))
+        ycb_r = min(ycb, ppy - (1 if r else 0))
+        res_w = ll_dim(w_full, nl - r)
+        res_h = ll_dim(h_full, nl - r)
+        npw = -(-res_w // (1 << ppx)) if res_w else 0
+        nph = -(-res_h // (1 << ppy)) if res_h else 0
+        pbw = 1 << (ppx - (1 if r else 0))   # precinct size in band coords
+        pbh = 1 << (ppy - (1 if r else 0))
+        res_geom.append((xcb_r, ycb_r, npw, nph, pbw, pbh))
+    # tag trees are PER (comp, res, band, precinct); Lblock + seen are
+    # per code-block (global band grid)
     state = {}
     for c in range(ncomp):
         for r in range(nl + 1):
+            xcb_r, ycb_r, npw, nph, pbw, pbh = res_geom[r]
             for band, lev in bands_for_res(r):
                 bw, bh = band_dims(band, lev)
-                ncx = -(-bw // (1 << xcb)) if bw else 0
-                ncy = -(-bh // (1 << ycb)) if bh else 0
+                ncx = -(-bw // (1 << xcb_r)) if bw else 0
+                ncy = -(-bh // (1 << ycb_r)) if bh else 0
                 state[(c, r, band)] = {
-                    "incl": TagTree(max(ncx, 1), max(ncy, 1)),
-                    "zbp": TagTree(max(ncx, 1), max(ncy, 1)),
+                    "trees": {},        # precinct -> (incl, zbp) TagTrees
                     "lblk": np.full((max(ncy, 1), max(ncx, 1)), 3, np.int32),
                     "ncx": ncx, "ncy": ncy, "bw": bw, "bh": bh,
+                    "seen": set(),
                 }
                 coeffs[c][(r, band)] = np.zeros((bh, bw), np.int32)
+
+    def precinct_cbs(st, r, px, py):
+        """Code-block index window [cx0, cx1) x [cy0, cy1) of precinct
+        (px, py) in this band, and the per-precinct tag trees."""
+        xcb_r, ycb_r, npw, nph, pbw, pbh = res_geom[r]
+        cpp_x = pbw >> xcb_r              # cb columns per precinct
+        cpp_y = pbh >> ycb_r
+        cx0 = px * cpp_x
+        cy0 = py * cpp_y
+        cx1 = min(cx0 + cpp_x, st["ncx"])
+        cy1 = min(cy0 + cpp_y, st["ncy"])
+        key = (px, py)
+        if key not in st["trees"]:
+            st["trees"][key] = (
+                TagTree(max(cx1 - cx0, 1), max(cy1 - cy0, 1)),
+                TagTree(max(cx1 - cx0, 1), max(cy1 - cy0, 1)))
+        return cx0, cy0, cx1, cy1, st["trees"][key]
 
     pos = 0
     for layer in range(nlayers):
         for r in range(nl + 1):
+            xcb_r, ycb_r, npw, nph, pbw, pbh = res_geom[r]
             for c in range(ncomp):
-                rd = _HeaderBits(data, pos)
-                if not rd.bit():          # zero-length packet
-                    rd.align()
-                    pos = rd.pos
-                    continue
-                blocks = []
-                for band, lev in bands_for_res(r):
-                    st = state[(c, r, band)]
-                    for cy in range(st["ncy"]):
-                        for cx in range(st["ncx"]):
-                            incl = st["incl"].decode(cx, cy, layer + 1, rd)
-                            if not incl:
-                                continue
-                            seen = st.setdefault("seen", set())
-                            first = (cx, cy) not in seen
-                            seen.add((cx, cy))
-                            if first:
-                                t = 1
-                                while not st["zbp"].decode(cx, cy, t, rd):
-                                    t += 1
-                                zbp = st["zbp"].value(cx, cy)
-                            else:
-                                zbp = st["zbp"].value(cx, cy)
-                            # number of passes
-                            if not rd.bit():
-                                np_ = 1
-                            elif not rd.bit():
-                                np_ = 2
-                            else:
-                                v = rd.bits(2)
-                                if v < 3:
-                                    np_ = 3 + v
-                                else:
-                                    v = rd.bits(5)
-                                    if v < 31:
-                                        np_ = 6 + v
+                for py in range(nph):
+                    for px in range(npw):
+                        rd = _HeaderBits(data, pos)
+                        if not rd.bit():          # zero-length packet
+                            rd.align()
+                            pos = rd.pos
+                            continue
+                        blocks = []
+                        for band, lev in bands_for_res(r):
+                            st = state[(c, r, band)]
+                            cx0, cy0, cx1, cy1, (incl_t, zbp_t) = \
+                                precinct_cbs(st, r, px, py)
+                            for cy in range(cy0, cy1):
+                                for cx in range(cx0, cx1):
+                                    incl = incl_t.decode(
+                                        cx - cx0, cy - cy0, layer + 1, rd)
+                                    if not incl:
+                                        continue
+                                    first = (cx, cy) not in st["seen"]
+                                    st["seen"].add((cx, cy))
+                                    if first:
+                                        t = 1
+                                        while not zbp_t.decode(
+                                                cx - cx0, cy - cy0, t, rd):
+                                            t += 1
+                                    zbp = zbp_t.value(cx - cx0, cy - cy0)
+                                    # number of passes
+                                    if not rd.bit():
+                                        np_ = 1
+                                    elif not rd.bit():
+                                        np_ = 2
                                     else:
-                                        np_ = 37 + rd.bits(7)
-                            while rd.bit():
-                                st["lblk"][cy, cx] += 1
-                            nbits = int(st["lblk"][cy, cx]) \
-                                + int(math.floor(math.log2(np_)))
-                            ln_ = rd.bits(nbits)
-                            blocks.append((c, r, band, lev, cx, cy, zbp,
-                                           np_, ln_))
-                rd.align()
-                pos = rd.pos
-                for (cc, rr, band, lev, cx, cy, zbp, np_, ln_) in blocks:
-                    st = state[(cc, rr, band)]
-                    x0b = cx << xcb
-                    y0b = cy << ycb
-                    bw = min(1 << xcb, st["bw"] - x0b)
-                    bh = min(1 << ycb, st["bh"] - y0b)
-                    eps_b, _ = quant_params(rr, band, lev)
-                    mb = guard + eps_b - 1
-                    numbps = mb - zbp
-                    blk = decode_codeblock(data[pos:pos + ln_], bw, bh,
-                                           numbps, np_, band)
-                    coeffs[cc][(rr, band)][y0b:y0b + bh, x0b:x0b + bw] = blk
-                    pos += ln_
+                                        v = rd.bits(2)
+                                        if v < 3:
+                                            np_ = 3 + v
+                                        else:
+                                            v = rd.bits(5)
+                                            if v < 31:
+                                                np_ = 6 + v
+                                            else:
+                                                np_ = 37 + rd.bits(7)
+                                    while rd.bit():
+                                        st["lblk"][cy, cx] += 1
+                                    nbits = int(st["lblk"][cy, cx]) \
+                                        + int(math.floor(math.log2(np_)))
+                                    ln_ = rd.bits(nbits)
+                                    blocks.append((c, r, band, lev, cx, cy,
+                                                   zbp, np_, ln_))
+                        rd.align()
+                        pos = rd.pos
+                        for (cc, rr, band, lev, cx, cy, zbp, np_,
+                             ln_) in blocks:
+                            st = state[(cc, rr, band)]
+                            x0b = cx << xcb_r
+                            y0b = cy << ycb_r
+                            bw = min(1 << xcb_r, st["bw"] - x0b)
+                            bh = min(1 << ycb_r, st["bh"] - y0b)
+                            eps_b, _ = quant_params(rr, band, lev)
+                            mb = guard + eps_b - 1
+                            numbps = mb - zbp
+                            blk = decode_codeblock(data[pos:pos + ln_],
+                                                   bw, bh, numbps, np_,
+                                                   band)
+                            coeffs[cc][(rr, band)][
+                                y0b:y0b + bh, x0b:x0b + bw] = blk
+                            pos += ln_
 
     # synthesis per component
     _GAIN = {0: 0, 1: 1, 2: 1, 3: 2}
