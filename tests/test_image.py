@@ -400,3 +400,26 @@ def test_j2k_real_codestream_decode(rng):
         oj = np.asarray(Image.open(io.BytesIO(blob)))
         got = j2k_decode(blob)
         assert np.abs(got.astype(int) - oj.astype(int)).max() <= 1
+
+
+def test_jfif_encode_batch_multi_instance(rng):
+    """Multi-instance batch encoder (≙ nvJPEG-Encoder-MultipleInstances):
+    thread-pooled encode states, auto thread search, byte-identical output
+    to the single-instance path."""
+    import io
+
+    from PIL import Image
+
+    from tpumathlib.image.jpeg import jfif_encode, jfif_encode_batch
+
+    imgs = [rng.integers(0, 255, (24 + 8 * i, 32, 3), dtype=np.uint8)
+            for i in range(5)]
+    outs = jfif_encode_batch(imgs, quality=80, nthreads=2)
+    assert len(outs) == 5
+    for im, blob in zip(imgs, outs):
+        assert blob == jfif_encode(im, quality=80)
+        dec = np.asarray(Image.open(io.BytesIO(blob)))
+        assert dec.shape == im.shape
+    # automatic thread-count search path
+    outs2 = jfif_encode_batch(imgs[:3], quality=80)
+    assert outs2 == outs[:3]

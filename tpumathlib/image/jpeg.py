@@ -20,6 +20,7 @@ stages run on host. Three surfaces:
 from __future__ import annotations
 
 import functools
+import os
 import struct
 
 import jax
@@ -716,3 +717,40 @@ def jfif_encode(image, quality: int = 75, subsampling: str = "444") -> bytes:
     out += data
     out += b"\xff\xd9"                            # EOI
     return bytes(out)
+
+
+def jfif_encode_batch(images, quality: int = 75, subsampling: str = "444",
+                      nthreads: int | None = None) -> list:
+    """Encode many images with a pool of host encoder instances.
+
+    ≙ nvJPEG/nvJPEG-Encoder-MultipleInstances/nvJPEGEncMultipleInstances.cpp:
+    the reference parallelizes by assigning encode states to multiple CPU
+    threads and auto-searches the best thread count when -j is absent.
+    Here each thread drives the shared device pixel pipeline (dispatch
+    overlaps another thread's host entropy coding); nthreads=None runs the
+    same automatic search over a small warm-up prefix.
+    """
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    images = list(images)
+    if not images:
+        return []
+    if nthreads is None:
+        candidates = [1, 2, 4, max(os.cpu_count() or 1, 1)]
+        candidates = sorted({min(c, len(images)) for c in candidates})
+        probe = images[:min(4, len(images))]
+        best = (float("inf"), 1)
+        jfif_encode(probe[0], quality, subsampling)   # warm jit caches
+        for c in candidates:
+            t0 = _time.perf_counter()
+            with ThreadPoolExecutor(c) as ex:
+                list(ex.map(lambda im: jfif_encode(im, quality,
+                                                   subsampling), probe))
+            dt = _time.perf_counter() - t0
+            if dt < best[0]:
+                best = (dt, c)
+        nthreads = best[1]
+    with ThreadPoolExecutor(max(nthreads, 1)) as ex:
+        return list(ex.map(
+            lambda im: jfif_encode(im, quality, subsampling), images))
