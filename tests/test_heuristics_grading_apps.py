@@ -280,3 +280,34 @@ def test_grade_blas3_report():
     assert rep["pallas_f32"]["grade"] == "A"
     # plain bf16 inputs cannot reach fp32-class grade A
     assert rep["xla_bf16"]["grade"] != "A"
+
+
+def test_discovery_buckets(rng, tmp_path, monkeypatch):
+    """run_discovery measures a shape-class-spanning set with chained
+    dispatches and calibrates per arithmetic-intensity bucket; the
+    estimator picks the nearest bucket (≙ LoadInternalDiscoverySet)."""
+    import jax.numpy as jnp
+
+    from tpumathlib.dx.gemm import MatmulConfig
+    from tpumathlib.heuristics import (
+        _DISCOVERY_SET,
+        _intensity_bucket,
+        estimate_runtime,
+        load_discovery,
+        run_discovery,
+    )
+
+    assert len(_DISCOVERY_SET) >= 6
+    classes = {_intensity_bucket(*p) for p in _DISCOVERY_SET}
+    assert len(classes) >= 3        # spans several intensity classes
+    cal = run_discovery(problems=[(128, 128, 128), (128, 128, 512),
+                                  (512, 512, 512)])
+    assert cal["n"] == 3 and cal["buckets"]
+    assert load_discovery()["buckets"] == cal["buckets"]
+    cfg = MatmulConfig(128, 128, 128)
+    t_cal = estimate_runtime(256, 256, 256, jnp.bfloat16, cfg,
+                             calibration=cal)
+    t_raw = estimate_runtime(256, 256, 256, jnp.bfloat16, cfg)
+    key = str(min((int(k) for k in cal["buckets"]),
+                  key=lambda x: abs(x - _intensity_bucket(256, 256, 256))))
+    assert abs(t_cal - t_raw * cal["buckets"][key]) < 1e-12

@@ -84,7 +84,14 @@ def estimate_runtime(m: int, n: int, k: int, dtype, cfg: MatmulConfig,
     eff = min(cfg.bm, 128) / 128 * min(cfg.bn, 128) / 128
     t = max(t_compute / max(eff, 1e-3), t_memory) + nm * nn * nk * 2e-7
     if calibration:
-        t *= calibration.get("factor", 1.0)
+        buckets = calibration.get("buckets")
+        if buckets:
+            key = _intensity_bucket(m, n, k)
+            ks = sorted(int(x) for x in buckets)
+            nearest = min(ks, key=lambda x: abs(x - key))
+            t *= buckets[str(nearest)]
+        else:
+            t *= calibration.get("factor", 1.0)
     return t
 
 
@@ -103,26 +110,78 @@ def get_configs(m: int, n: int, k: int, dtype, count: int = 8,
 _DISCOVERY_KEY = "mmh_discovery"
 
 
+# the internal discovery set spans the shape classes the estimator must
+# rank: square ladder, skinny-K/M/N panels, and a tall-batched panel
+# (≙ nvMatmulHeuristics' internal silicon scan covering problem classes)
+_DISCOVERY_SET = (
+    (512, 512, 512),
+    (1024, 1024, 1024),
+    (2048, 2048, 2048),
+    (4096, 4096, 4096),
+    (4096, 4096, 512),      # skinny K
+    (512, 4096, 4096),      # skinny M
+    (4096, 512, 4096),      # skinny N
+    (8192, 1024, 1024),     # tall panel
+)
+
+
+def _intensity_bucket(m: int, n: int, k: int) -> int:
+    """log2 bucket of arithmetic intensity — the calibration key."""
+    import math as _math
+
+    it = 2  # bf16 discovery operands
+    ai = 2.0 * m * n * k / ((m * k + k * n + m * n) * it)
+    return int(_math.log2(max(ai, 1.0)))
+
+
 def run_discovery(problems: Sequence[tuple] | None = None) -> dict:
     """Measured silicon scan (≙ nvMatmulHeuristicsLoadInternalDiscoverySet):
-    times a small GEMM set on the attached device, stores the measured/
-    predicted efficiency factor in the autotune cache."""
+    times the internal GEMM discovery set on the attached device with
+    chained dispatches (single dispatches hide behind the ~35 ms tunnel
+    latency) and stores measured/predicted factors PER arithmetic-
+    intensity bucket, so skinny and square problems calibrate
+    independently."""
+    import time as _time
+
+    import jax
     import jax.numpy as jnp
 
-    from tpumathlib.core.timer import benchmark
     from tpumathlib.dx.gemm import pallas_matmul
 
-    problems = problems or [(512, 512, 512), (1024, 1024, 1024)]
+    problems = problems or _DISCOVERY_SET
     hw = detect_hardware()
-    factors = []
+    buckets: dict = {}
     for (m, n, k) in problems:
         a = jnp.ones((m, k), jnp.bfloat16)
         b = jnp.ones((k, n), jnp.bfloat16)
         cfg = MatmulConfig(min(512, m), min(512, n), min(512, k))
-        stats = benchmark(lambda: pallas_matmul(a, b, config=cfg), warmup=1, iters=3)
+        chain = max(3, min(20, int(2e11 / (2.0 * m * n * k))))
+
+        def run(a, b):
+            def body(_, c):
+                aa, s = c
+                out = pallas_matmul(aa, b, config=cfg)
+                return aa, s + out[0, 0].astype(jnp.float32)
+            _, s = jax.lax.fori_loop(0, chain, body,
+                                     (a, jnp.float32(0)))
+            return s
+
+        g = jax.jit(run)
+        float(g(a, b))
+        best = float("inf")
+        for _ in range(2):
+            t0 = _time.perf_counter()
+            float(g(a, b))
+            best = min(best, _time.perf_counter() - t0)
+        meas = best / chain
         pred = estimate_runtime(m, n, k, jnp.bfloat16, cfg, hw)
-        factors.append(stats["med"] / pred)
-    cal = {"factor": sum(factors) / len(factors), "n": len(factors)}
+        buckets.setdefault(_intensity_bucket(m, n, k), []).append(
+            meas / pred)
+    cal = {"buckets": {str(kk): sum(v) / len(v)
+                       for kk, v in buckets.items()},
+           "factor": (sum(x for v in buckets.values() for x in v)
+                      / sum(len(v) for v in buckets.values())),
+           "n": sum(len(v) for v in buckets.values())}
     global_autotune_cache().put(
         global_autotune_cache().make_key(_DISCOVERY_KEY, ()), cal)
     return cal
