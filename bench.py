@@ -216,22 +216,23 @@ def bench_comp(hbm_target):
     v = jnp.cumsum(jax.random.randint(jax.random.key(2), (n,), -60, 61,
                                       jnp.int32)).astype(jnp.int32)
     bits = 8
-    packed = dx_compress(v, bits=bits)
+    packed, leaders = dx_compress(v, bits=bits)
 
     # chain bodies must be carry-shaped AND data-dependent (a fixed-input
     # call would be hoisted out of the fori_loop); codec cost is
     # data-independent, so feeding a 1-bit corruption back is safe timing
-    def dec_chain(p):
-        out = dx_decompress(p, n, bits=bits)
+    def dec_chain(c):
+        p, ld = c
+        out = dx_decompress(p, ld, n, bits=bits)
         flip = (jnp.sum(out[:1024], dtype=jnp.int32) & 1).astype(jnp.uint32)
-        return p ^ flip
+        return p ^ flip, ld
 
     def com_chain(x):
-        p = dx_compress(x, bits=bits)
+        p, _ = dx_compress(x, bits=bits)
         flip = (jnp.sum(p[:64], dtype=jnp.uint32) & 1).astype(jnp.int32)
         return x ^ flip
 
-    td = _chain_time(dec_chain, packed, chain=10)
+    td = _chain_time(dec_chain, (packed, leaders), chain=10)
     tc = _chain_time(com_chain, v, chain=10)
     gbps_d = 4.0 * n / td / 1e9
     gbps_c = 4.0 * n / tc / 1e9

@@ -97,10 +97,11 @@ def test_dx_comp_roundtrip(rng):
 
     v = np.cumsum(rng.integers(-20, 21, 65536)).astype(np.int32)
     bits = dx_required_bits(v)
-    packed = dx_compress(jnp.asarray(v), bits=bits)
-    dec = np.asarray(dx_decompress(packed, bits=bits))
+    packed, leaders = dx_compress(jnp.asarray(v), bits=bits)
+    dec = np.asarray(dx_decompress(packed, leaders, bits=bits))
     np.testing.assert_array_equal(dec[:len(v)], v)
-    assert v.nbytes / (np.asarray(packed).size * 4) > 4.0  # 6-bit deltas
+    nbytes = (np.asarray(packed).size + np.asarray(leaders).size) * 4
+    assert v.nbytes / nbytes > 4.0  # 6-bit deltas + 3% leaders
 
 
 def test_dx_decompress_dot(rng):
@@ -113,9 +114,10 @@ def test_dx_decompress_dot(rng):
 
     v = np.cumsum(rng.integers(-20, 21, 32768)).astype(np.int32)
     bits = dx_required_bits(v)
-    packed = dx_compress(jnp.asarray(v), bits=bits)
+    packed, leaders = dx_compress(jnp.asarray(v), bits=bits)
     w = jnp.asarray(rng.normal(size=(128, 64)), jnp.float32)
-    out = np.asarray(dx_decompress_dot(packed, w, bits=bits, scale=0.01))
+    out = np.asarray(dx_decompress_dot(packed, leaders, w, bits=bits,
+                                       scale=0.01))
     ref = (v.reshape(-1, 128).astype(np.float64) * 0.01) @ np.asarray(
         w, np.float64)
     rel = np.abs(out - ref).max() / np.abs(ref).max()

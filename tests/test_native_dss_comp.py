@@ -338,7 +338,8 @@ def test_dx_comp_bits_guard(rng):
     with pytest.raises(Exception):
         dx_compress(jnp.asarray(v), bits=33)
     with pytest.raises(Exception):
-        dx_decompress(jnp.zeros((4, 33), jnp.uint32), bits=33)
+        dx_decompress(jnp.zeros((4, 33), jnp.uint32),
+                      jnp.zeros(1, jnp.int32), bits=33)
 
 
 def test_device_cascaded_roundtrip(rng):

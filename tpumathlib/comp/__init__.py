@@ -287,10 +287,10 @@ def device_cascaded_compress(x, bits: int | None = None):
     """Compress a device int32 array (≙ nvcompBatchedCascadedCompressAsync
     with one chunk per call, device-resident in/out).
 
-    Returns (packed, meta): packed is a (G, bits) uint32 device array,
-    meta = (n, bits) for decompression. If ``bits`` is None it is derived
-    from the data (one host reduction); pass it explicitly to stay fully
-    on device.
+    Returns (payload, meta): payload = (packed (G, bits) uint32, leaders
+    (⌈G/4⌉,) int32 — the row-restart absolutes), meta = (n, bits) for
+    decompression. If ``bits`` is None it is derived from the data (one
+    host reduction); pass it explicitly to stay fully on device.
     """
     import jax.numpy as jnp_
 
@@ -302,19 +302,22 @@ def device_cascaded_compress(x, bits: int | None = None):
     pad = (-n) % 32
     if pad:
         x = jnp_.concatenate([x, jnp_.broadcast_to(x[-1], (pad,))])
-    packed = dx_compress(x, bits=bits)
-    return packed, (n, bits)
+    payload = dx_compress(x, bits=bits)
+    return payload, (n, bits)
 
 
-def device_cascaded_decompress(packed, meta):
-    """Decompress on device: (packed, (n, bits)) → int32 device array."""
+def device_cascaded_decompress(payload, meta):
+    """Decompress on device: ((packed, leaders), (n, bits)) → int32."""
     n, bits = meta
     from tpumathlib.dx.comp import dx_decompress
 
-    return dx_decompress(packed, n, bits=bits)
+    packed, leaders = payload
+    return dx_decompress(packed, leaders, n, bits=bits)
 
 
-def device_cascaded_ratio(meta, packed) -> float:
-    """Achieved compression ratio (input bytes / packed bytes)."""
+def device_cascaded_ratio(meta, payload) -> float:
+    """Achieved compression ratio (input bytes / packed+leader bytes)."""
     n, _ = meta
-    return (4.0 * n) / (4.0 * packed.shape[0] * packed.shape[1])
+    packed, leaders = payload
+    return (4.0 * n) / (4.0 * (packed.shape[0] * packed.shape[1]
+                               + leaders.shape[0]))

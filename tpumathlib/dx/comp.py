@@ -12,8 +12,17 @@ samples, LZ4 stays a host/native codec here.)
 
 The kernel builders are parameterized by (bits, tile) — the Pallas
 analogue of nvCOMPDx's `Size<>() + Direction<>()` compile-time
-composition. Delta state carries across grid steps in SMEM scratch, so a
-single kernel streams arbitrarily long buffers."""
+composition.
+
+Format (round-3 second pass): deltas RESTART at every 128-value row, with
+the row's first value stored absolute in a per-row leader word (+3.1%
+size at bits=8). nvCOMP's cascaded format is likewise partition-based
+(independently decodable chunks with headers); row restarts are the
+TPU-native partition size. The payoff is measured: the previous global
+delta chain forced a sequential carry across grid steps, capping decode
+at 11–28 GB/s (the sequential auto-grid's copy ceiling is 57 GB/s); the
+restarted format needs no carry, so the grid is parallel and decode runs
+at the streaming ceiling."""
 
 from __future__ import annotations
 
@@ -29,46 +38,52 @@ from tpumathlib.core.errors import check
 from tpumathlib.dx.pallas_utils import interpret_mode
 
 
+def _route_u32(x, s_bf16):
+    """Exact u32 routing matmul: x (R, K) uint32 through a 0/1 selection
+    matrix, decomposed into four 8-bit limbs — every limb is exact in
+    bf16 and each f32-accumulated sum stays < 2^15, so four SINGLE-PASS
+    MXU products replace the 16/16-split HIGHEST (6-pass) form (3x fewer
+    MXU passes; measured compute-bound at 256 MB scale)."""
+    out = None
+    for k in range(4):
+        limb = ((x >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)).astype(
+            jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+        part = jnp.dot(limb, s_bf16, preferred_element_type=jnp.float32)
+        p32 = part.astype(jnp.int32).astype(jnp.uint32) << jnp.uint32(8 * k)
+        # ADD, not OR: selection results have disjoint bit ranges (same
+        # thing), but triangular prefix sums carry across limb boundaries
+        out = p32 if out is None else out + p32
+    return out
+
+
 def _unpack_row(words, bits: int):
     """(R, 4·bits) uint32 words → (R, 128) uint32 values: each row holds
     four consecutive 32-value groups. Lane j of group g4 reads word
     wi = g4·bits + (j·bits)//32 at shift (j·bits)%32 (+ the next word when
     the field crosses a boundary).
 
-    The word→lane spreading is TWO exact f32 MXU matmuls against one-hot
-    matrices built from iotas (split 16/16 so every operand fits the f32
-    mantissa), followed by per-lane variable shifts — the round-2 version
+    The word→lane spreading runs on the MXU via _route_u32 one-hot
+    matmuls, followed by per-lane variable shifts — the round-2 version
     was a 128-step masked-select chain that left the kernel VPU-bound at
-    ~9 GB/s; this form decodes at MXU/DMA speed."""
+    ~9 GB/s."""
     mask = jnp.uint32((1 << bits) - 1) if bits < 32 else jnp.uint32(0xFFFFFFFF)
     r = words.shape[0]
     nw = 4 * bits
-    hp = jax.lax.Precision.HIGHEST  # DEFAULT would demote to bf16: inexact
     # per-lane constants from iotas (j = lane index within the 128 group)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     j32 = lane % 32
     wi = (lane // 32) * bits + (j32 * bits) // 32          # (1, 128)
     sh = (j32 * bits) % 32
     wrow = jax.lax.broadcasted_iota(jnp.int32, (nw, 128), 0)
-    s1 = (wrow == jnp.broadcast_to(wi, (nw, 128))).astype(jnp.float32)
-    s2 = (wrow == jnp.broadcast_to(wi + 1, (nw, 128))).astype(jnp.float32)
-    # Mosaic lacks direct uint32↔f32 casts: hop through int32 (both halves
-    # are < 2^16 so the int32 path is exact)
-    hi = (words >> jnp.uint32(16)).astype(jnp.int32).astype(jnp.float32)
-    lo = (words & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
+    s1 = (wrow == jnp.broadcast_to(wi, (nw, 128))).astype(jnp.bfloat16)
+    s2 = (wrow == jnp.broadcast_to(wi + 1, (nw, 128))).astype(jnp.bfloat16)
 
-    def spread(s):
-        h = jnp.dot(hi, s, preferred_element_type=jnp.float32, precision=hp)
-        l = jnp.dot(lo, s, preferred_element_type=jnp.float32, precision=hp)
-        return ((h.astype(jnp.int32).astype(jnp.uint32) << jnp.uint32(16))
-                | l.astype(jnp.int32).astype(jnp.uint32))
-
-    w1 = spread(s1)                                        # word wi per lane
+    w1 = _route_u32(words, s1)                             # word wi per lane
     shv = jnp.broadcast_to(sh, (r, 128)).astype(jnp.uint32)
     out = w1 >> shv
     if bits < 32:
         # fields crossing a word boundary borrow the next word's low bits
-        w2 = spread(s2)
+        w2 = _route_u32(words, s2)
         cross = jnp.broadcast_to(sh + bits > 32, (r, 128))
         # &31 keeps the (unused) non-crossing lanes' shift in range
         borrow = w2 << ((jnp.uint32(32) - shv) & jnp.uint32(31))
@@ -83,7 +98,6 @@ def _pack_row(vals, bits: int):
     bit-disjoint, so the f32 sums are exact ORs on 16-bit halves)."""
     r = vals.shape[0]
     nw = 4 * bits
-    hp = jax.lax.Precision.HIGHEST
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     j32 = lane % 32
     wi = (lane // 32) * bits + (j32 * bits) // 32
@@ -101,28 +115,26 @@ def _pack_row(vals, bits: int):
     lane_r = jax.lax.broadcasted_iota(jnp.int32, (128, nw), 0)
     j32r = lane_r % 32
     wir = (lane_r // 32) * bits + (j32r * bits) // 32
-    t1 = (wcol == wir).astype(jnp.float32)
-    t2 = (wcol == wir + 1).astype(jnp.float32)
-
-    def gather(x, t):
-        hi = (x >> jnp.uint32(16)).astype(jnp.int32).astype(jnp.float32)
-        lo = (x & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
-        h = jnp.dot(hi, t, preferred_element_type=jnp.float32, precision=hp)
-        l = jnp.dot(lo, t, preferred_element_type=jnp.float32, precision=hp)
-        return ((h.astype(jnp.int32).astype(jnp.uint32) << jnp.uint32(16))
-                | l.astype(jnp.int32).astype(jnp.uint32))
-
-    return gather(low, t1) | gather(carry, t2)
+    t1 = (wcol == wir).astype(jnp.bfloat16)
+    t2 = (wcol == wir + 1).astype(jnp.bfloat16)
+    # lanes→words via the exact limb matmuls: fields within a word are
+    # bit-disjoint, so limb sums over the ≤32 contributing lanes stay
+    # far inside the exact range
+    return _route_u32(low, t1) | _route_u32(carry, t2)
 
 
 def _cumsum_lanes(x):
-    """Inclusive prefix sum over the 128-lane axis (Hillis–Steele with
-    rolls — jnp.cumsum has no Mosaic lowering; lane width must be a
-    multiple of 128 so physical rolls equal logical rolls)."""
-    cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    for sh in (1, 2, 4, 8, 16, 32, 64):
-        x = x + jnp.where(cols >= sh, pltpu.roll(x, sh, axis=1), 0)
-    return x
+    """Inclusive prefix sum over the 128-lane axis as ONE MXU routing
+    product (jnp.cumsum has no Mosaic lowering; the earlier 7-stage
+    Hillis–Steele roll chain was the kernel's VPU bottleneck): two's-
+    complement 8-bit limbs against a lower-triangular ones matrix —
+    limb sums < 2^15 stay exact in f32 accumulation, and the limb
+    recombination wraps mod 2^32, which IS signed prefix addition."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    tri = (i <= j).astype(jnp.bfloat16)
+    u = x.astype(jnp.uint32)
+    return _route_u32(u, tri).astype(jnp.int32)
 
 
 def _cumsum_rows(x, n: int):
@@ -146,58 +158,55 @@ def _zigzag_dec(z):
 
 
 @functools.partial(jax.jit, static_argnames=("n", "bits", "tile"))
-def dx_decompress(packed, n: int = None, *, bits: int, tile: int = 64):
-    """In-kernel cascaded (delta+zigzag+bitpack) decode: packed (G, bits)
-    uint32 → int32 values (G·32,). The delta prefix-sum carry rides SMEM
-    across grid steps, so decode + consumption stay in one kernel launch
+def dx_decompress(packed, leaders, n: int = None, *, bits: int,
+                  tile: int = 512):
+    """In-kernel cascaded (row-restarted delta+zigzag+bitpack) decode:
+    packed (G, bits) uint32 + per-row leaders (G/4,) int32 → int32 values
+    (G·32,). No cross-row state → parallel grid at streaming speed
     (≙ nvCOMPDx decompress-then-compute)."""
     check(1 <= bits <= 32, "dx codec packs into 32-bit words: bits must be "
                            "1..32 (wider deltas silently wrap otherwise)")
     g = packed.shape[0]
     check(packed.shape[1] == bits, "packed shape must be (groups, bits)")
+    check(leaders.shape[0] == (g + 3) // 4,
+          "one leader per (possibly partial) 128-value row")
     gpad = (-g) % (4 * tile)
     if gpad:
         packed = jnp.pad(packed, ((0, gpad), (0, 0)))
     rows = packed.shape[0] // 4
+    if leaders.shape[0] != rows:
+        leaders = jnp.pad(leaders, (0, rows - leaders.shape[0]))
     pk = packed.reshape(rows, 4 * bits)  # 4 groups per 128-lane row
+    ld = leaders.reshape(rows, 1)
 
-    def kernel(p_ref, o_ref, carry):
-        i = pl.program_id(0)
-
-        @pl.when(i == 0)
-        def _():
-            carry[:] = jnp.zeros_like(carry)
-
+    def kernel(p_ref, l_ref, o_ref):
         z = _unpack_row(p_ref[:], bits)
         d = _zigzag_dec(z)                      # (tile, 128), row-major
-        within = _cumsum_lanes(d)
-        rowtot = within[:, 127:128]
-        rowoff = _cumsum_rows(rowtot, tile) - rowtot  # exclusive over rows
-        vals = within + rowoff + carry[0:1, 127:128]
-        carry[:] = vals[tile - 1:tile, :]
-        o_ref[:] = vals
+        o_ref[:] = _cumsum_lanes(d) + l_ref[:]  # delta[:,0] == 0 → leader
 
     out = pl.pallas_call(
         kernel,
         grid=(rows // tile,),
-        in_specs=[pl.BlockSpec((tile, 4 * bits), lambda i: (i, 0))],
+        in_specs=[pl.BlockSpec((tile, 4 * bits), lambda i: (i, 0)),
+                  pl.BlockSpec((tile, 1), lambda i: (i, 0))],
         out_specs=pl.BlockSpec((tile, 128), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((1, 128), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("parallel",)),
         interpret=interpret_mode(),
-    )(pk)
+    )(pk, ld)
     out = out.reshape(-1)[:g * 32]
     return out if n is None else out[:n]
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "tile"))
-def dx_compress(values, *, bits: int, tile: int = 64):
+def dx_compress(values, *, bits: int, tile: int = 512):
     """In-kernel cascaded encode: int32 values (multiple of 32) →
-    (G, bits) packed uint32. The caller picks the compile-time bit width
-    (≙ the Dx composition's static size); deltas must fit 2^bits after
-    zigzag — validate with dx_required_bits."""
+    (packed (G, bits) uint32, leaders (G/4,) int32). The caller picks the
+    compile-time bit width (≙ the Dx composition's static size);
+    within-row deltas must fit 2^bits after zigzag — validate with
+    dx_required_bits. Deltas restart per 128-value row (leader word holds
+    the row's first value), so encode carries no cross-block state."""
     check(1 <= bits <= 32, "dx codec packs into 32-bit words: bits must be "
                            "1..32 (use dx_required_bits to validate inputs)")
     n = values.shape[0]
@@ -210,43 +219,32 @@ def dx_compress(values, *, bits: int, tile: int = 64):
             [values, jnp.broadcast_to(values[-1], (pad * 32,))])
     rows = values.shape[0] // 128
 
-    def kernel(v_ref, o_ref, carry):
-        i = pl.program_id(0)
-
-        @pl.when(i == 0)
-        def _():
-            carry[:] = jnp.zeros_like(carry)
-
+    def kernel(v_ref, o_ref, l_ref):
         v = v_ref[:]                            # (tile, 128)
-        ridx = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (tile, 128), 1)
-        # previous element in row-major order, via rolls (concats at
-        # unaligned offsets don't lower in Mosaic)
-        lastcol = v[:, 127:128]
-        last_prev_row = pltpu.roll(lastcol, 1, axis=0)   # row r-1's col 127
-        last_prev_row = jnp.where(ridx == 0, carry[0:1, 127:128],
-                                  last_prev_row)
-        rolled = pltpu.roll(v, 1, axis=1)                # v[:, j-1] (wraps)
-        prev = jnp.where(cols == 0, last_prev_row, rolled)
-        delta = v - prev
-        carry[:] = v[tile - 1:tile, :]
+        rolled = pltpu.roll(v, 1, axis=1)       # v[:, j-1] (wraps)
+        # col 0 restarts: delta = 0, absolute value goes to the leader
+        delta = jnp.where(cols == 0, 0, v - rolled)
+        l_ref[:] = v[:, 0:1]
         # bitpack in-kernel via the MXU routing matmuls (_pack_row) — the
         # round-2 kernel pack was a masked-OR select chain that miscompiled
         # past 8 sublanes AND the XLA fallback loop ran at < 8 GB/s
         o_ref[:] = _pack_row(_zigzag_enc(delta), bits)
 
-    packed = pl.pallas_call(
+    packed, leaders = pl.pallas_call(
         kernel,
         grid=(rows // tile,),
         in_specs=[pl.BlockSpec((tile, 128), lambda i: (i, 0))],
-        out_specs=pl.BlockSpec((tile, 4 * bits), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((rows, 4 * bits), jnp.uint32),
-        scratch_shapes=[pltpu.VMEM((1, 128), jnp.int32)],
+        out_specs=[pl.BlockSpec((tile, 4 * bits), lambda i: (i, 0)),
+                   pl.BlockSpec((tile, 1), lambda i: (i, 0))],
+        out_shape=[jax.ShapeDtypeStruct((rows, 4 * bits), jnp.uint32),
+                   jax.ShapeDtypeStruct((rows, 1), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("parallel",)),
         interpret=interpret_mode(),
     )(values.reshape(rows, 128).astype(jnp.int32))
-    return packed.reshape(rows * 4, bits)[:g]
+    return (packed.reshape(rows * 4, bits)[:g],
+            leaders.reshape(rows)[:(g + 3) // 4])
 
 
 def dx_required_bits(values) -> int:
@@ -258,6 +256,7 @@ def dx_required_bits(values) -> int:
     and must go through the host cascaded codec instead."""
     v = np.asarray(values, np.int64)
     d = np.diff(v, prepend=0)
+    d[0::128] = 0                   # row restarts: leaders are absolute
     zz = (d << 1) ^ (d >> 63)
     req = max(int(zz.max()).bit_length(), 1) if len(zz) else 1
     if req > 32:
@@ -267,13 +266,13 @@ def dx_required_bits(values) -> int:
     return req
 
 
-def dx_decompress_dot(packed, w, *, bits: int, tile: int = 64,
+def dx_decompress_dot(packed, leaders, w, *, bits: int, tile: int = 64,
                       scale: float = 1.0):
     """Decompress-then-compute fusion (the nvCOMPDx selling point): decode
     int32 values in-kernel and immediately contract them against a dense
     matrix on the MXU without re-materializing the decoded buffer in HBM.
-    packed (G, bits) → values (G·32 = m·k)... here values form an (m, k)
-    i8-range matrix with m = rows(w-compatible): returns
+    packed (G, bits) + leaders → values (G·32 = m·k)... here values form
+    an (m, k) i8-range matrix with m = rows(w-compatible): returns
     (values.reshape(-1, w.shape[0]) · scale) @ w."""
     check(1 <= bits <= 32, "dx codec packs into 32-bit words: bits must be 1..32")
     k = w.shape[0]
@@ -284,20 +283,10 @@ def dx_decompress_dot(packed, w, *, bits: int, tile: int = 64,
     n_vals = g * 32
     m = n_vals // k
 
-    def kernel(p_ref, w_ref, o_ref, carry):
-        i = pl.program_id(0)
-
-        @pl.when(i == 0)
-        def _():
-            carry[:] = jnp.zeros_like(carry)
-
+    def kernel(p_ref, l_ref, w_ref, o_ref):
         z = _unpack_row(p_ref[:], bits)
         d = _zigzag_dec(z)
-        within = _cumsum_lanes(d)
-        rowtot = within[:, 127:128]
-        rowoff = _cumsum_rows(rowtot, p_ref.shape[0]) - rowtot
-        vals = within + rowoff + carry[0:1, 127:128]
-        carry[:] = vals[p_ref.shape[0] - 1:p_ref.shape[0], :]
+        vals = _cumsum_lanes(d) + l_ref[:]
         a = vals.astype(jnp.float32) * scale    # (rows, 128): k == 128
         o_ref[:] = jnp.dot(a, w_ref[:], preferred_element_type=jnp.float32,
                            precision=jax.lax.Precision.HIGHEST)
@@ -306,16 +295,17 @@ def dx_decompress_dot(packed, w, *, bits: int, tile: int = 64,
     rstep = max(1, min(tile, rows))
     check(rows % rstep == 0, "rows must tile the blocking")
     pk = packed.reshape(rows, 4 * bits)
+    ld = leaders.reshape(rows, 1)
     out = pl.pallas_call(
         kernel,
         grid=(rows // rstep,),
         in_specs=[pl.BlockSpec((rstep, 4 * bits), lambda i: (i, 0)),
+                  pl.BlockSpec((rstep, 1), lambda i: (i, 0)),
                   pl.BlockSpec((k, w.shape[1]), lambda i: (0, 0))],
         out_specs=pl.BlockSpec((rstep, w.shape[1]), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((m, w.shape[1]), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((1, 128), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("parallel",)),
         interpret=interpret_mode(),
-    )(pk, w.astype(jnp.float32))
+    )(pk, ld, w.astype(jnp.float32))
     return out
