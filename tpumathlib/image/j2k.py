@@ -103,11 +103,16 @@ def _subbands(h, w, levels):
     return out
 
 
-def j2k_encode(image, levels: int = 3) -> bytes:
-    """Lossless encode of a uint8 grayscale image (dims divisible by
-    2^levels). Device DWT; per-subband bitcomp+rANS entropy (each subband
-    gets its own bit width — LL carries ~2^levels-scaled values, detail
-    bands are near-zero)."""
+def j2k_encode(image, levels: int = 3, codestream: bool = True) -> bytes:
+    """Lossless encode. Default: a REAL .j2k codestream (reversible 5/3 +
+    full EBCOT Tier-1/2 + MQ coder, gray or RGB — decodes bit-exactly in
+    openjpeg; ≙ nvJPEG2000/nvJPEG2000-Encoder). codestream=False keeps
+    the legacy TMW1 container (device DWT + bitcomp/rANS subbands, uint8
+    grayscale with dims divisible by 2^levels)."""
+    if codestream:
+        from tpumathlib.image.j2k_encoder import j2k_encode_codestream
+
+        return j2k_encode_codestream(np.asarray(image), levels=levels)
     from tpumathlib.comp import ans_compress, bitcomp_compress
 
     img = np.asarray(image)
