@@ -458,3 +458,41 @@ def test_j2k_real_codestream_encode(rng):
             np.asarray(Image.open(io.BytesIO(blob))), img)
         if img is smooth:
             assert len(blob) < img.size  # really compresses
+
+
+def test_j2k_multitile_partial_decode(rng):
+    """Multi-tile codestreams + tile-partial region decode
+    (≙ nvJPEG2000-Decoder-Tile-Partial) and the pipelined batch decoder
+    (≙ nvJPEG2000-Decoder-Pipelined)."""
+    import io
+
+    from PIL import Image
+
+    from tpumathlib.image.j2k import j2k_decode, j2k_decode_batched
+
+    x = np.linspace(0, 4 * np.pi, 160)
+    img = ((np.sin(x)[:, None] * np.cos(x)[None, :]) * 100
+           + 128).astype(np.uint8)
+    rgb = np.stack([img, img.T, 255 - img], -1)
+    blobs = []
+    for arr in (img, rgb):
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, "JPEG2000", irreversible=False,
+                                  tile_size=(64, 64))
+        blobs.append(buf.getvalue())
+        np.testing.assert_array_equal(j2k_decode(blobs[-1]), arr)
+    # partial: only intersecting tiles are entropy-decoded
+    np.testing.assert_array_equal(
+        j2k_decode(blobs[0], region=(70, 100, 50, 40)),
+        img[70:120, 100:140])
+    # 9/7 multi-tile
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG2000", irreversible=True,
+                              tile_size=(128, 128))
+    oj = np.asarray(Image.open(io.BytesIO(buf.getvalue())))
+    assert np.abs(j2k_decode(buf.getvalue()).astype(int)
+                  - oj.astype(int)).max() <= 1
+    # pipelined batch decode
+    outs = j2k_decode_batched(blobs * 2)
+    np.testing.assert_array_equal(outs[0], img)
+    np.testing.assert_array_equal(outs[1], rgb)

@@ -141,11 +141,7 @@ def j2k_decode(blob: bytes, region: tuple | None = None) -> np.ndarray:
     if blob[:4] in (b"\xff\x4f\xff\x51", b"\x00\x00\x00\x0c"):
         from tpumathlib.image.j2k_codestream import j2k_decode_codestream
 
-        img = j2k_decode_codestream(blob)
-        if region is not None:
-            y0, x0, rh, rw = region
-            img = img[y0:y0 + rh, x0:x0 + rw]
-        return img
+        return j2k_decode_codestream(blob, region=region)
     from tpumathlib.comp import ans_decompress, bitcomp_decompress
 
     magic, h, w, levels = struct.unpack("<4sHHB", blob[:9])
@@ -167,3 +163,19 @@ def j2k_decode(blob: bytes, region: tuple | None = None) -> np.ndarray:
         y0, x0, rh, rw = region
         img = img[y0:y0 + rh, x0:x0 + rw]
     return img
+
+
+def j2k_decode_batched(blobs, nthreads: int | None = None) -> list:
+    """Decode many codestreams with a pool of decoder instances
+    (≙ nvJPEG2000/nvJPEG2000-Decoder-Pipelined — the reference overlaps
+    host parsing stages across images; Tier-1 here is host-bound, so a
+    thread pool is the TPU-native spelling)."""
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
+    blobs = list(blobs)
+    if not blobs:
+        return []
+    n = nthreads or min(max(_os.cpu_count() or 1, 1), 8, len(blobs))
+    with ThreadPoolExecutor(n) as ex:
+        return list(ex.map(j2k_decode, blobs))

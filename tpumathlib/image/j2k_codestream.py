@@ -467,16 +467,21 @@ def _unwrap_jp2(blob: bytes) -> bytes:
     raise NotSupportedError("no JPEG2000 codestream found")
 
 
-def j2k_decode_codestream(blob: bytes) -> np.ndarray:
-    """Decode a real .j2k/.jp2 stream (reversible 5/3, single tile,
-    default openjpeg lossless options). Returns uint8 (H, W) or (H, W, C).
+def j2k_decode_codestream(blob: bytes,
+                          region: tuple | None = None) -> np.ndarray:
+    """Decode a real .j2k/.jp2 stream (reversible 5/3 or irreversible
+    9/7; single- or multi-tile). Returns uint8 (H, W) or (H, W, C).
+    ``region`` = (y0, x0, h, w): only tiles intersecting the region are
+    entropy-decoded (the partial-decode contract), and the region is
+    returned.
 
-    ≙ nvJPEG2000/nvJPEG2000-Decoder/nvjpeg2000DecodeSample.cpp."""
+    ≙ nvJPEG2000/nvJPEG2000-Decoder/nvjpeg2000DecodeSample.cpp and
+    nvJPEG2000-Decoder-Tile-Partial."""
     blob = _unwrap_jp2(bytes(blob))
     check(blob[:2] == b"\xff\x4f", "not a JPEG2000 codestream (no SOC)")
     pos = 2
     siz = cod = qcd = None
-    tile_parts = []
+    tile_parts = {}
     while pos < len(blob):
         marker = struct.unpack_from(">H", blob, pos)[0]
         pos += 2
@@ -491,6 +496,7 @@ def j2k_decode_codestream(blob: bytes) -> np.ndarray:
         elif marker == 0xFF5C:
             qcd = seg
         elif marker == 0xFF90:  # SOT
+            isot = struct.unpack_from(">H", seg, 0)[0]
             psot = struct.unpack_from(">I", seg, 2)[0]
             tstart = pos - 2
             psot = psot or (len(blob) - tstart)
@@ -499,7 +505,8 @@ def j2k_decode_codestream(blob: bytes) -> np.ndarray:
             while struct.unpack_from(">H", blob, q)[0] != 0xFF93:
                 (l2,) = struct.unpack_from(">H", blob, q + 2)
                 q += 2 + l2
-            tile_parts.append(blob[q + 2:tstart + psot])
+            tile_parts.setdefault(isot, []).append(
+                blob[q + 2:tstart + psot])
             pos = tstart + psot
             continue
         pos += ln
@@ -510,8 +517,8 @@ def j2k_decode_codestream(blob: bytes) -> np.ndarray:
     # SIZ
     (_rsiz, xsiz, ysiz, x0, y0, xt, yt, xt0, yt0, ncomp) = struct.unpack_from(
         ">HIIIIIIIIH", siz, 0)
-    check(x0 == 0 and y0 == 0 and xt >= xsiz and yt >= ysiz,
-          "single-tile, zero-offset streams only")
+    check(x0 == 0 and y0 == 0 and xt0 == 0 and yt0 == 0,
+          "zero-offset streams only")
     comps = []
     for c in range(ncomp):
         ssiz, xr, yr = struct.unpack_from(">BBB", siz, 36 + 3 * c)
@@ -561,213 +568,242 @@ def j2k_decode_codestream(blob: bytes) -> np.ndarray:
             e0, m0 = exps[0], mants[0]
             exps, mants = [e0], [m0]
 
-    data = b"".join(tile_parts)
-
-    # geometry per component (all same here): resolution r in 0..nl
     def ll_dim(n, lev):
         return -(-n // (1 << lev))
 
-    w_full, h_full = xsiz, ysiz
+    def _decode_tile(data, w_full, h_full):
 
-    # band list per resolution: r=0 → [(band=0 LL, lev=nl)];
-    # r>=1 → HL,LH,HH at lev = nl - r + 1
-    def bands_for_res(r):
-        if r == 0:
-            return [(0, nl)]
-        lev = nl - r + 1
-        return [(1, lev), (2, lev), (3, lev)]
+        # band list per resolution: r=0 → [(band=0 LL, lev=nl)];
+        # r>=1 → HL,LH,HH at lev = nl - r + 1
+        def bands_for_res(r):
+            if r == 0:
+                return [(0, nl)]
+            lev = nl - r + 1
+            return [(1, lev), (2, lev), (3, lev)]
 
-    def band_dims(band, lev):
-        if band == 0:
-            return ll_dim(w_full, lev), ll_dim(h_full, lev)
-        wl = ll_dim(w_full, lev - 1)
-        hl_ = ll_dim(h_full, lev - 1)
-        wlo = ll_dim(w_full, lev)
-        hlo = ll_dim(h_full, lev)
-        if band == 1:   # HL: high horizontally
-            return wl - wlo, hlo
-        if band == 2:   # LH
-            return wlo, hl_ - hlo
-        return wl - wlo, hl_ - hlo
+        def band_dims(band, lev):
+            if band == 0:
+                return ll_dim(w_full, lev), ll_dim(h_full, lev)
+            wl = ll_dim(w_full, lev - 1)
+            hl_ = ll_dim(h_full, lev - 1)
+            wlo = ll_dim(w_full, lev)
+            hlo = ll_dim(h_full, lev)
+            if band == 1:   # HL: high horizontally
+                return wl - wlo, hlo
+            if band == 2:   # LH
+                return wlo, hl_ - hlo
+            return wl - wlo, hl_ - hlo
 
-    # band index in the QCD exponent list
-    def qcd_index(r, band):
-        return 0 if r == 0 else 1 + 3 * (r - 1) + (band - 1)
+        # band index in the QCD exponent list
+        def qcd_index(r, band):
+            return 0 if r == 0 else 1 + 3 * (r - 1) + (band - 1)
 
-    def quant_params(r, band, lev):
-        """(ε_b, μ_b) — scalar-derived bands follow the LL entry with the
-        exponent dropping one per resolution (Annex E.1.1)."""
-        if reversible or qstyle == 2:
-            i = qcd_index(r, band)
-            return exps[i], mants[i]
-        return exps[0] - (nl - lev), mants[0]
+        def quant_params(r, band, lev):
+            """(ε_b, μ_b) — scalar-derived bands follow the LL entry with the
+            exponent dropping one per resolution (Annex E.1.1)."""
+            if reversible or qstyle == 2:
+                i = qcd_index(r, band)
+                return exps[i], mants[i]
+            return exps[0] - (nl - lev), mants[0]
 
-    # per-component band coefficient arrays
-    coeffs = [{} for _ in range(ncomp)]
-    # per-resolution geometry: effective code-block sizes are clamped by
-    # the precinct (Annex B.7), precinct counts come from the RESOLUTION
-    # grid, band-space precincts are half-size for r >= 1
-    res_geom = []
-    for r in range(nl + 1):
-        ppx, ppy = prec[r]
-        xcb_r = min(xcb, ppx - (1 if r else 0))
-        ycb_r = min(ycb, ppy - (1 if r else 0))
-        res_w = ll_dim(w_full, nl - r)
-        res_h = ll_dim(h_full, nl - r)
-        npw = -(-res_w // (1 << ppx)) if res_w else 0
-        nph = -(-res_h // (1 << ppy)) if res_h else 0
-        pbw = 1 << (ppx - (1 if r else 0))   # precinct size in band coords
-        pbh = 1 << (ppy - (1 if r else 0))
-        res_geom.append((xcb_r, ycb_r, npw, nph, pbw, pbh))
-    # tag trees are PER (comp, res, band, precinct); Lblock + seen are
-    # per code-block (global band grid)
-    state = {}
-    for c in range(ncomp):
+        # per-component band coefficient arrays
+        coeffs = [{} for _ in range(ncomp)]
+        # per-resolution geometry: effective code-block sizes are clamped by
+        # the precinct (Annex B.7), precinct counts come from the RESOLUTION
+        # grid, band-space precincts are half-size for r >= 1
+        res_geom = []
         for r in range(nl + 1):
-            xcb_r, ycb_r, npw, nph, pbw, pbh = res_geom[r]
-            for band, lev in bands_for_res(r):
-                bw, bh = band_dims(band, lev)
-                ncx = -(-bw // (1 << xcb_r)) if bw else 0
-                ncy = -(-bh // (1 << ycb_r)) if bh else 0
-                state[(c, r, band)] = {
-                    "trees": {},        # precinct -> (incl, zbp) TagTrees
-                    "lblk": np.full((max(ncy, 1), max(ncx, 1)), 3, np.int32),
-                    "ncx": ncx, "ncy": ncy, "bw": bw, "bh": bh,
-                    "seen": set(),
-                }
-                coeffs[c][(r, band)] = np.zeros((bh, bw), np.int32)
+            ppx, ppy = prec[r]
+            xcb_r = min(xcb, ppx - (1 if r else 0))
+            ycb_r = min(ycb, ppy - (1 if r else 0))
+            res_w = ll_dim(w_full, nl - r)
+            res_h = ll_dim(h_full, nl - r)
+            npw = -(-res_w // (1 << ppx)) if res_w else 0
+            nph = -(-res_h // (1 << ppy)) if res_h else 0
+            pbw = 1 << (ppx - (1 if r else 0))   # precinct size in band coords
+            pbh = 1 << (ppy - (1 if r else 0))
+            res_geom.append((xcb_r, ycb_r, npw, nph, pbw, pbh))
+        # tag trees are PER (comp, res, band, precinct); Lblock + seen are
+        # per code-block (global band grid)
+        state = {}
+        for c in range(ncomp):
+            for r in range(nl + 1):
+                xcb_r, ycb_r, npw, nph, pbw, pbh = res_geom[r]
+                for band, lev in bands_for_res(r):
+                    bw, bh = band_dims(band, lev)
+                    ncx = -(-bw // (1 << xcb_r)) if bw else 0
+                    ncy = -(-bh // (1 << ycb_r)) if bh else 0
+                    state[(c, r, band)] = {
+                        "trees": {},        # precinct -> (incl, zbp) TagTrees
+                        "lblk": np.full((max(ncy, 1), max(ncx, 1)), 3, np.int32),
+                        "ncx": ncx, "ncy": ncy, "bw": bw, "bh": bh,
+                        "seen": set(),
+                    }
+                    coeffs[c][(r, band)] = np.zeros((bh, bw), np.int32)
 
-    def precinct_cbs(st, r, px, py):
-        """Code-block index window [cx0, cx1) x [cy0, cy1) of precinct
-        (px, py) in this band, and the per-precinct tag trees."""
-        xcb_r, ycb_r, npw, nph, pbw, pbh = res_geom[r]
-        cpp_x = pbw >> xcb_r              # cb columns per precinct
-        cpp_y = pbh >> ycb_r
-        cx0 = px * cpp_x
-        cy0 = py * cpp_y
-        cx1 = min(cx0 + cpp_x, st["ncx"])
-        cy1 = min(cy0 + cpp_y, st["ncy"])
-        key = (px, py)
-        if key not in st["trees"]:
-            st["trees"][key] = (
-                TagTree(max(cx1 - cx0, 1), max(cy1 - cy0, 1)),
-                TagTree(max(cx1 - cx0, 1), max(cy1 - cy0, 1)))
-        return cx0, cy0, cx1, cy1, st["trees"][key]
-
-    pos = 0
-    for layer in range(nlayers):
-        for r in range(nl + 1):
+        def precinct_cbs(st, r, px, py):
+            """Code-block index window [cx0, cx1) x [cy0, cy1) of precinct
+            (px, py) in this band, and the per-precinct tag trees."""
             xcb_r, ycb_r, npw, nph, pbw, pbh = res_geom[r]
-            for c in range(ncomp):
-                for py in range(nph):
-                    for px in range(npw):
-                        rd = _HeaderBits(data, pos)
-                        if not rd.bit():          # zero-length packet
+            cpp_x = pbw >> xcb_r              # cb columns per precinct
+            cpp_y = pbh >> ycb_r
+            cx0 = px * cpp_x
+            cy0 = py * cpp_y
+            cx1 = min(cx0 + cpp_x, st["ncx"])
+            cy1 = min(cy0 + cpp_y, st["ncy"])
+            key = (px, py)
+            if key not in st["trees"]:
+                st["trees"][key] = (
+                    TagTree(max(cx1 - cx0, 1), max(cy1 - cy0, 1)),
+                    TagTree(max(cx1 - cx0, 1), max(cy1 - cy0, 1)))
+            return cx0, cy0, cx1, cy1, st["trees"][key]
+
+        pos = 0
+        for layer in range(nlayers):
+            for r in range(nl + 1):
+                xcb_r, ycb_r, npw, nph, pbw, pbh = res_geom[r]
+                for c in range(ncomp):
+                    for py in range(nph):
+                        for px in range(npw):
+                            rd = _HeaderBits(data, pos)
+                            if not rd.bit():          # zero-length packet
+                                rd.align()
+                                pos = rd.pos
+                                continue
+                            blocks = []
+                            for band, lev in bands_for_res(r):
+                                st = state[(c, r, band)]
+                                cx0, cy0, cx1, cy1, (incl_t, zbp_t) = \
+                                    precinct_cbs(st, r, px, py)
+                                for cy in range(cy0, cy1):
+                                    for cx in range(cx0, cx1):
+                                        incl = incl_t.decode(
+                                            cx - cx0, cy - cy0, layer + 1, rd)
+                                        if not incl:
+                                            continue
+                                        first = (cx, cy) not in st["seen"]
+                                        st["seen"].add((cx, cy))
+                                        if first:
+                                            t = 1
+                                            while not zbp_t.decode(
+                                                    cx - cx0, cy - cy0, t, rd):
+                                                t += 1
+                                        zbp = zbp_t.value(cx - cx0, cy - cy0)
+                                        # number of passes
+                                        if not rd.bit():
+                                            np_ = 1
+                                        elif not rd.bit():
+                                            np_ = 2
+                                        else:
+                                            v = rd.bits(2)
+                                            if v < 3:
+                                                np_ = 3 + v
+                                            else:
+                                                v = rd.bits(5)
+                                                if v < 31:
+                                                    np_ = 6 + v
+                                                else:
+                                                    np_ = 37 + rd.bits(7)
+                                        while rd.bit():
+                                            st["lblk"][cy, cx] += 1
+                                        nbits = int(st["lblk"][cy, cx]) \
+                                            + int(math.floor(math.log2(np_)))
+                                        ln_ = rd.bits(nbits)
+                                        blocks.append((c, r, band, lev, cx, cy,
+                                                       zbp, np_, ln_))
                             rd.align()
                             pos = rd.pos
-                            continue
-                        blocks = []
-                        for band, lev in bands_for_res(r):
-                            st = state[(c, r, band)]
-                            cx0, cy0, cx1, cy1, (incl_t, zbp_t) = \
-                                precinct_cbs(st, r, px, py)
-                            for cy in range(cy0, cy1):
-                                for cx in range(cx0, cx1):
-                                    incl = incl_t.decode(
-                                        cx - cx0, cy - cy0, layer + 1, rd)
-                                    if not incl:
-                                        continue
-                                    first = (cx, cy) not in st["seen"]
-                                    st["seen"].add((cx, cy))
-                                    if first:
-                                        t = 1
-                                        while not zbp_t.decode(
-                                                cx - cx0, cy - cy0, t, rd):
-                                            t += 1
-                                    zbp = zbp_t.value(cx - cx0, cy - cy0)
-                                    # number of passes
-                                    if not rd.bit():
-                                        np_ = 1
-                                    elif not rd.bit():
-                                        np_ = 2
-                                    else:
-                                        v = rd.bits(2)
-                                        if v < 3:
-                                            np_ = 3 + v
-                                        else:
-                                            v = rd.bits(5)
-                                            if v < 31:
-                                                np_ = 6 + v
-                                            else:
-                                                np_ = 37 + rd.bits(7)
-                                    while rd.bit():
-                                        st["lblk"][cy, cx] += 1
-                                    nbits = int(st["lblk"][cy, cx]) \
-                                        + int(math.floor(math.log2(np_)))
-                                    ln_ = rd.bits(nbits)
-                                    blocks.append((c, r, band, lev, cx, cy,
-                                                   zbp, np_, ln_))
-                        rd.align()
-                        pos = rd.pos
-                        for (cc, rr, band, lev, cx, cy, zbp, np_,
-                             ln_) in blocks:
-                            st = state[(cc, rr, band)]
-                            x0b = cx << xcb_r
-                            y0b = cy << ycb_r
-                            bw = min(1 << xcb_r, st["bw"] - x0b)
-                            bh = min(1 << ycb_r, st["bh"] - y0b)
-                            eps_b, _ = quant_params(rr, band, lev)
-                            mb = guard + eps_b - 1
-                            numbps = mb - zbp
-                            blk = decode_codeblock(data[pos:pos + ln_],
-                                                   bw, bh, numbps, np_,
-                                                   band)
-                            coeffs[cc][(rr, band)][
-                                y0b:y0b + bh, x0b:x0b + bw] = blk
-                            pos += ln_
+                            for (cc, rr, band, lev, cx, cy, zbp, np_,
+                                 ln_) in blocks:
+                                st = state[(cc, rr, band)]
+                                x0b = cx << xcb_r
+                                y0b = cy << ycb_r
+                                bw = min(1 << xcb_r, st["bw"] - x0b)
+                                bh = min(1 << ycb_r, st["bh"] - y0b)
+                                eps_b, _ = quant_params(rr, band, lev)
+                                mb = guard + eps_b - 1
+                                numbps = mb - zbp
+                                blk = decode_codeblock(data[pos:pos + ln_],
+                                                       bw, bh, numbps, np_,
+                                                       band)
+                                coeffs[cc][(rr, band)][
+                                    y0b:y0b + bh, x0b:x0b + bw] = blk
+                                pos += ln_
 
-    # synthesis per component
-    _GAIN = {0: 0, 1: 1, 2: 1, 3: 2}
+        # synthesis per component
+        _GAIN = {0: 0, 1: 1, 2: 1, 3: 2}
 
-    def dequant(q, r, band, lev, depth):
-        """Annex E midpoint reconstruction: v = sign·(|q|+0.5)·Δ_b with
-        Δ_b = 2^(R_b−ε_b)·(1+μ_b/2^11), R_b = depth + band gain."""
-        eps_b, mu_b = quant_params(r, band, lev)
-        delta = 2.0 ** (depth + _GAIN[band] - eps_b) * (1.0 + mu_b / 2048.0)
-        mag = np.abs(q).astype(np.float64)
-        return np.where(q == 0, 0.0, np.sign(q) * (mag + 0.5) * delta)
+        def dequant(q, r, band, lev, depth):
+            """Annex E midpoint reconstruction: v = sign·(|q|+0.5)·Δ_b with
+            Δ_b = 2^(R_b−ε_b)·(1+μ_b/2^11), R_b = depth + band gain."""
+            eps_b, mu_b = quant_params(r, band, lev)
+            delta = 2.0 ** (depth + _GAIN[band] - eps_b) * (1.0 + mu_b / 2048.0)
+            mag = np.abs(q).astype(np.float64)
+            return np.where(q == 0, 0.0, np.sign(q) * (mag + 0.5) * delta)
 
-    planes = []
-    for c in range(ncomp):
-        depth = comps[c]["depth"]
-        if reversible:
-            cur = coeffs[c][(0, 0)].astype(np.int64)
-            for r in range(1, nl + 1):
-                cur = _sr2d(cur, coeffs[c][(r, 1)].astype(np.int64),
-                            coeffs[c][(r, 2)].astype(np.int64),
-                            coeffs[c][(r, 3)].astype(np.int64))
-        else:
-            cur = dequant(coeffs[c][(0, 0)], 0, 0, nl, depth)
-            for r in range(1, nl + 1):
-                lev = nl - r + 1
-                cur = _sr2d_97(cur,
-                               dequant(coeffs[c][(r, 1)], r, 1, lev, depth),
-                               dequant(coeffs[c][(r, 2)], r, 2, lev, depth),
-                               dequant(coeffs[c][(r, 3)], r, 3, lev, depth))
-        planes.append(cur)
+        planes = []
+        for c in range(ncomp):
+            depth = comps[c]["depth"]
+            if reversible:
+                cur = coeffs[c][(0, 0)].astype(np.int64)
+                for r in range(1, nl + 1):
+                    cur = _sr2d(cur, coeffs[c][(r, 1)].astype(np.int64),
+                                coeffs[c][(r, 2)].astype(np.int64),
+                                coeffs[c][(r, 3)].astype(np.int64))
+            else:
+                cur = dequant(coeffs[c][(0, 0)], 0, 0, nl, depth)
+                for r in range(1, nl + 1):
+                    lev = nl - r + 1
+                    cur = _sr2d_97(cur,
+                                   dequant(coeffs[c][(r, 1)], r, 1, lev, depth),
+                                   dequant(coeffs[c][(r, 2)], r, 2, lev, depth),
+                                   dequant(coeffs[c][(r, 3)], r, 3, lev, depth))
+            planes.append(cur)
 
-    if mct and ncomp >= 3:
-        if reversible:                      # RCT inverse
-            y_, cb, cr = planes[0], planes[1], planes[2]
-            g = y_ - ((cb + cr) >> 2)
-            r_ = cr + g
-            b_ = cb + g
-        else:                               # ICT inverse (irreversible)
-            y_, cb, cr = planes[0], planes[1], planes[2]
-            r_ = y_ + 1.402 * cr
-            g = y_ - 0.344136 * cb - 0.714136 * cr
-            b_ = y_ + 1.772 * cb
-        planes[0], planes[1], planes[2] = r_, g, b_
+        if mct and ncomp >= 3:
+            if reversible:                      # RCT inverse
+                y_, cb, cr = planes[0], planes[1], planes[2]
+                g = y_ - ((cb + cr) >> 2)
+                r_ = cr + g
+                b_ = cb + g
+            else:                               # ICT inverse (irreversible)
+                y_, cb, cr = planes[0], planes[1], planes[2]
+                r_ = y_ + 1.402 * cr
+                g = y_ - 0.344136 * cb - 0.714136 * cr
+                b_ = y_ + 1.772 * cb
+            planes[0], planes[1], planes[2] = r_, g, b_
+        return planes
+
+    ntx = -(-xsiz // xt)
+    nty = -(-ysiz // yt)
+    if ntx * nty > 1:
+        # tile grid: band/code-block anchors coincide with per-tile-size
+        # geometry only when the tile side is a multiple of 2^nl (and of
+        # the code-block size) — the common openjpeg configuration
+        # (≙ nvJPEG2000-Decoder-Tile-Partial); reject the exotic rest
+        check(xt % (1 << max(nl, xcb)) == 0
+              and yt % (1 << max(nl, ycb)) == 0,
+              "tile size must be a multiple of 2^levels and the "
+              "code-block size", err=NotSupportedError)
+    full = [np.zeros((ysiz, xsiz), np.float64 if wavelet == 0
+                     else np.int64) for _ in range(ncomp)]
+    for ty in range(nty):
+        for tx in range(ntx):
+            isot = ty * ntx + tx
+            tx0, ty0 = tx * xt, ty * yt
+            tw = min(xt, xsiz - tx0)
+            th = min(yt, ysiz - ty0)
+            if region is not None:
+                ry, rx, rh, rw = region
+                if (ty0 + th <= ry or ty0 >= ry + rh
+                        or tx0 + tw <= rx or tx0 >= rx + rw):
+                    continue        # partial decode: skip unneeded tiles
+            parts = tile_parts.get(isot)
+            check(parts is not None, f"missing tile {isot}")
+            tp = _decode_tile(b"".join(parts), tw, th)
+            for c in range(ncomp):
+                full[c][ty0:ty0 + th, tx0:tx0 + tw] = tp[c]
+    planes = full
     out = []
     for c in range(ncomp):
         depth = comps[c]["depth"]
@@ -776,5 +812,9 @@ def j2k_decode_codestream(blob: bytes) -> np.ndarray:
             v = np.floor(v + 0.5)
         out.append(np.clip(v, 0, (1 << depth) - 1))
     arr = out[0] if ncomp == 1 else np.stack(out, axis=-1)
-    return arr.astype(np.uint8 if max(x["depth"] for x in comps) <= 8
-                      else np.uint16)
+    arr = arr.astype(np.uint8 if max(x["depth"] for x in comps) <= 8
+                     else np.uint16)
+    if region is not None:
+        ry, rx, rh, rw = region
+        arr = arr[ry:ry + rh, rx:rx + rw]
+    return arr
