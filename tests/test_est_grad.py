@@ -191,3 +191,29 @@ def test_sad_guess():
     e_sad, _, _, it_sad = est.rhf(mol, guess="sad", return_iters=True)
     np.testing.assert_allclose(e_sad, e_core, atol=1e-8)
     assert it_sad < it_core
+
+
+def test_rhf_d_polarized_basis():
+    """d shells through the full SCF stack (the general-l integral path):
+    a d-polarized H2 basis lowers the variational energy and the total is
+    invariant under rigid rotation."""
+    from tpumathlib.apps.est import GShell, _normalize, rhf, sto3g_shells
+
+    def shells_for(mol):
+        base = sto3g_shells(mol)
+        for xyz in np.asarray(mol.coords, float):
+            base.append(_normalize(GShell(
+                2, np.array([0.8]), np.array([1.0]), xyz)))
+        return base
+
+    mol = H2
+    e0, _, _ = rhf(mol)
+    ed, _, _ = rhf(mol, shells=shells_for(mol))
+    assert ed < e0 - 1e-4            # variational gain from polarization
+    # rotational invariance of the Cartesian d block
+    th = 0.7
+    rot = np.array([[np.cos(th), -np.sin(th), 0],
+                    [np.sin(th), np.cos(th), 0], [0, 0, 1.0]])
+    mol2 = Molecule(mol.symbols, np.asarray(mol.coords) @ rot.T)
+    ed2, _, _ = rhf(mol2, shells=shells_for(mol2))
+    np.testing.assert_allclose(ed2, ed, atol=1e-8)

@@ -306,7 +306,7 @@ class DFTensors:
 
 def rhf(mol: Molecule, max_iters: int = 80, conv: float = 1e-9,
         density_fit: bool = False, guess: str = "core",
-        return_iters: bool = False):
+        return_iters: bool = False, shells=None):
     """General-ℓ restricted Hartree–Fock with DIIS. Returns
     (E_total, C, eps) — plus the iteration count when return_iters.
     density_fit=True builds J/K from DF tensors. guess: "core" (Hcore
@@ -318,8 +318,11 @@ def rhf(mol: Molecule, max_iters: int = 80, conv: float = 1e-9,
     algebra (DIIS extrapolation, generalized eigensolve, energy
     accumulation) stays in host f64. The SCF fixed point is variational,
     so an O(1e-5) f32 Fock perturbation enters the final f64 energy only
-    at second order — reference-accuracy totals on an f32-only chip."""
-    shells = sto3g_shells(mol)
+    at second order — reference-accuracy totals on an f32-only chip.
+
+    ``shells`` overrides the basis (e.g. d-polarized sets — the
+    general-ℓ integrals accept any Cartesian shell list)."""
+    shells = shells if shells is not None else sto3g_shells(mol)
     s = overlap(shells)
     hcore = kinetic(shells) + nuclear(shells, mol)
     nocc = mol.nelec // 2
