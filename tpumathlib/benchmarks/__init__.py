@@ -96,9 +96,11 @@ def bench_spmv(n=100_000, nnz_per_row=32) -> dict:
 
 def bench_spmv_bell(mb=128, nb=128, ellw=32, bs=128) -> dict:
     """Blocked-ELL SpMV (the TPU-native sparse format): SpmvPlan
-    analysis outside the timed loop (the cuSPARSE descriptor lifecycle),
-    execute at the measured A-stream ceiling — 218 GB/s on a v5e
-    (~4e-6 rel) vs 1.5 GB/s for gather-bound unstructured CSR."""
+    analysis outside the timed loop (the cuSPARSE descriptor lifecycle).
+    Measured on a v5e (~4e-6 rel): 171 GB/s with the solver-style
+    fed-back chain (x changes per call: per-call split/broadcast prep
+    included), 225 GB/s with constant x — vs 1.5 GB/s for gather-bound
+    unstructured CSR."""
     import jax
     import jax.numpy as jnp
 
@@ -114,12 +116,31 @@ def bench_spmv_bell(mb=128, nb=128, ellw=32, bs=128) -> dict:
     x = jnp.asarray(rng.normal(size=n), jnp.float32)
     plan = SpmvPlan(BlockedELL(cols_j, data, (mb * bs, n), bs))
 
-    def step(c):
-        ah, al, v = c
-        p = SpmvPlan.from_parts(cols_j, ah, al, (mb * bs, n), bs)
-        return ah, al, p.execute(v).astype(v.dtype)[:n]
+    # the bf16 planes are jit ARGUMENTS closed over by the loop body, NOT
+    # part of the fori carry — carrying them would copy 268 MB/iteration
+    # (measured: 155 vs 225 GB/s) — and NOT closure constants (axon 413)
+    import time as _time
 
-    t = _amortized_seconds(step, (plan.ah, plan.al, x), chain=20)
+    chain = 20
+
+    def run(ah, al, v0):
+        p = SpmvPlan.from_parts(cols_j, ah, al, (mb * bs, n), bs)
+
+        def body(_, c):
+            v, s = c
+            y = p.execute(v).astype(v.dtype)[:n]
+            return y, s + y[0]
+
+        _, s = jax.lax.fori_loop(0, chain, body, (v0, jnp.float32(0)))
+        return s
+
+    g = jax.jit(run)
+    float(g(plan.ah, plan.al, x))
+    t = float("inf")
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        float(g(plan.ah, plan.al, x))
+        t = min(t, (_time.perf_counter() - t0) / chain)
     nnz = mb * ellw * bs * bs
     bytes_moved = nnz * 4 + n * 4 + mb * bs * 4
     return {"bench": "spmv_blockedell", "n": n, "nnz": nnz, "ms": t * 1e3,

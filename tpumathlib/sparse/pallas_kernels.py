@@ -175,6 +175,10 @@ def _bell_split_kernel(bs: int, mb: int, ellw: int, n: int):
                                                   (al_hbm, abuf_l)))]
 
         def o_store(slot, i):
+            if bs == 128:
+                return pltpu.make_async_copy(
+                    obuf.at[slot], o_hbm.at[pl.ds(i, 1), :],
+                    osem.at[slot])
             return pltpu.make_async_copy(
                 obuf.at[slot], o_hbm.at[pl.ds(i * bs, bs), :],
                 osem.at[slot])
@@ -213,13 +217,30 @@ def _bell_split_kernel(bs: int, mb: int, ellw: int, n: int):
             bl_cat = jnp.concatenate(
                 [bl[pl.ds(cols_ref[i, j] * bs, bs), :]
                  for j in range(ellw)], axis=0)
-            obuf[slot] = (
-                jnp.dot(ah_cat, bh_cat,
-                        preferred_element_type=jnp.float32)
-                + jnp.dot(ah_cat, bl_cat,
-                          preferred_element_type=jnp.float32)
-                + jnp.dot(al_cat, bh_cat,
-                          preferred_element_type=jnp.float32))
+            acc = (jnp.dot(ah_cat, bh_cat,
+                           preferred_element_type=jnp.float32)
+                   + jnp.dot(ah_cat, bl_cat,
+                             preferred_element_type=jnp.float32)
+                   + jnp.dot(al_cat, bh_cat,
+                             preferred_element_type=jnp.float32))
+            if bs == 128:
+                # broadcast x makes all 128 output columns identical, so
+                # the lane-oriented y row is acc's diagonal — emit ONE
+                # (1, 128) row per block (128x less output traffic than
+                # storing the tile and lane-slicing it afterwards)
+                ii = jax.lax.broadcasted_iota(jnp.int32, (bs, 128), 0)
+                jj = jax.lax.broadcasted_iota(jnp.int32, (bs, 128), 1)
+                masked = jnp.where(ii == jj, acc, 0.0)
+                # colsum on the MXU — a cross-sublane VPU reduce here was
+                # measured to cost ~0.4 ms over the 128 block-rows
+                ones_row = (ii[0:1] >= 0).astype(jnp.float32)
+                # HIGHEST: each column has ONE nonzero — the dot is a
+                # selection and must not demote the f32 values to bf16
+                obuf[slot] = jnp.dot(ones_row, masked,
+                                     preferred_element_type=jnp.float32,
+                                     precision=jax.lax.Precision.HIGHEST)
+            else:
+                obuf[slot] = acc
             o_store(slot, i).start()
             return ()
 
@@ -261,16 +282,23 @@ class SpmvPlan:
 
     def execute(self, x, alpha=1.0):
         m, n = self.shape
-        xb = jnp.zeros((n, 128), jnp.float32).at[:, 0].set(
-            jnp.asarray(x, jnp.float32))
-        xh = xb.astype(jnp.bfloat16)
-        xl = (xb - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+        # split on the (n,) VECTOR, then broadcast: the x-prep is the only
+        # per-call XLA work and must stay far below the 268 MB A-stream
+        # (an earlier zeros+set+f32-plane version cost ~0.5 ms/call)
+        x32 = jnp.asarray(x, jnp.float32)
+        xh1 = x32.astype(jnp.bfloat16)
+        xl1 = (x32 - xh1.astype(jnp.float32)).astype(jnp.bfloat16)
+        xh = jnp.broadcast_to(xh1[:, None], (n, 128))
+        xl = jnp.broadcast_to(xl1[:, None], (n, 128))
+        compact = self.bs == 128
+        out_shape = ((self.mb, 128) if compact else (m, 128))
+        obuf_shape = ((2, 1, 128) if compact else (2, self.bs, 128))
         out = pl.pallas_call(
             _bell_split_kernel(self.bs, self.mb, self.ellw, n),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            out_shape=jax.ShapeDtypeStruct((m, 128), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
             scratch_shapes=[
                 pltpu.VMEM((n, 128), jnp.bfloat16),
                 pltpu.VMEM((n, 128), jnp.bfloat16),
@@ -278,7 +306,7 @@ class SpmvPlan:
                            jnp.bfloat16),
                 pltpu.VMEM((2, self.ellw, self.bs, self.bs),
                            jnp.bfloat16),
-                pltpu.VMEM((2, self.bs, 128), jnp.float32),
+                pltpu.VMEM(obuf_shape, jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2, 2)),
                 pltpu.SemaphoreType.DMA((2,)),
@@ -286,4 +314,6 @@ class SpmvPlan:
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret_mode(),
         )(self.cols, self.ah, self.al, xh, xl)
+        if compact:
+            return alpha * out.reshape(-1)[:m]
         return alpha * out[:, 0]
