@@ -163,12 +163,30 @@ def bench_spmm_bell(mb=128, nb=128, ellw=16, bs=128, k=4096) -> dict:
     data = jnp.asarray(rng.normal(size=(mb, ellw, bs, bs)), jnp.bfloat16)
     b = jnp.asarray(rng.normal(size=(n, k)), jnp.bfloat16)
 
-    def step(c):
-        d, v = c
-        a = BlockedELL(cols_j, d, (mb * bs, n), bs)
-        return d, spmm(a, v).astype(v.dtype)
+    # A data is a loop-invariant jit ARG (a fori carry would copy the
+    # 134 MB every iteration — the same artifact fixed in bench_spmv_bell)
+    import time as _time
 
-    t = _amortized_seconds(step, (data, b), chain=20)
+    chain = 20
+
+    def run(d, v0):
+        a = BlockedELL(cols_j, d, (mb * bs, n), bs)
+
+        def body(_, c):
+            v, s = c
+            y = spmm(a, v).astype(v.dtype)
+            return y, s + y[0, 0].astype(jnp.float32)
+
+        _, s = jax.lax.fori_loop(0, chain, body, (v0, jnp.float32(0)))
+        return s
+
+    g = jax.jit(run)
+    float(g(data, b))
+    t = float("inf")
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        float(g(data, b))
+        t = min(t, (_time.perf_counter() - t0) / chain)
     flops = 2 * mb * ellw * bs * bs * k
     return {"bench": "spmm_blockedell_bf16", "n": n, "k": k, "ms": t * 1e3,
             "tflops": flops / t / 1e12}
