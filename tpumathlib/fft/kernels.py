@@ -318,25 +318,63 @@ def rfft_planar(x):
     """R2C over the last axis: real f32 → planar half spectrum
     (..., n//2+1). Unnormalized forward (cuFFT convention).
 
+    Even batches use the two-for-one packing: adjacent real rows ride one
+    complex row (z = a + i·b, A = (Z + Z̄rev)/2, B = (Z − Z̄rev)/2i) —
+    the plain spelling streams a zero imaginary plane through the C2C
+    engine, wasting half the FFT bandwidth.
+
     ≙ cufftExecR2C (cuFFT/1d_r2c/1d_r2c_example.cpp) executing on device —
     the round-2 jnp.fft.rfftn routing could not run on this backend.
     """
     n = x.shape[-1]
     x = x.astype(jnp.float32)
+    h = n // 2 + 1
+    if x.ndim >= 2 and x.shape[-2] % 2 == 0 and n >= 256 \
+            and (n & (n - 1)) == 0:
+        a = x[..., 0::2, :]
+        b = x[..., 1::2, :]
+        zr, zi = fft_axis_planar(a, b)
+        zr_rev = jnp.concatenate([zr[..., :1], zr[..., :0:-1]], -1)[..., :h]
+        zi_rev = jnp.concatenate([zi[..., :1], zi[..., :0:-1]], -1)[..., :h]
+        zr = zr[..., :h]
+        zi = zi[..., :h]
+        ar = 0.5 * (zr + zr_rev)
+        ai = 0.5 * (zi - zi_rev)
+        br = 0.5 * (zi + zi_rev)
+        bi = 0.5 * (zr_rev - zr)
+        sh = x.shape[:-2] + (x.shape[-2], h)
+        yr = jnp.stack([ar, br], axis=-2).reshape(sh)
+        yi = jnp.stack([ai, bi], axis=-2).reshape(sh)
+        return yr, yi
     yr, yi = fft_axis_planar(x, jnp.zeros_like(x))
-    return yr[..., : n // 2 + 1], yi[..., : n // 2 + 1]
+    return yr[..., :h], yi[..., :h]
+
+
+def _hermitian_full(yr, yi, n: int):
+    """Half spectrum (..., n//2+1) → full (..., n) by conj symmetry."""
+    tr = yr[..., 1:(n + 1) // 2][..., ::-1]
+    ti = -yi[..., 1:(n + 1) // 2][..., ::-1]
+    return (jnp.concatenate([yr[..., :n // 2 + 1], tr], axis=-1),
+            jnp.concatenate([yi[..., :n // 2 + 1], ti], axis=-1))
 
 
 def irfft_planar(yr, yi, n: int):
     """C2R over the last axis: planar half spectrum (..., n//2+1) → real
     (..., n). Unnormalized inverse (ifft(fft(x)) == N·x).
 
+    Even batches use the two-for-one inverse: Z = A_full + i·B_full,
+    z = IFFT(Z), a = Re z, b = Im z — one complex inverse carries two
+    real rows.
+
     ≙ cufftExecC2R (cuFFT/1d_c2r/1d_c2r_example.cpp) on device."""
-    # Hermitian reconstruction: full[j] = conj(Y[n-j]) for j > n/2
-    tr = yr[..., 1 : (n + 1) // 2][..., ::-1]
-    ti = -yi[..., 1 : (n + 1) // 2][..., ::-1]
-    fr = jnp.concatenate([yr[..., : n // 2 + 1], tr], axis=-1)
-    fi = jnp.concatenate([yi[..., : n // 2 + 1], ti], axis=-1)
+    if yr.ndim >= 2 and yr.shape[-2] % 2 == 0 and n >= 256 \
+            and (n & (n - 1)) == 0:
+        ar, ai = _hermitian_full(yr[..., 0::2, :], yi[..., 0::2, :], n)
+        br, bi = _hermitian_full(yr[..., 1::2, :], yi[..., 1::2, :], n)
+        zr, zi = fft_axis_planar(ar - bi, ai + br, inverse=True)
+        sh = yr.shape[:-2] + (yr.shape[-2], n)
+        return jnp.stack([zr, zi], axis=-2).reshape(sh)
+    fr, fi = _hermitian_full(yr, yi, n)
     zr, _ = fft_axis_planar(fr, fi, inverse=True)
     return zr
 
