@@ -41,7 +41,11 @@ from tpumathlib.image.jpeg import (  # noqa: F401
     rgb_to_ycbcr,
     ycbcr_to_rgb,
 )
-from tpumathlib.image.j2k import j2k_decode, j2k_encode  # noqa: F401
+from tpumathlib.image.j2k import (  # noqa: F401
+    j2k_decode,
+    j2k_decode_batched,
+    j2k_encode,
+)
 from tpumathlib.image.j2k_codestream import (  # noqa: F401
     j2k_decode_codestream,
 )
