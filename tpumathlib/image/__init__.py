@@ -35,6 +35,7 @@ from tpumathlib.image.jpeg import (  # noqa: F401
     idct8x8,
     jfif_decode,
     jfif_encode,
+    jfif_encode_batch,
     jpeg_decode,
     jpeg_decode_batched,
     jpeg_encode,
