@@ -316,8 +316,10 @@ def device_cascaded_decompress(payload, meta):
 
 
 def device_cascaded_ratio(meta, payload) -> float:
-    """Achieved compression ratio (input bytes / packed+leader bytes)."""
-    n, _ = meta
+    """Achieved compression ratio (input bytes / logical packed+leader
+    bytes; the word rows are padded up to whole 128-value rows)."""
+    n, bits = meta
     packed, leaders = payload
-    return (4.0 * n) / (4.0 * (packed.shape[0] * packed.shape[1]
-                               + leaders.shape[0]))
+    nwords = min(packed.shape[0] * packed.shape[1],
+                 -(-(n * bits) // 32) + packed.shape[1])
+    return (4.0 * n) / (4.0 * (nwords + leaders.shape[0]))

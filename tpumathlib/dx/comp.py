@@ -166,17 +166,16 @@ def dx_decompress(packed, leaders, n: int = None, *, bits: int,
     (≙ nvCOMPDx decompress-then-compute)."""
     check(1 <= bits <= 32, "dx codec packs into 32-bit words: bits must be "
                            "1..32 (wider deltas silently wrap otherwise)")
-    g = packed.shape[0]
-    check(packed.shape[1] == bits, "packed shape must be (groups, bits)")
-    check(leaders.shape[0] == (g + 3) // 4,
-          "one leader per (possibly partial) 128-value row")
-    gpad = (-g) % (4 * tile)
-    if gpad:
-        packed = jnp.pad(packed, ((0, gpad), (0, 0)))
-    rows = packed.shape[0] // 4
-    if leaders.shape[0] != rows:
-        leaders = jnp.pad(leaders, (0, rows - leaders.shape[0]))
-    pk = packed.reshape(rows, 4 * bits)  # 4 groups per 128-lane row
+    check(packed.shape[1] == 4 * bits,
+          "packed shape must be (rows, 4*bits) word rows")
+    rows0 = packed.shape[0]
+    check(leaders.shape[0] == rows0, "one leader per 128-value row")
+    rpad = (-rows0) % tile
+    if rpad:
+        packed = jnp.pad(packed, ((0, rpad), (0, 0)))
+        leaders = jnp.pad(leaders, (0, rpad))
+    rows = packed.shape[0]
+    pk = packed
     ld = leaders.reshape(rows, 1)
 
     def kernel(p_ref, l_ref, o_ref):
@@ -195,7 +194,7 @@ def dx_decompress(packed, leaders, n: int = None, *, bits: int,
             dimension_semantics=("parallel",)),
         interpret=interpret_mode(),
     )(pk, ld)
-    out = out.reshape(-1)[:g * 32]
+    out = out.reshape(-1)[:rows0 * 128]
     return out if n is None else out[:n]
 
 
@@ -243,8 +242,12 @@ def dx_compress(values, *, bits: int, tile: int = 512):
             dimension_semantics=("parallel",)),
         interpret=interpret_mode(),
     )(values.reshape(rows, 128).astype(jnp.int32))
-    return (packed.reshape(rows * 4, bits)[:g],
-            leaders.reshape(rows)[:(g + 3) // 4])
+    # keep the (rows, 4·bits) word-row layout: a (G, bits) minor dim would
+    # be lane-padded 128/bits x in HBM (16x at bits=8 — measured as the
+    # decode bottleneck); trailing tile padding is dropped here and
+    # re-added shape-statically by the decoder
+    nrows = -(-n // 128)
+    return packed[:nrows], leaders.reshape(rows)[:nrows]
 
 
 def dx_required_bits(values) -> int:
@@ -278,9 +281,9 @@ def dx_decompress_dot(packed, leaders, w, *, bits: int, tile: int = 64,
     k = w.shape[0]
     check(k == 128, "fused dot consumes the decoded (rows, 128) layout "
                     "directly: reshape the logical matrix so k == 128")
-    g = packed.shape[0]
-    check(g % 4 == 0, "need whole 128-value rows")
-    n_vals = g * 32
+    check(packed.shape[1] == 4 * bits,
+          "packed shape must be (rows, 4*bits) word rows")
+    n_vals = packed.shape[0] * 128
     m = n_vals // k
 
     def kernel(p_ref, l_ref, w_ref, o_ref):
@@ -291,10 +294,10 @@ def dx_decompress_dot(packed, leaders, w, *, bits: int, tile: int = 64,
         o_ref[:] = jnp.dot(a, w_ref[:], preferred_element_type=jnp.float32,
                            precision=jax.lax.Precision.HIGHEST)
 
-    rows = g // 4
+    rows = packed.shape[0]
     rstep = max(1, min(tile, rows))
     check(rows % rstep == 0, "rows must tile the blocking")
-    pk = packed.reshape(rows, 4 * bits)
+    pk = packed
     ld = leaders.reshape(rows, 1)
     out = pl.pallas_call(
         kernel,
