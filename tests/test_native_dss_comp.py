@@ -375,8 +375,9 @@ def test_host_bitpack_vectorized(rng):
 
 def test_dss_mgmn_mesh(rng):
     """MGMN over a jax device mesh: per-rank interior factorization via
-    shard_map + pure_callback, interface assembled with psum and solved on
-    device (≙ cuDSS/simple_mgmn_distributed_matrix.cpp:562-574)."""
+    shard_map + pure_callback, interface gathered as exact (hi, lo) f32
+    plane pairs and solved in f64 — direct-solver accuracy
+    (≙ cuDSS/simple_mgmn_distributed_matrix.cpp:562-574)."""
     import jax
 
     from tpumathlib.mp import Grid
@@ -402,8 +403,14 @@ def test_dss_mgmn_mesh(rng):
     xs = mgmn_solve(parts, [b[bounds[r]:bounds[r + 1]]
                             for r in range(nranks)], grid=grid)
     got = np.concatenate(xs)
-    # interface solve runs on device in f32
+    # default comm="all_gather": f64 interface solve (direct accuracy)
     np.testing.assert_allclose(got, x_true, rtol=0,
+                               atol=1e-9 * np.abs(x_true).max())
+    # f32 psum fast path: documented ~1e-7-class contract
+    xs32 = mgmn_solve(parts, [b[bounds[r]:bounds[r + 1]]
+                              for r in range(nranks)], grid=grid,
+                      comm="psum")
+    np.testing.assert_allclose(np.concatenate(xs32), x_true, rtol=0,
                                atol=2e-3 * np.abs(x_true).max())
 
 

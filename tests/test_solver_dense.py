@@ -179,7 +179,8 @@ def test_xgeev_device_pipeline(rng):
 
     def eigs_match(a, atol=1e-8):
         aa = a[None] if a.ndim == 2 else a
-        wr, wi, t, q = map(np.asarray, xgeev_device(jnp.asarray(aa)))
+        wr, wi, t, q, info = map(np.asarray, xgeev_device(jnp.asarray(aa)))
+        assert (info == 0).all(), info  # dhseqr-style convergence flag
         rec = np.einsum("bij,bjk,blk->bil", q, t, q)
         assert np.abs(rec - aa).max() < atol * 10
         for b in range(len(aa)):

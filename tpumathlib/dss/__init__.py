@@ -143,8 +143,9 @@ class Solver:
         self.data.sym_nnz = int(col_nnz.sum())
         return self
 
-    def factorize(self) -> "Solver":
-        """FACTORIZATION: native numeric factorization of PAPᵀ."""
+    def _factorize_host(self) -> "Solver":
+        """Host-side numeric factorization only (no device plan build) —
+        the GIL-releasing native phase BatchSolver may thread-pool."""
         from tpumathlib import native
         from tpumathlib.sparse import hostcsr
 
@@ -191,6 +192,11 @@ class Solver:
             self.data.diag = dg
             self.data.inertia = (int((dg > 0).sum()), int((dg < 0).sum()),
                                  int((dg == 0).sum()))
+        return self
+
+    def factorize(self) -> "Solver":
+        """FACTORIZATION: native numeric factorization of PAPᵀ."""
+        self._factorize_host()
         self._build_solve()
         return self
 
@@ -328,9 +334,12 @@ class BatchSolver:
     (shapes/patterns may differ).
 
     ``threads`` ≙ the cuDSS threading-layer knob
-    (cuDSS/test_threading_layer): per-system analysis/factorization run on
-    a host thread pool — the native C++ factorization releases the GIL
-    through ctypes, so this is real parallelism for the host-side phase.
+    (cuDSS/test_threading_layer): the pooled region is restricted to the
+    host-side native numeric factorization (GIL-releasing ctypes calls —
+    real parallelism); device plan construction and jitted device solves
+    are serialized, since JAX tracing/dispatch is not thread-safe
+    (ADVICE r3 #5). Host solves (hybrid_execute=True, the default) do
+    pool.
     """
 
     def __init__(self, mats: list[CSR], config: Config | None = None,
@@ -343,14 +352,17 @@ class BatchSolver:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(self.threads) as pool:
-                list(pool.map(lambda s: s.factorize(), self.solvers))
+                list(pool.map(lambda s: s._factorize_host(), self.solvers))
+            for s in self.solvers:       # device/plan build: serial
+                s._build_solve()
         else:
             for s in self.solvers:
                 s.factorize()
         return self
 
     def solve(self, bs: list) -> list:
-        if self.threads > 1:
+        host_only = all(s.config.hybrid_execute for s in self.solvers)
+        if self.threads > 1 and host_only:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(self.threads) as pool:
@@ -528,9 +540,16 @@ def _mgmn_rank_schur(r, trips, row_ranges, interface, gamma, gpos, b_full,
     return s_r, g_r, (int_rows, loc, sub, y, g_i)
 
 
+def _split_f64(x):
+    """Exact two-float split: x (f64) = hi + lo with f32 planes."""
+    hi = np.asarray(x, np.float32)
+    lo = (np.asarray(x, np.float64) - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo
+
+
 def mgmn_solve(a_parts: list[CSR], b_parts: list[np.ndarray],
                config: Config | None = None, grid=None,
-               comm: str = "psum") -> list[np.ndarray]:
+               comm: str = "all_gather") -> list[np.ndarray]:
     """MGMN distributed mode (≙ cuDSS/simple_mgmn_distributed_matrix.cpp:
     47-50,562-574): each rank contributes a row partition of A and b.
 
@@ -539,17 +558,28 @@ def mgmn_solve(a_parts: list[CSR], b_parts: list[np.ndarray],
     - per-rank sparse interior factorization (native MD ordering + sparse
       LU — no densification anywhere) runs INSIDE ``shard_map`` via
       ``pure_callback``, one callback per mesh device;
-    - the interface system S·x_Γ = g is assembled with ``jax.lax.psum``
-      over the mesh — the CUDSS_DATA_COMM collective, riding ICI on real
-      hardware — and solved ON DEVICE (replicated dense solve);
-    - every rank back-substitutes its interior locally.
+    - the interface system S·x_Γ = g is assembled over the mesh and solved
+      at direct-solver (f64) accuracy: contributions travel as exact
+      (hi, lo) f32 plane pairs (complex-planar convention, applied to
+      precision) and the replicated solve reconstitutes f64;
+    - every rank back-substitutes its interior locally in f64.
 
     Pass ``grid`` (tpumathlib.mp.Grid with one device per rank) for the
     mesh execution; without it the same sparse algorithm runs as a host
     loop (single-process fallback). ``comm`` selects the collective
     schedule for the interface reduce — the pluggable communication-layer
     knob (≙ cuDSS/test_communication_layer choosing the comm backend):
-    "psum" (all-reduce) or "all_gather" (gather + local sum).
+
+    - "all_gather" (default): plane pairs are gathered (exact data
+      movement — no f32 rounding in the collective) and summed/solved in
+      f64 → factorization-grade (~1e-15) interface accuracy;
+    - "psum": hi/lo planes are all-reduced in f32 and solved on device —
+      the low-latency path; the f32 reduce bounds interface accuracy at
+      ~1e-7 relative (documented contract).
+
+    Callback purity: the per-rank factorization state is a deterministic,
+    idempotent memo keyed by rank — each callback recomputes it if absent,
+    so no cross-callback ordering is assumed (JAX may re-execute either).
     """
     import jax
 
@@ -564,52 +594,80 @@ def mgmn_solve(a_parts: list[CSR], b_parts: list[np.ndarray],
         from jax.sharding import PartitionSpec as P
 
         ax = grid.axes[0]
-        states: dict[int, Any] = {}
+        # idempotent memo: _mgmn_rank_schur is a pure function of (r,
+        # trips, b_full, …) — any callback may (re)compute any rank's
+        # entry in any order and get identical values
+        memo: dict[int, Any] = {}
+
+        def rank_state(r):
+            if r not in memo:
+                memo[r] = _mgmn_rank_schur(r, trips, row_ranges, interface,
+                                           gamma, gpos, b_full, config)
+            return memo[r]
 
         def schur_cb(r_arr):
             r = int(np.asarray(r_arr).ravel()[0])
-            s_r, g_r, state = _mgmn_rank_schur(
-                r, trips, row_ranges, interface, gamma, gpos, b_full, config)
-            states[r] = state
-            return (s_r.astype(np.float32), g_r.astype(np.float32))
+            s_r, g_r, _ = rank_state(r)
+            s_hi, s_lo = _split_f64(s_r)
+            g_hi, g_lo = _split_f64(g_r)
+            return s_hi, s_lo, g_hi, g_lo
 
         maxrows = max(hi - lo for lo, hi in row_ranges)
 
-        def back_cb(r_arr, xg):
+        def solve_cb(s_hi, s_lo, g_hi, g_lo):
+            # gathered (nranks, …) planes → exact f64 sum → f64 solve
+            s = (np.asarray(s_hi, np.float64)
+                 + np.asarray(s_lo, np.float64)).sum(axis=0)
+            g = (np.asarray(g_hi, np.float64)
+                 + np.asarray(g_lo, np.float64)).sum(axis=0)
+            return _split_f64(np.linalg.solve(s, g))
+
+        def back_cb(r_arr, xg_hi, xg_lo):
             r = int(np.asarray(r_arr).ravel()[0])
             lo, hi = row_ranges[r]
-            int_rows, loc, sub, y, g_i = states[r]
+            _, _, (int_rows, loc, _sub, y, g_i) = rank_state(r)
             xl = np.zeros(maxrows)
             xfull = np.zeros(n)
-            xfull[gamma] = np.asarray(xg, np.float64)
+            xfull[gamma] = (np.asarray(xg_hi, np.float64)
+                            + np.asarray(xg_lo, np.float64))
             xl[:hi - lo][interface[lo:hi]] = xfull[lo:hi][interface[lo:hi]]
             if len(int_rows):
                 xi = g_i - (y @ xfull[loc] if len(loc) else 0.0)
                 xl[:hi - lo][~interface[lo:hi]] = xi
-            return xl.astype(np.float32)
+            return _split_f64(xl)
+
+        sdt = jax.ShapeDtypeStruct
 
         def shard_fn(dummy):
             r = jax.lax.axis_index(ax)
-            s_r, g_r = jax.pure_callback(
+            s_hi, s_lo, g_hi, g_lo = jax.pure_callback(
                 schur_cb,
-                (jax.ShapeDtypeStruct((ngam, ngam), jnp.float32),
-                 jax.ShapeDtypeStruct((ngam,), jnp.float32)), r)
-            if comm == "all_gather":
-                s = jnp.sum(jax.lax.all_gather(s_r, ax), axis=0)
-                g = jnp.sum(jax.lax.all_gather(g_r, ax), axis=0)
-            else:                            # the CUDSS_DATA_COMM reduce
-                s = jax.lax.psum(s_r, ax)
-                g = jax.lax.psum(g_r, ax)
-            xg = jnp.linalg.solve(s, g)      # device interface solve
-            xl = jax.pure_callback(
-                back_cb, jax.ShapeDtypeStruct((maxrows,), jnp.float32),
-                r, xg)
-            return xl[None]
+                (sdt((ngam, ngam), jnp.float32), sdt((ngam, ngam), jnp.float32),
+                 sdt((ngam,), jnp.float32), sdt((ngam,), jnp.float32)), r)
+            if comm == "psum":               # f32 fast path (~1e-7 rel)
+                s = jax.lax.psum(s_hi, ax) + jax.lax.psum(s_lo, ax)
+                g = jax.lax.psum(g_hi, ax) + jax.lax.psum(g_lo, ax)
+                xg = jnp.linalg.solve(s, g)  # device interface solve
+                xg_hi, xg_lo = xg, jnp.zeros_like(xg)
+            else:                            # exact gather + f64 host solve
+                xg_hi, xg_lo = jax.pure_callback(
+                    solve_cb, (sdt((ngam,), jnp.float32),
+                               sdt((ngam,), jnp.float32)),
+                    jax.lax.all_gather(s_hi, ax),
+                    jax.lax.all_gather(s_lo, ax),
+                    jax.lax.all_gather(g_hi, ax),
+                    jax.lax.all_gather(g_lo, ax))
+            xl_hi, xl_lo = jax.pure_callback(
+                back_cb, (sdt((maxrows,), jnp.float32),
+                          sdt((maxrows,), jnp.float32)),
+                r, xg_hi, xg_lo)
+            return xl_hi[None], xl_lo[None]
 
         dummy = jnp.zeros((nranks, 1), jnp.float32)
-        xs = jax.shard_map(shard_fn, mesh=grid.mesh,
-                           in_specs=P(ax, None), out_specs=P(ax, None))(dummy)
-        xs = np.asarray(xs, np.float64)
+        xs_hi, xs_lo = jax.shard_map(
+            shard_fn, mesh=grid.mesh,
+            in_specs=P(ax, None), out_specs=(P(ax, None), P(ax, None)))(dummy)
+        xs = np.asarray(xs_hi, np.float64) + np.asarray(xs_lo, np.float64)
         return [xs[r, : hi - lo] for r, (lo, hi) in enumerate(row_ranges)]
 
     # host-loop fallback (same sparse math, no mesh)

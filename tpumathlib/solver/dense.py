@@ -310,10 +310,11 @@ def xgeev(a, device: bool = True):
     if device:
         from tpumathlib.solver.geev import xgeev_device
 
-        wr, wi, t, q = xgeev_device(a)
+        wr, wi, t, q, dinfo = xgeev_device(a)
 
-        def host_trevc(wr_, wi_, t_, q_):
+        def host_trevc(wr_, wi_, t_, q_, info_):
             wr_, wi_, t_, q_ = map(np.asarray, (wr_, wi_, t_, q_))
+            info_ = np.asarray(info_)
             w = (wr_ + 1j * wi_).astype(cdtype)
             batch = t_.shape[:-2]
             v = np.zeros(t_.shape, complex)
@@ -328,6 +329,17 @@ def xgeev(a, device: bool = True):
                                  - blk[1, 0] * rhs[0]]) / det
 
             for b in np.ndindex(*batch):
+                if info_[b] > 0:
+                    # QR iteration did not converge for this element
+                    # (dhseqr info>0): the Schur form is unusable, but
+                    # A = Q H Qᵀ still holds exactly (orthogonal
+                    # similarity), so rebuild A and run host LAPACK —
+                    # wrong-silent results are never returned (ADVICE r3)
+                    ab = q_[b] @ t_[b] @ q_[b].T
+                    wb, vb = np.linalg.eig(ab)
+                    w[b] = wb.astype(cdtype)
+                    v[b] = vb
+                    continue
                 tb = t_[b]
                 # LAPACK-style bounded small denominator: eps·‖T‖ keeps
                 # the defective-case growth finite (no 1/tiny overflow)
@@ -384,7 +396,8 @@ def xgeev(a, device: bool = True):
         w_shape = jax.ShapeDtypeStruct(a.shape[:-2] + (n,), cdtype)
         v_shape = jax.ShapeDtypeStruct(a.shape, cdtype)
         return jax.pure_callback(host_trevc, (w_shape, v_shape),
-                                 wr, wi, t, q, vmap_method="sequential")
+                                 wr, wi, t, q, dinfo,
+                                 vmap_method="sequential")
 
     def host_eig(m):
         w, v = np.linalg.eig(np.asarray(m))

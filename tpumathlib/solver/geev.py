@@ -186,7 +186,13 @@ def _hseqr_single(h, q, max_sweeps):
 
     h, q, _, _, _ = jax.lax.while_loop(
         cont, sweep, (h, q, jnp.int32(0), jnp.int32(-2), jnp.int32(0)))
-    return zero_small(h), q
+    h = zero_small(h)
+    # LAPACK dhseqr info contract: info > 0 ⇔ the QR iteration exhausted
+    # max_sweeps with an active (un-deflated) window left — callers must
+    # not silently trust the Schur form then (ADVICE r3 #1)
+    _, m_left = _active_bounds(jnp.diagonal(h, -1), n, eps)
+    info = jnp.where(m_left >= 1, m_left + 1, 0).astype(jnp.int32)
+    return h, q, info
 
 
 def _eigvals_from_schur(t):
@@ -220,8 +226,10 @@ def _eigvals_from_schur(t):
 @functools.partial(jax.jit, static_argnames=("max_sweeps",))
 def xgeev_device(a, max_sweeps: int | None = None):
     """Batched device eigenvalues + real Schur form of general square
-    matrices: returns (wr, wi, t, q) with A = Q T Qᵀ (Q orthogonal, T
-    quasi-triangular) — the dgehrd + dhseqr pipeline on the MXU/VPU."""
+    matrices: returns (wr, wi, t, q, info) with A = Q T Qᵀ (Q orthogonal, T
+    quasi-triangular) — the dgehrd + dhseqr pipeline on the MXU/VPU.
+    info (int32, per batch element) follows LAPACK dhseqr: 0 = converged,
+    > 0 = QR iteration did not fully deflate within max_sweeps."""
     a = jnp.asarray(a)
     n = a.shape[-1]
     sweeps = max_sweeps if max_sweeps is not None else 40 * n
@@ -229,8 +237,10 @@ def xgeev_device(a, max_sweeps: int | None = None):
     batch = a.shape[:-2]
     hf = h.reshape((-1, n, n))
     qf = q.reshape((-1, n, n))
-    tf, qf = jax.vmap(lambda hh, qq: _hseqr_single(hh, qq, sweeps))(hf, qf)
+    tf, qf, inf = jax.vmap(
+        lambda hh, qq: _hseqr_single(hh, qq, sweeps))(hf, qf)
     t = tf.reshape(batch + (n, n))
     q = qf.reshape(batch + (n, n))
+    info = inf.reshape(batch)
     wr, wi = _eigvals_from_schur(t)
-    return wr, wi, t, q
+    return wr, wi, t, q, info

@@ -90,12 +90,19 @@ def _symbolic(a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
     entries (the capacity-padding convention) are treated as absent so
     padding can't manufacture fill-in.
     """
+    # Only library-unavailable errors select the NumPy fallback; a genuine
+    # native failure (bad return, ctypes misuse) must propagate — silently
+    # degrading would mask build/ABI breakage forever (ADVICE r3 #2).
     try:
+        from tpumathlib import native
+        native.lib()
+        have_native = True
+    except (OSError, AttributeError, ImportError, FileNotFoundError):
+        have_native = False
+    if have_native:
         return _symbolic_native(a_indptr, a_indices, a_data, b_indptr,
                                 b_indices, b_data, m, n, row_lo,
                                 m if row_hi is None else row_hi)
-    except Exception:
-        pass
     return _symbolic_np(a_indptr, a_indices, a_data, b_indptr, b_indices,
                         b_data, m, n, row_lo, row_hi)
 
