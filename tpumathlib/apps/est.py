@@ -43,24 +43,30 @@ _STO3G_EXP = {
           "2sp": np.array([5.0331513, 1.1695961, 0.3803890])},
 }
 
-_CART = {0: [(0, 0, 0)],
-         1: [(1, 0, 0), (0, 1, 0), (0, 0, 1)],
-         2: [(2, 0, 0), (1, 1, 0), (1, 0, 1),
-             (0, 2, 0), (0, 1, 1), (0, 0, 2)]}
+def _cart(l):
+    """General Cartesian components, CCA order (apps/basis.py)."""
+    from tpumathlib.apps.basis import cart_components
+
+    return cart_components(l)
 
 
 @dataclasses.dataclass
 class GShell:
-    """Contracted Cartesian shell: angular momentum l, primitives, center."""
+    """Contracted Cartesian shell: angular momentum l, primitives, center.
+
+    ``pure`` marks a spherical (real solid harmonic) shell: the integral
+    engine still works in Cartesian components; the public functions are
+    obtained through basis.sph_transform (applied by the drivers)."""
 
     l: int
     exps: np.ndarray
     coefs: np.ndarray  # contraction coefficients (pre-normalized primitives)
     center: np.ndarray
+    pure: bool = False
 
     @property
     def lmns(self):
-        return _CART[self.l]
+        return _cart(self.l)
 
 
 def _normalize(shell: GShell) -> GShell:
@@ -75,7 +81,8 @@ def _normalize(shell: GShell) -> GShell:
         for cb, ab in zip(cs, shell.exps):
             s += ca * cb * overlap_prim(aa, lmn, shell.center,
                                         ab, lmn, shell.center)
-    return GShell(shell.l, shell.exps, cs / math.sqrt(s), shell.center)
+    return GShell(shell.l, shell.exps, cs / math.sqrt(s), shell.center,
+                  pure=getattr(shell, "pure", False))
 
 
 def sto3g_shells(mol: Molecule) -> list[GShell]:
@@ -281,15 +288,29 @@ def metric_2c(aux) -> np.ndarray:
 class DFTensors:
     """B_P^{μν} fit tensor: (μν|P)(P|Q)^{-1/2} — J/K become einsum
     contractions on the MXU (≙ cuest compute_coulomb/compute_exchange with
-    density fitting)."""
+    density fitting).
+
+    Spherical (pure) shells — in the orbital basis AND/OR the auxiliary
+    basis (e.g. def2-SVP + def2-universal-jkfit) — are handled by
+    transforming the Cartesian integral blocks with basis.sph_transform,
+    so B lives in the public function space."""
 
     def __init__(self, shells, aux=None):
+        from tpumathlib.apps.basis import sph_transform
+
         aux = aux if aux is not None else auto_aux(shells)
         v = metric_2c(aux)
+        t3 = three_center(shells, aux)
+        c_ao = sph_transform(shells)
+        c_aux = sph_transform(aux)
+        if c_aux is not None:
+            v = c_aux @ v @ c_aux.T
+            t3 = np.einsum("mnp,qp->mnq", t3, c_aux)
+        if c_ao is not None:
+            t3 = np.einsum("im,jn,mnp->ijp", c_ao, c_ao, t3)
         w, u = np.linalg.eigh(v)
         keep = w > 1e-10 * w.max()
         vinvh = (u[:, keep] / np.sqrt(w[keep])) @ u[:, keep].T
-        t3 = three_center(shells, aux)
         self.b_np = np.einsum("mnp,pq->mnq", t3, vinvh)
         self.b = jnp.asarray(self.b_np)
 
@@ -306,7 +327,8 @@ class DFTensors:
 
 def rhf(mol: Molecule, max_iters: int = 80, conv: float = 1e-9,
         density_fit: bool = False, guess: str = "core",
-        return_iters: bool = False, shells=None):
+        return_iters: bool = False, shells=None, basis: str | None = None,
+        aux_basis: str | None = None):
     """General-ℓ restricted Hartree–Fock with DIIS. Returns
     (E_total, C, eps) — plus the iteration count when return_iters.
     density_fit=True builds J/K from DF tensors. guess: "core" (Hcore
@@ -320,16 +342,34 @@ def rhf(mol: Molecule, max_iters: int = 80, conv: float = 1e-9,
     so an O(1e-5) f32 Fock perturbation enters the final f64 energy only
     at second order — reference-accuracy totals on an f32-only chip.
 
-    ``shells`` overrides the basis (e.g. d-polarized sets — the
-    general-ℓ integrals accept any Cartesian shell list)."""
-    shells = shells if shells is not None else sto3g_shells(mol)
+    ``shells`` overrides the basis directly; ``basis`` names a packaged
+    production set ("def2-svp" — spherical d/f functions handled through
+    basis.sph_transform) and ``aux_basis`` the DF auxiliary
+    ("def2-universal-jkfit"), ≙ the reference's
+    cuest_scf(molecule, basis='def2-svp', jk_basis='def2-universal-jkfit')
+    flow (cuest_scf/rhf.py + data/basis_set fixtures)."""
+    from tpumathlib.apps.basis import basis_shells, sph_transform
+
+    if shells is None:
+        shells = (basis_shells(mol, basis) if basis is not None
+                  else sto3g_shells(mol))
+    c_t = sph_transform(shells)
     s = overlap(shells)
     hcore = kinetic(shells) + nuclear(shells, mol)
+    if c_t is not None:
+        s = c_t @ s @ c_t.T
+        hcore = c_t @ hcore @ c_t.T
     nocc = mol.nelec // 2
-    eri_np = None if density_fit else eri_tensor(shells)
     if density_fit:
-        df = DFTensors(shells)
+        eri_np = None
+        aux = (basis_shells(mol, aux_basis) if aux_basis is not None
+               else None)
+        df = DFTensors(shells, aux=aux)
     else:
+        eri_np = eri_tensor(shells)
+        if c_t is not None:
+            eri_np = np.einsum("im,jn,mnls->ijls", c_t, c_t, eri_np)
+            eri_np = np.einsum("kl,hs,ijls->ijkh", c_t, c_t, eri_np)
         eri = jnp.asarray(eri_np)
 
     def jk_device(d):
@@ -358,7 +398,10 @@ def rhf(mol: Molecule, max_iters: int = 80, conv: float = 1e-9,
         from tpumathlib.apps.sad import sad_half_density
 
         d = sad_half_density(mol)
-        _, c, eps = density(hcore)
+        if d.shape != s.shape:      # SAD table is minimal-basis sized
+            d, c, eps = density(hcore)
+        else:
+            _, c, eps = density(hcore)
     else:
         d, c, eps = density(hcore)
     e_old = 0.0

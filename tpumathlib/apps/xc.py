@@ -278,6 +278,16 @@ class XCIntegrator:
         else:
             ao = eval_aos(shells, pts)
             self.grad = None
+        # spherical (pure) shells: project the Cartesian AO values onto
+        # the public real-solid-harmonic functions (apps/basis.py)
+        from tpumathlib.apps.basis import sph_transform
+
+        c_t = sph_transform(shells)
+        if c_t is not None:
+            ao = ao @ c_t.T
+            if self.kind == "gga":
+                self.grad_np = self.grad_np @ c_t.T
+                self.grad = jnp.asarray(self.grad_np, jnp.float32)
         self.ao_np = ao
         self.ao = jnp.asarray(ao, jnp.float32)
         self.w = jnp.asarray(w, jnp.float32)
@@ -363,27 +373,45 @@ def _diis_update(errs, focks, f):
 
 def uhf(mol: Molecule, spin: int = 0, max_iters: int = 120,
         conv: float = 1e-9, density_fit: bool = False,
-        xc: str | None = None, grid_kw: dict | None = None):
+        xc: str | None = None, grid_kw: dict | None = None,
+        shells=None, basis: str | None = None,
+        aux_basis: str | None = None):
     """Unrestricted HF (xc=None) or unrestricted Kohn–Sham (xc="svwn" /
     "pbe": J + V_xc, no exact exchange) with DIIS.
 
     ≙ cuEST/cuest_scf_examples/cuest_scf/uhf.py:1 (UHF driver) and
     python_examples/4_exchange_correlation (UKS XC build).
     spin = nα − nβ. Returns (E, (Ca, Cb), (epsa, epsb), S²).
+    ``basis``/``aux_basis`` name packaged production sets (e.g.
+    "def2-svp" / "def2-universal-jkfit", apps/basis.py) — spherical
+    shells are projected through basis.sph_transform everywhere.
     """
-    shells = sto3g_shells(mol)
+    from tpumathlib.apps.basis import basis_shells, sph_transform
+
+    if shells is None:
+        shells = (basis_shells(mol, basis) if basis is not None
+                  else sto3g_shells(mol))
+    c_t = sph_transform(shells)
     s = overlap(shells)
     hcore = kinetic(shells) + nuclear(shells, mol)
+    if c_t is not None:
+        s = c_t @ s @ c_t.T
+        hcore = c_t @ hcore @ c_t.T
     check_ne = mol.nelec
     na = (check_ne + spin) // 2
     nb = check_ne - na
     assert na - nb == spin and na >= nb >= 0, "bad spin for electron count"
 
     if density_fit:
-        df = DFTensors(shells)
+        aux = (basis_shells(mol, aux_basis) if aux_basis is not None
+               else None)
+        df = DFTensors(shells, aux=aux)
         eri_np = None
     else:
         eri_np = eri_tensor(shells)
+        if c_t is not None:
+            eri_np = np.einsum("im,jn,mnls->ijls", c_t, c_t, eri_np)
+            eri_np = np.einsum("kl,hs,ijls->ijkh", c_t, c_t, eri_np)
         eri = jnp.asarray(eri_np)
     xci = XCIntegrator(shells, mol, xc, **(grid_kw or {})) if xc else None
 

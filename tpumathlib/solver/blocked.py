@@ -1,0 +1,192 @@
+"""Blocked large-n factorizations routed through the suite's own MXU
+engine — the round-4 answer to "the 172-TFLOP/s GEMM is never used by its
+own factorizations".
+
+≙ cusolverDnXpotrf / cusolverDnXgetrf at production sizes
+(cuSOLVER/Xpotrf/cusolver_Xpotrf_example.cu:80-107,
+cuSOLVER/Xgetrf/cusolver_Xgetrf_example.cu:134-185) and the blocked
+panel+trailing-update structure of cuSOLVERMp's distributed
+factorizations, on one chip.
+
+Why this shape (all numbers measured on the v5e behind the tunnel,
+NOTES_r4.md):
+
+- XLA's stock lowerings are dispatch-bound: ``jnp.linalg.cholesky`` costs
+  185 us at n=128 and 645 us at n=512 — a right-looking loop composed of
+  XLA ops pays ~10 us PER OP, so a 4096-factorization glued from XLA
+  primitives can never beat ~5 ms.
+- The fix is ONE Pallas kernel per 512-wide panel that does everything
+  sequential in VMEM: four unrolled 128-column Cholesky steps (VPU
+  rank-1 updates on (128,128) tiles — all slices static), the
+  triangular inverse via the nilpotent doubling identity
+  inv(I+N) = (I−N)(I+N²)(I+N⁴)(I+N⁸)(I+N¹⁶)(I+N³²)(I+N⁶⁴)
+  (12 MXU matmuls instead of 128 backsubstitution steps), and the
+  panel trsm L21 = A21·inv(L11)ᵀ as one MXU product.
+- Only the O(n³) trailing syrk stays at the XLA level, as the 3-pass
+  bf16-split f32 product (hi·hi + hi·lo + lo·hi, 33 TFLOP/s measured vs
+  24.5 for HIGHEST, rel err ~5e-6 — the same split the SpMV engine
+  validated).
+
+In-kernel MXU products run at Precision.HIGHEST (f32 via bf16x6) —
+DEFAULT would silently demote the panel math to bf16 (NOTES_r2).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpumathlib.dx.pallas_utils import interpret_mode
+
+_HI = jax.lax.Precision.HIGHEST
+_NB = 128           # unrolled base block (one VPU tile row of lanes)
+
+
+def _chol128_inplace(d):
+    """Unrolled in-register Cholesky of a (128,128) f32 tile: returns
+    lower L (upper zeroed). All slices static — every column step is
+    ~6 vector ops on 16-vreg tiles."""
+    nb = d.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
+    for j in range(nb):
+        piv = d[j:j + 1, j:j + 1]                       # (1,1)
+        rs = 1.0 / jnp.sqrt(piv)
+        row = d[j:j + 1, :] * rs                        # col j of L, as row
+        vr = jnp.where(lane > j, row, 0.0)              # strict tail
+        vc = d[:, j:j + 1] * rs                         # col j of L
+        d = d - vc * vr                                 # masked rank-1
+        # write L's column j (lanes == j): tail + sqrt(piv) on the diag
+        lj = jnp.where(lane == j, vc, 0.0)
+        keep = jnp.where(lane == j, 0.0, 1.0)
+        d = d * keep + lj
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
+    return jnp.where(row_i >= col_i, d, 0.0)
+
+
+def _tri_inv128(l):
+    """inv(L) for lower-triangular (128,128) via nilpotent doubling:
+    L = (I+N)·D with N strictly lower ⇒
+    inv(L) = D⁻¹·(I−N)(I+N²)(I+N⁴)(I+N⁸)(I+N¹⁶)(I+N³²)(I+N⁶⁴)."""
+    nb = l.shape[0]
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
+    eyem = (row_i == col_i).astype(l.dtype)
+    diag_row = jnp.sum(jnp.where(row_i == col_i, l, 0.0), axis=0,
+                       keepdims=True)                    # (1, nb)
+    dinv_row = 1.0 / diag_row
+    n_mat = jnp.where(row_i > col_i, l * dinv_row, 0.0)  # N = sl(L)·D⁻¹
+    p = eyem - n_mat
+    s = n_mat
+    for _ in range(6):
+        s = jnp.dot(s, s, preferred_element_type=jnp.float32, precision=_HI)
+        p = jnp.dot(p, eyem + s, preferred_element_type=jnp.float32,
+                    precision=_HI)
+    # inv(L) = D⁻¹ · inv(I+N): scale ROWS by dinv — dinv as a column
+    dinv_col = jnp.sum(jnp.where(row_i == col_i, 1.0 / l, 0.0), axis=1,
+                       keepdims=True)                    # (nb, 1)
+    return p * dinv_col
+
+
+def _panel_kernel(m: int, p: int, chunk: int = 2048):
+    """Kernel: factor an (m, p) trailing panel in place — diag Cholesky,
+    doubling inverse, trsm of the sub-diagonal rows, and the
+    within-panel trailing updates, all in VMEM."""
+
+    def kernel(a_ref, o_ref):
+        # o aliases a's HBM buffer, but in-VMEM they are separate blocks:
+        # copy once, then factor entirely inside o
+        o_ref[...] = a_ref[...]
+        for ib in range(p // _NB):
+            j0 = ib * _NB
+            j1 = j0 + _NB
+            lblk = _chol128_inplace(o_ref[j0:j1, j0:j1])
+            o_ref[j0:j1, j0:j1] = lblk
+            w = _tri_inv128(lblk)                        # inv(L11)
+            wt = w.T
+            if m > j1:
+                # L21 = A21 · inv(L11)ᵀ, chunked to bound VMEM temps
+                for r0 in range(j1, m, chunk):
+                    r1 = min(r0 + chunk, m)
+                    o_ref[r0:r1, j0:j1] = jnp.dot(
+                        o_ref[r0:r1, j0:j1], wt,
+                        preferred_element_type=jnp.float32, precision=_HI)
+            if j1 < p:
+                # within-panel trailing update:
+                # A[j1:m, j1:p] −= L[j1:m, j0:j1] · L[j1:p, j0:j1]ᵀ
+                lp = o_ref[j1:p, j0:j1]
+                for r0 in range(j1, m, chunk):
+                    r1 = min(r0 + chunk, m)
+                    lm = o_ref[r0:r1, j0:j1]
+                    upd = jax.lax.dot_general(
+                        lm, lp, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32, precision=_HI)
+                    o_ref[r0:r1, j1:p] = o_ref[r0:r1, j1:p] - upd
+        # zero the strict upper triangle of the top (p, p) square (the
+        # per-block masks only cover their own 128x128 diagonals)
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
+        col_i = jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)
+        o_ref[0:p, 0:p] = jnp.where(row_i >= col_i, o_ref[0:p, 0:p], 0.0)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _panel_call(m: int, p: int):
+    return pl.pallas_call(
+        _panel_kernel(m, p),
+        in_specs=[pl.BlockSpec((m, p), lambda: (0, 0))],
+        out_specs=pl.BlockSpec((m, p), lambda: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((m, p), jnp.float32),
+        input_output_aliases={0: 0},
+        interpret=interpret_mode(),
+    )
+
+
+def _split_planes(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _syrk_split(l21):
+    """l21 @ l21ᵀ in 3-pass bf16-split f32 (no transpose materialized —
+    dot_general contracts dim 1 against dim 1)."""
+    hi, lo = _split_planes(l21)
+    dn = (((1,), (1,)), ((), ()))
+    d = jax.lax.dot_general(hi, hi, dn, preferred_element_type=jnp.float32)
+    d = d + jax.lax.dot_general(hi, lo, dn,
+                                preferred_element_type=jnp.float32)
+    d = d + jax.lax.dot_general(lo, hi, dn,
+                                preferred_element_type=jnp.float32)
+    return d
+
+
+@functools.partial(jax.jit, static_argnames=("panel",))
+def potrf_blocked(a, panel: int = 256):
+    """Cholesky of one large f32 SPD matrix through the panel kernel +
+    split-GEMM trailing updates. n must be a multiple of 128; panels of
+    ``panel`` columns (last panel may be shorter)."""
+    n = a.shape[0]
+    assert a.shape == (n, n) and n % _NB == 0, a.shape
+    a = a.astype(jnp.float32)
+    out = jnp.zeros_like(a)
+    s = 0
+    while s < n:
+        p = min(panel, n - s)
+        m = n - s
+        pan = jax.lax.dynamic_slice(a, (s, s), (m, p))
+        lpan = _panel_call(m, p)(pan)
+        out = jax.lax.dynamic_update_slice(out, lpan, (s, s))
+        if s + p < n:
+            l21 = lpan[p:]
+            tr = jax.lax.dynamic_slice(a, (s + p, s + p), (m - p, m - p))
+            tr = tr - _syrk_split(l21)
+            a = jax.lax.dynamic_update_slice(a, tr, (s + p, s + p))
+        s += p
+    return out
