@@ -166,6 +166,35 @@ def test_codec_roundtrip(codec, rng):
         assert len(c) < len(data)  # really compresses RLE-friendly data
 
 
+def test_ans_native_engine(rng):
+    """Native interleaved rANS (native/src/rans.cpp): multi-chunk
+    roundtrip, near-entropy ratio, and agreement with the Python
+    reference model's compressed-size class (≙ nvCOMP ANS examples)."""
+    from tpumathlib.comp import _ans_compress_py, ans_compress, \
+        ans_decompress
+
+    # skewed alphabet over several 64 KB chunks
+    p = np.r_[np.full(4, 0.2), np.full(252, 0.2 / 252)]
+    data = rng.choice(256, size=300_000, p=p).astype(np.uint8).tobytes()
+    blob = ans_compress(data)
+    assert blob[:4] == b"rANS"
+    assert ans_decompress(blob, len(data)) == data
+    entropy_bits = -(p * np.log2(p)).sum()
+    achieved = 8.0 * len(blob) / len(data)
+    assert achieved < entropy_bits * 1.10 + 0.2, (achieved, entropy_bits)
+    # python reference lands in the same size class (same model)
+    small = data[:20_000]
+    ratio_native = len(small) / len(ans_compress(small))
+    ratio_py = len(small) / len(_ans_compress_py(small))
+    assert abs(ratio_native - ratio_py) / ratio_py < 0.1
+    # empty + tiny + incompressible inputs
+    assert ans_decompress(ans_compress(b""), 0) == b""
+    t = bytes(range(7))
+    assert ans_decompress(ans_compress(t), 7) == t
+    rnd = rng.integers(0, 256, 70_000, dtype=np.uint8).tobytes()
+    assert ans_decompress(ans_compress(rnd), len(rnd)) == rnd
+
+
 def test_manager_self_describing(rng):
     data = bytes(rng.integers(0, 8, 200000, dtype=np.uint8))
     m = comp.Manager(codec="lz4", chunk_size=1 << 14)

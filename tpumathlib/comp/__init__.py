@@ -210,9 +210,38 @@ def bitcomp_decompress(blob: bytes, out_size: int) -> bytes:
 
 # ---------------- rANS entropy coder ----------------
 
-def ans_compress(data: bytes) -> bytes:
-    """Byte-wise rANS (≙ nvCOMP ANS codec): static frequency table +
-    single-state range-asymmetric-numeral-system coding."""
+def ans_compress(data: bytes, threads: int = 0) -> bytes:
+    """Byte-wise rANS (≙ nvCOMP ANS codec): chunked, multithreaded,
+    4-way-interleaved native engine (native/src/rans.cpp, ~GB/s-class)
+    with the single-state Python implementation as reference fallback.
+
+    Device note (≙ MathDx/nvCOMPDx/04_ans_gpu): byte-granular ANS decode
+    needs two per-lane gathers per symbol — the 4096-entry slot→symbol
+    table and the variable-rate renormalization word feed. Mosaic exposes
+    no lane-varying gather (NOTES_r2/r3: lane extraction does not lower;
+    one-hot MXU routing only covers routing matrices SHARED across rows,
+    and per-row routing would need 3D dot_general, which Mosaic lacks), so
+    an in-kernel GB/s byte-ANS is architecturally out of reach on this
+    chip; the device entropy path remains the cascaded scheme
+    (dx/comp.py), and ANS runs on host cores at GB/s."""
+    from tpumathlib import native
+
+    try:
+        return native.rans_compress(data, threads)
+    except (OSError, RuntimeError, AttributeError):
+        return _ans_compress_py(data)
+
+
+def ans_decompress(blob: bytes, out_size: int, threads: int = 0) -> bytes:
+    from tpumathlib import native
+
+    if blob[:4] == b"rANS":
+        return native.rans_decompress(blob, out_size, threads)
+    return _ans_decompress_py(blob, out_size)
+
+
+def _ans_compress_py(data: bytes) -> bytes:
+    """Single-state Python rANS (reference implementation / oracle)."""
     data = bytes(data)
     n = len(data)
     if n == 0:
@@ -240,7 +269,7 @@ def ans_compress(data: bytes) -> bytes:
     return hdr + bytes(reversed(out))
 
 
-def ans_decompress(blob: bytes, out_size: int) -> bytes:
+def _ans_decompress_py(blob: bytes, out_size: int) -> bytes:
     n = struct.unpack("<Q", blob[:8])[0]
     if n == 0:
         return b""

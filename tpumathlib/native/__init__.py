@@ -69,6 +69,14 @@ def _declare(l):
     l.lz4_decompress.restype = c.c_int64
     l.crc32_ieee.argtypes = [np.ctypeslib.ndpointer(np.uint8), c.c_int64, c.c_uint32]
     l.crc32_ieee.restype = c.c_uint32
+    l.rans_compress.argtypes = [np.ctypeslib.ndpointer(np.uint8), c.c_int64,
+                                np.ctypeslib.ndpointer(np.uint8), c.c_int64,
+                                c.c_int]
+    l.rans_compress.restype = c.c_int64
+    l.rans_decompress.argtypes = [np.ctypeslib.ndpointer(np.uint8), c.c_int64,
+                                  np.ctypeslib.ndpointer(np.uint8), c.c_int64,
+                                  c.c_int]
+    l.rans_decompress.restype = c.c_int64
     l.spchol_ll.argtypes = [c.c_int64,
                             np.ctypeslib.ndpointer(np.int64),
                             np.ctypeslib.ndpointer(np.int64),
@@ -217,6 +225,32 @@ def lz4_decompress(data: bytes, out_size: int) -> bytes:
     if used < 0:
         raise RuntimeError(f"lz4_decompress rc={used}")
     return dst.tobytes()
+
+
+def rans_compress(data: bytes | np.ndarray, threads: int = 0) -> bytes:
+    """Multithreaded interleaved rANS (native/src/rans.cpp) — the host
+    ANS engine (≙ nvCOMP ANS codec). threads=0 → hardware count."""
+    src = np.frombuffer(bytes(data), np.uint8) if not isinstance(data, np.ndarray) \
+        else np.ascontiguousarray(data.view(np.uint8).ravel())
+    if threads <= 0:
+        threads = os.cpu_count() or 1
+    cap = 16 + 512 + len(src) + (len(src) // (1 << 16) + 2) * 64 + 1024
+    dst = np.zeros(cap, np.uint8)
+    n = lib().rans_compress(src, len(src), dst, cap, threads)
+    if n < 0:
+        raise RuntimeError("rans_compress: capacity exceeded")
+    return dst[:n].tobytes()
+
+
+def rans_decompress(data: bytes, out_size: int, threads: int = 0) -> bytes:
+    src = np.frombuffer(data, np.uint8)
+    if threads <= 0:
+        threads = os.cpu_count() or 1
+    dst = np.zeros(max(out_size, 1), np.uint8)
+    n = lib().rans_decompress(src, len(src), dst, out_size, threads)
+    if n < 0:
+        raise RuntimeError("rans_decompress: malformed stream")
+    return dst[:n].tobytes()
 
 
 def crc32(data: bytes, seed: int = 0) -> int:
