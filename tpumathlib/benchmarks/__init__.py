@@ -245,6 +245,58 @@ def bench_canny(sizes=((512, 512), (1024, 1024))) -> list[dict]:
     return out
 
 
+def bench_jpeg(h=512, w=512) -> dict:
+    """nvJPEG-style throughput line (≙ the decoder samples' images/sec
+    report, nvJPEG/nvJPEG-Decoder): encode + decode MP/s with the stage
+    split documented — entropy coding is host (sequential by nature),
+    the pixel pipeline (DCT/dequant/upsample) is the device stage."""
+    from tpumathlib.image.jpeg import jfif_decode, jfif_encode
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    # smooth it so entropy statistics resemble a photo
+    img = (img.astype(np.float32) + np.roll(img, 1, 0) + np.roll(img, 1, 1)
+           + np.roll(img, 2, 1)).astype(np.uint8)
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        blob = jfif_encode(img, quality=85, subsampling="420")
+    te = (time.perf_counter() - t0) / reps
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = jfif_decode(blob)
+    td = (time.perf_counter() - t0) / reps
+    mp = h * w / 1e6
+    return {"bench": "jpeg", "size": f"{h}x{w}x3",
+            "encode_mps": mp / te, "decode_mps": mp / td,
+            "stage_split": "host entropy + device pixel pipeline",
+            "bytes": len(blob)}
+
+
+def bench_j2k(h=256, w=256) -> dict:
+    """nvJPEG2000-style decode/encode MP/s (≙ nvJPEG2000-Decoder's
+    throughput report). EBCOT Tier-1 is host bit-plane coding (the
+    documented stage split); wavelet synthesis is vectorized NumPy."""
+    from tpumathlib.image.j2k_codestream import j2k_decode_codestream
+    from tpumathlib.image.j2k_encoder import j2k_encode_codestream
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 40, (h, w), dtype=np.uint8) + \
+        (np.arange(w, dtype=np.uint8)[None, :] // 2)
+    t0 = time.perf_counter()
+    blob = j2k_encode_codestream(img, levels=3)
+    te = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = j2k_decode_codestream(blob)
+    td = time.perf_counter() - t0
+    assert np.array_equal(out, img)
+    mp = h * w / 1e6
+    return {"bench": "j2k", "size": f"{h}x{w}",
+            "encode_mps": mp / te, "decode_mps": mp / td,
+            "stage_split": "host EBCOT Tier-1 + vectorized DWT",
+            "bytes": len(blob)}
+
+
 def run_all() -> list[dict]:
     records = []
     records.append(bench_gemm())
@@ -255,6 +307,8 @@ def run_all() -> list[dict]:
     for codec in ("lz4", "cascaded", "ans"):
         records.append(bench_compression(codec, size=1 << 20))
     records.extend(bench_canny(sizes=((512, 512),)))
+    records.append(bench_jpeg())
+    records.append(bench_j2k())
     for r in records:
         print(json.dumps(r))
     # ≙ the reference samples' sentinel contract (&&&& PASSED / FAILED

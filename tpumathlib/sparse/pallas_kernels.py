@@ -288,8 +288,15 @@ class SpmvPlan:
         x32 = jnp.asarray(x, jnp.float32)
         xh1 = x32.astype(jnp.bfloat16)
         xl1 = (x32 - xh1.astype(jnp.float32)).astype(jnp.bfloat16)
-        xh = jnp.broadcast_to(xh1[:, None], (n, 128))
-        xl = jnp.broadcast_to(xl1[:, None], (n, 128))
+        # lane-broadcast through the MXU (rank-1 with a ones row): XLA's
+        # stock broadcast writes the (n, 128) planes at ~40 GB/s (part of
+        # the round-3 fed-back 0.38 ms/call gap); the k=1 matmul emits
+        # them at memory speed
+        ones_row = jnp.ones((1, 128), jnp.bfloat16)
+        xh = jnp.dot(xh1[:, None], ones_row,
+                     preferred_element_type=jnp.bfloat16)
+        xl = jnp.dot(xl1[:, None], ones_row,
+                     preferred_element_type=jnp.bfloat16)
         compact = self.bs == 128
         out_shape = ((self.mb, 128) if compact else (m, 128))
         obuf_shape = ((2, 1, 128) if compact else (2, self.bs, 128))
