@@ -92,6 +92,18 @@ def bench_fft(hbm_target):
             "value": round(gbps, 1), "unit": "GB/s",
             "vs_baseline": round(gbps / hbm_target, 4),
         })
+    # bf16-plane fast mode: HALF the stream bytes of the DMA-bound f32
+    # path (documented ~4e-3 rel-L2 contract); reported as PROCESSED-
+    # EQUIVALENT GB/s (same complex elements/s scale as the f32 lines,
+    # i.e. elements x 8 bytes / s) so the speedup reads directly
+    tbf = _chain_time(lambda c: dif_fft(c[0], c[1], reorder=False,
+                                        halfplanes=True),
+                      (xr.astype(jnp.bfloat16), xi.astype(jnp.bfloat16)),
+                      chain=50)
+    gbps_bf = 2.0 * batch * n * 8 / tbf / 1e9
+    recs.append({"metric": f"fft_c2c_shuffled_bf16_b{batch}_n{n}_gbps",
+                 "value": round(gbps_bf, 1), "unit": "GB/s-equiv",
+                 "vs_baseline": round(gbps_bf / hbm_target, 4)})
     # FFT TFLOP/s per BASELINE.md's 5·N·log2(N) model
     # (cuFFTMp/JAX_FFT/tests/fft_test.py:148-158); target = the reference's
     # 13.2 TFlop/s on 4 H100s → 3.3 per device

@@ -63,8 +63,13 @@ class Config:
     """≙ cudssConfig (get/set knobs sample)."""
 
     matrix_type: MatrixType = MatrixType.GENERAL
-    reordering: str = "md"          # "md" | "natural"
+    reordering: str = "md"          # "md" | "nd" | "natural"
+                                    # ("nd" = nested dissection, the
+                                    # METIS-class analysis ordering)
     pivot_tol: float = 0.1          # threshold partial pivoting (LU)
+    threads: int = 1                # ≙ the cuDSS threading-layer knob:
+                                    # supernode tasks fan over the
+                                    # supernodal etree on a worker pool
     supernodal: bool = True         # SPD: amalgamated supernodal panels
                                     # (native/src/supernodal.cpp, 2-4x the
                                     # simplicial engine); False → spchol_ll
@@ -121,7 +126,9 @@ class Solver:
             self.data.perm = np.arange(n, dtype=np.int64)
         else:
             sp_, si_ = _sym_pattern(indptr, indices, n)
-            self.data.perm = native.md_ordering(sp_, si_)
+            order = (native.nd_ordering if self.config.reordering == "nd"
+                     else native.md_ordering)
+            self.data.perm = order(sp_, si_)
         return self.data.perm
 
     def analyze(self) -> "Solver":
@@ -164,10 +171,13 @@ class Solver:
             keep = api <= rows
             lowp = np.zeros(n + 1, np.int64)
             np.add.at(lowp, rows[keep] + 1, 1)
-            chol = (native.spchol_supernodal if self.config.supernodal
-                    else native.spchol)
-            lp, li, lx = chol(np.cumsum(lowp), api[keep],
-                              apx[keep], cap=cap)
+            if self.config.supernodal:
+                lp, li, lx = native.spchol_supernodal(
+                    np.cumsum(lowp), api[keep], apx[keep], cap=cap,
+                    threads=self.config.threads)
+            else:
+                lp, li, lx = native.spchol(np.cumsum(lowp), api[keep],
+                                           apx[keep], cap=cap)
             self.data.l_fac = (lp, li, lx)
             self.data.u_fac = None
             self.data.prow = np.arange(n, dtype=np.int64)

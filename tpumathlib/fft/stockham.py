@@ -227,10 +227,12 @@ def _fft_chunk(vr, vi, wr_ref, wi_ref, dr_ref, di_ref, ds_ref,
 
 
 def _pipeline_kernel(m0: int, exact: bool, chunk: int, nchunks: int,
-                     collapse: int = 1):
+                     collapse: int = 1, halfplanes: bool = False):
     """Single-program kernel that streams (chunk, n) row blocks
     HBM→VMEM→HBM with its own double-buffered DMA: load c+1 and store c-1
-    overlap compute of c."""
+    overlap compute of c. ``halfplanes``: the HBM planes (and the DMA
+    slots) are bf16 — half the stream bytes of the f32 path; the chunk is
+    widened to f32 in-register for the butterflies."""
 
     def kernel(xr_hbm, xi_hbm, wr_ref, wi_ref, dr_ref, di_ref, ds_ref,
                or_hbm, oi_hbm, bufr, bufi, obufr, obufi, lsem, ssem):
@@ -269,11 +271,17 @@ def _pipeline_kernel(m0: int, exact: bool, chunk: int, nchunks: int,
                 for dma in stores(slot, c - 2):
                     dma.wait()
 
-            vr, vi = _fft_chunk(bufr[slot], bufi[slot], wr_ref, wi_ref,
+            vr, vi = _fft_chunk(bufr[slot].astype(jnp.float32),
+                                bufi[slot].astype(jnp.float32),
+                                wr_ref, wi_ref,
                                 dr_ref, di_ref, ds_ref, m0, exact,
                                 collapse)
-            obufr[slot] = vr
-            obufi[slot] = vi
+            if halfplanes:
+                obufr[slot] = vr.astype(jnp.bfloat16)
+                obufi[slot] = vi.astype(jnp.bfloat16)
+            else:
+                obufr[slot] = vr
+                obufi[slot] = vi
             for dma in stores(slot, c):
                 dma.start()
             return ()
@@ -288,9 +296,10 @@ def _pipeline_kernel(m0: int, exact: bool, chunk: int, nchunks: int,
 
 @functools.partial(jax.jit, inline=True,
                    static_argnames=("inverse", "reorder", "tile", "exact",
-                                    "collapse"))
+                                    "collapse", "halfplanes"))
 def dif_fft(xr, xi, inverse: bool = False, reorder: bool = True,
-            tile: int = 128, exact: bool = False, collapse: int = 1):
+            tile: int = 128, exact: bool = False, collapse: int = 1,
+            halfplanes: bool = False):
     """Planar C2C FFT over the last axis; N = power of two ≥ 256.
 
     cuFFT-convention unnormalized in both directions. With reorder=False
@@ -298,14 +307,22 @@ def dif_fft(xr, xi, inverse: bool = False, reorder: bool = True,
     ≙ cufftXt INPLACE_SHUFFLED) — pointwise spectral work (convolution!)
     composes in that domain for free. ``exact=True`` runs the lane-DFT at
     HIGHEST MXU precision (6 passes, ~3e-7) instead of the default bf16x2
-    3M product (9 bf16 passes, ~5e-6 rel-L2, 2x faster)."""
+    3M product (9 bf16 passes, ~5e-6 rel-L2, 2x faster).
+
+    ``halfplanes=True`` is the fast bf16-plane mode (≙ cuFFT's half-
+    precision C2C): the HBM planes move as bf16 (HALF the stream bytes of
+    the DMA-bound f32 path) while all butterflies and the lane-DFT still
+    accumulate in f32 in VMEM. Accuracy is bounded by the bf16 input/
+    output quantization: ~4e-3 rel-L2 (documented contract), vs ~5e-6
+    for f32 planes. Returns bf16 planes."""
     n = xr.shape[-1]
     m0 = n // _LANES
     assert n >= 2 * _LANES and (n & (n - 1)) == 0, "N must be pow2 >= 256"
     assert collapse & (collapse - 1) == 0 and 1 <= collapse <= m0
     batch_shape = xr.shape[:-1]
-    xr2 = xr.reshape(-1, n).astype(jnp.float32)
-    xi2 = xi.reshape(-1, n).astype(jnp.float32)
+    plane_dt = jnp.bfloat16 if halfplanes else jnp.float32
+    xr2 = xr.reshape(-1, n).astype(plane_dt)
+    xi2 = xi.reshape(-1, n).astype(plane_dt)
     b = xr2.shape[0]
     # chunk rows sized so the 8 VMEM slot buffers stay ~4 MB total
     # (tighter when the collapsed DFT tables are large)
@@ -325,7 +342,8 @@ def dif_fft(xr, xi, inverse: bool = False, reorder: bool = True,
     wr = np.reshape(wr, (-1, n)) if wr.size else np.zeros((1, n), np.float32)
     wi = np.reshape(wi, (-1, n)) if wi.size else np.zeros((1, n), np.float32)
     dwr, dwi, dws = _dft_tables(_LANES * collapse, inverse)
-    kernel = _pipeline_kernel(m0, exact, chunk, nchunks, collapse)
+    kernel = _pipeline_kernel(m0, exact, chunk, nchunks, collapse,
+                              halfplanes=halfplanes)
     yr, yi = pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
@@ -336,8 +354,8 @@ def dif_fft(xr, xi, inverse: bool = False, reorder: bool = True,
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
-        out_shape=[jax.ShapeDtypeStruct((bp, n), jnp.float32)] * 2,
-        scratch_shapes=[pltpu.VMEM((2, chunk, n), jnp.float32)] * 4
+        out_shape=[jax.ShapeDtypeStruct((bp, n), plane_dt)] * 2,
+        scratch_shapes=[pltpu.VMEM((2, chunk, n), plane_dt)] * 4
         + [pltpu.SemaphoreType.DMA((2, 2))] * 2,
         input_output_aliases={0: 0, 1: 1},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

@@ -31,7 +31,8 @@ def _build() -> None:
         os.path.getmtime(_SO_PATH) >= os.path.getmtime(s) for s in srcs
     ):
         return
-    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", _SO_PATH] + srcs
+    cmd = ["g++", "-O3", "-march=native", "-funroll-loops", "-shared", "-fPIC",
+           "-std=c++17", "-o", _SO_PATH] + srcs
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -121,6 +122,10 @@ def _declare(l):
                                np.ctypeslib.ndpointer(np.float64),
                                c.c_int64, c.c_int64]
     l.spchol_super.restype = c.c_int64
+    l.spchol_super_mt.argtypes = l.spchol_super.argtypes + [c.c_int64]
+    l.spchol_super_mt.restype = c.c_int64
+    l.nd_ordering.argtypes = [c.c_int64] + [np.ctypeslib.ndpointer(np.int64)] * 3
+    l.nd_ordering.restype = c.c_int
     l.spgemm_count.argtypes = [c.c_int64, c.c_int64, c.c_int64,
                                np.ctypeslib.ndpointer(np.int64),
                                np.ctypeslib.ndpointer(np.int64),
@@ -181,6 +186,19 @@ def mm_write(path: str, rows: int, cols: int, row, col, val):
                         np.ascontiguousarray(val, np.float64))
     if rc != 0:
         raise IOError(f"mm_write rc={rc}")
+
+
+def nd_ordering(indptr, indices) -> np.ndarray:
+    """Nested-dissection fill-reducing ordering (BFS bisection + local MD
+    leaves — the METIS-class analysis ordering; native/src/ordering.cpp).
+    Returns perm with perm[k] = original index eliminated at step k."""
+    n = len(indptr) - 1
+    perm = np.zeros(n, np.int64)
+    rc = lib().nd_ordering(n, np.ascontiguousarray(indptr, np.int64),
+                           np.ascontiguousarray(indices, np.int64), perm)
+    if rc != 0:
+        raise RuntimeError(f"nd_ordering rc={rc}")
+    return perm
 
 
 def md_ordering(indptr, indices) -> np.ndarray:
@@ -281,20 +299,23 @@ def spchol(indptr, indices, data, cap: int | None = None):
 
 
 def spchol_supernodal(indptr, indices, data, cap: int | None = None,
-                      max_width: int = 32):
+                      max_width: int = 32, threads: int = 1):
     """Supernodal sparse Cholesky (native/src/supernodal.cpp): same
     lower-CSR contract and output layout as spchol, dense-panel GEMM
-    updates inside (≙ cuDSS's supernodal factorization engine)."""
+    updates inside (≙ cuDSS's supernodal factorization engine).
+    ``threads`` > 1 fans supernode tasks over the supernodal elimination
+    tree on a worker pool (≙ the cuDSS threading layer)."""
     n = len(indptr) - 1
     cap = cap or max(4 * len(data) + 16 * n, 64)
     for _ in range(8):
         lp = np.zeros(n + 1, np.int64)
         li = np.zeros(cap, np.int64)
         lx = np.zeros(cap, np.float64)
-        rc = lib().spchol_super(n, np.ascontiguousarray(indptr, np.int64),
-                                np.ascontiguousarray(indices, np.int64),
-                                np.ascontiguousarray(data, np.float64),
-                                lp, li, lx, cap, max_width)
+        rc = lib().spchol_super_mt(n, np.ascontiguousarray(indptr, np.int64),
+                                   np.ascontiguousarray(indices, np.int64),
+                                   np.ascontiguousarray(data, np.float64),
+                                   lp, li, lx, cap, max_width,
+                                   max(1, int(threads)))
         if rc == -1:
             cap *= 4
             continue
