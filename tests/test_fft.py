@@ -193,6 +193,25 @@ def test_local_box(grid1):
     assert boxes[0][0] == (0, 0, 0)
     assert boxes[0][1] == (16 // n, 8, 8)
     assert boxes[-1][1] == (16, 8, 8)
+    # stride/iterator semantics (≙ box_iterator.hpp:44-176): local linear
+    # index -> global coords + strided local position, and the vectorized
+    # elementwise apply (the scaling-kernel use case)
+    b0 = boxes[-1]
+    assert b0.extents == (16 // n, 8, 8)
+    assert b0.strides == (64, 8, 1)       # C-contiguous defaults
+    i = np.arange(b0.size)
+    cx, cy, cz = (np.asarray(c) for c in b0.coords(i))
+    assert cx[0] == 16 - 16 // n and (cy[:8] == 0).all()
+    assert list(cz[:8]) == list(range(8))
+    np.testing.assert_array_equal(np.asarray(b0.position(i)), i)
+    loc = jnp.arange(b0.size, dtype=jnp.float32).reshape(b0.extents)
+    scaled = b0.apply(lambda v, x, y, z: v * (x + 1.0), loc)
+    np.testing.assert_allclose(np.asarray(scaled)[0].ravel(),
+                               np.asarray(loc)[0].ravel() * (cx[0] + 1.0))
+    from tpumathlib.fft.distributed import Box
+
+    bs = Box((0, 0), (2, 3), strides=(4, 1))   # padded rows
+    assert np.asarray(bs.position(np.arange(6))).tolist() == [0, 1, 2, 4, 5, 6]
 
 
 def test_fft1d_distributed(grid1, rng):

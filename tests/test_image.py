@@ -159,6 +159,21 @@ def test_tiff_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(tiff_read(path), gray)
 
 
+def test_tiff_lzw_decode(tmp_path, rng):
+    """LZW TIFF decode (compression=5 + predictor) against
+    libtiff-encoded streams via Pillow — bit-exact (≙ nvTIFF's LZW
+    decode path)."""
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    for mode, shape in (("L", (41, 57)), ("RGB", (33, 29, 3))):
+        img = (rng.integers(0, 255, shape, dtype=np.uint8) // 4
+               + 90).astype(np.uint8)
+        p = str(tmp_path / f"lzw_{mode}.tif")
+        Image.fromarray(img, mode).save(p, compression="tiff_lzw")
+        np.testing.assert_array_equal(tiff_read(p), img)
+
+
 def test_label_markers_batched():
     from tpumathlib.image import label_markers_batched
 

@@ -28,6 +28,7 @@ from tpumathlib.fft.plan import (  # noqa: F401
 )
 from tpumathlib.fft.stockham import dif_fft  # noqa: F401
 from tpumathlib.fft.distributed import (  # noqa: F401
+    Box,
     DistributedFftPlan,
     fft_slab,
     fft_pencil,

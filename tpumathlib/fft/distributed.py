@@ -422,14 +422,92 @@ def reshape(x, dst_sharding: NamedSharding):
     return jax.device_put(x, dst_sharding)
 
 
+@dataclasses.dataclass(frozen=True)
+class Box:
+    """(lower, upper, strides) box — the cuFFTMp distribution descriptor
+    (cufftXtSetDistribution boxes / Box3D,
+    cuFFTMp/samples/iterators/box_iterator.hpp:37-41). ``strides`` are
+    the LOCAL memory strides of the shard; default = C-contiguous."""
+
+    lower: tuple[int, ...]
+    upper: tuple[int, ...]
+    strides: tuple[int, ...] = ()
+
+    def __post_init__(self):
+        if not self.strides:
+            ext = self.extents
+            st = [1] * len(ext)
+            for d in range(len(ext) - 2, -1, -1):
+                st[d] = st[d + 1] * ext[d + 1]
+            object.__setattr__(self, "strides", tuple(st))
+
+    def __iter__(self):
+        # unpacks as (lower, upper) — the round-3 local_box tuple shape
+        return iter((self.lower, self.upper))
+
+    def __getitem__(self, k):
+        return (self.lower, self.upper)[k]
+
+    @property
+    def extents(self) -> tuple[int, ...]:
+        return tuple(u - l for l, u in zip(self.lower, self.upper))
+
+    @property
+    def size(self) -> int:
+        n = 1
+        for e in self.extents:
+            n *= e
+        return n
+
+    def coords(self, i):
+        """Local linear index (array ok) → GLOBAL coordinates — the
+        BoxIterator linear_to_box3d mapping (box_iterator.hpp:168-176),
+        vectorized (TPU-native iteration = whole-array index math)."""
+        import jax.numpy as jnp_
+
+        i = jnp_.asarray(i)
+        out = []
+        rem = i
+        ext = self.extents
+        for d in range(len(ext)):
+            tail = 1
+            for e in ext[d + 1:]:
+                tail *= e
+            c = rem // tail
+            rem = rem - c * tail
+            out.append(c + self.lower[d])
+        return tuple(out)
+
+    def position(self, i):
+        """Local linear index → strided LOCAL memory offset (the
+        iterator's ptr_[x·s0 + y·s1 + z·s2] addressing)."""
+        cs = self.coords(i)
+        pos = 0
+        for c, l, s in zip(cs, self.lower, self.strides):
+            pos = pos + (c - l) * s
+        return pos
+
+    def apply(self, fn, local):
+        """Map ``fn(value, *global_coords) -> value`` over a device shard
+        (≙ the user scaling kernel between FFT stages,
+        cuFFTMp/samples/common/scaling.cuh): builds the global coordinate
+        arrays once and applies fn elementwise — one fused XLA kernel."""
+        import jax.numpy as jnp_
+
+        flat = local.reshape(-1)
+        cs = self.coords(jnp_.arange(self.size))
+        return fn(flat, *cs).reshape(local.shape)
+
+
 def local_box(global_shape: Sequence[int], sharding: NamedSharding,
-              device) -> tuple[tuple[int, ...], tuple[int, ...]]:
-    """(lower, upper) bounds of ``device``'s shard (≙ the (lower, upper,
-    strides) boxes of cufftXtSetDistribution / BoxIterator)."""
+              device) -> Box:
+    """``device``'s shard as a :class:`Box` (≙ the (lower, upper,
+    strides) boxes of cufftXtSetDistribution / BoxIterator). Unpacks as
+    (lower, upper) for round-3 callers."""
     idx = sharding.devices_indices_map(tuple(global_shape))[device]
     lower = tuple(0 if s.start is None else int(s.start) for s in idx)
     upper = tuple(
         int(n) if s.stop is None else int(s.stop)
         for s, n in zip(idx, global_shape)
     )
-    return lower, upper
+    return Box(lower, upper)

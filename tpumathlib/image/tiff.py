@@ -1,12 +1,14 @@
 """Baseline TIFF codec + GeoTIFF tags (≙ nvTIFF decode / decode-encode /
 imageinfo / region-decode / nvTIFF-GeoTIFF-Decode-Encode samples).
 
-Supports uncompressed (compression=1) grayscale and RGB, 8-bit,
-single/multi strip, little-endian, MULTI-IMAGE files (chained IFDs — the
-nvTIFF multi-image info surface), and the GeoTIFF georeferencing tags
-(ModelPixelScale, ModelTiepoint, GeoKeyDirectory, GeoDoubleParams,
-GeoAsciiParams — ≙ nvTIFF-GeoTIFF-Decode-Encode). LZW/JPEG-in-TIFF are
-out of scope (the reference's nvTIFF also supports a subset).
+Supports uncompressed (compression=1) and LZW (compression=5, incl. the
+horizontal-differencing predictor and TIFF's early-change width bumps)
+grayscale and RGB, 8-bit, single/multi strip, little-endian, MULTI-IMAGE
+files (chained IFDs — the nvTIFF multi-image info surface), and the
+GeoTIFF georeferencing tags (ModelPixelScale, ModelTiepoint,
+GeoKeyDirectory, GeoDoubleParams, GeoAsciiParams — ≙
+nvTIFF-GeoTIFF-Decode-Encode). JPEG-in-TIFF is out of scope (the
+reference's nvTIFF also supports a subset).
 """
 
 from __future__ import annotations
@@ -166,8 +168,62 @@ def tiff_info(path: str) -> dict:
     return info
 
 
+_TAG_PREDICTOR = 317
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF LZW (compression=5) decoder: MSB-first variable-width codes,
+    ClearCode=256/EOI=257, 'early change' width bumps (TIFF 6.0 §13 —
+    the width grows one code earlier than classic LZW)."""
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+    pos = 0
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+
+    reset()
+    width = 9
+    prev: bytes | None = None
+    n = len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == 256:                       # ClearCode
+            reset()
+            width = 9
+            prev = None
+            continue
+        if code == 257:                       # EndOfInformation
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:                                 # KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        out += entry
+        prev = entry
+        # early change: bump width when the NEXT added code would not fit
+        if len(table) >= (1 << width) - 1 and width < 12:
+            width += 1
+    return bytes(out)
+
+
 def _decode_ifd(buf: bytes, t: dict, region: tuple | None):
-    assert t.get(_TAG_COMPRESSION, 1) == 1, "only uncompressed baseline TIFF"
+    comp = t.get(_TAG_COMPRESSION, 1)
+    assert comp in (1, 5), f"unsupported TIFF compression {comp}"
     w, h = t[_TAG_WIDTH], t[_TAG_HEIGHT]
     spp = t.get(_TAG_SPP, 1)
     offsets = t[_TAG_STRIP_OFFSETS]
@@ -175,9 +231,15 @@ def _decode_ifd(buf: bytes, t: dict, region: tuple | None):
     if isinstance(offsets, int):
         offsets = [offsets]
         counts = [counts]
-    data = b"".join(buf[o:o + c] for o, c in zip(offsets, counts))
+    strips = [buf[o:o + c] for o, c in zip(offsets, counts)]
+    if comp == 5:
+        strips = [_lzw_decode(s) for s in strips]
+    data = b"".join(strips)
     img = np.frombuffer(data[:h * w * spp], np.uint8)
     img = img.reshape(h, w, spp) if spp > 1 else img.reshape(h, w)
+    if comp == 5 and t.get(_TAG_PREDICTOR, 1) == 2:
+        # horizontal differencing predictor: undo by row-wise cumsum
+        img = np.cumsum(img.astype(np.uint32), axis=1).astype(np.uint8)
     if region is not None:
         y0, x0, rh, rw = region
         img = img[y0:y0 + rh, x0:x0 + rw]

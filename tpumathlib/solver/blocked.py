@@ -69,6 +69,38 @@ def _chol128_inplace(d):
     return jnp.where(row_i >= col_i, d, 0.0)
 
 
+def _chol_inv128(d):
+    """Fused Cholesky + inverse of a (128,128) tile: one column sweep
+    produces U (L's columns as rows) AND W = inv(L) row by row via
+
+        W[j, :] = (e_j − Σ_{k<j} L[j,k]·W[k, :]) / d_j,
+
+    where the needed L row j arrives sublane-aligned for free as column j
+    of the U storage — replacing the doubling inverse's 12 DEPENDENT MXU
+    products (~33 us latency EACH, measured NOTES_r4) with one masked
+    cross-sublane reduce per column."""
+    nb = d.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
+    u = jnp.zeros((nb, nb), jnp.float32)       # row j = column j of L
+    w = jnp.zeros((nb, nb), jnp.float32)       # inv(L)
+    for j in range(nb):
+        piv = d[j:j + 1, j:j + 1]
+        rs = 1.0 / jnp.sqrt(piv)
+        row = d[j:j + 1, :] * rs
+        vr = jnp.where(lane > j, row, 0.0)
+        vc = d[:, j:j + 1] * rs
+        d = d - vc * vr
+        u = jnp.where(row_i == j, jnp.where(lane >= j, row, 0.0), u)
+        # W row j: L[j, k<j] is U[k<j, j] — a static lane slice
+        lrow_col = jnp.where(row_i[:, :1] < j, u[:, j:j + 1], 0.0)
+        acc = jnp.sum(lrow_col * w, axis=0, keepdims=True)   # (1, nb)
+        ej = (lane == j).astype(jnp.float32)
+        w = jnp.where(row_i == j, (ej - acc) * rs, w)
+    return u.T, w
+
+
 def _tri_inv128(l):
     """inv(L) for lower-triangular (128,128) via nilpotent doubling:
     L = (I+N)·D with N strictly lower ⇒
@@ -105,9 +137,8 @@ def _panel_kernel(m: int, p: int, chunk: int = 2048):
         for ib in range(p // _NB):
             j0 = ib * _NB
             j1 = j0 + _NB
-            lblk = _chol128_inplace(o_ref[j0:j1, j0:j1])
+            lblk, w = _chol_inv128(o_ref[j0:j1, j0:j1])
             o_ref[j0:j1, j0:j1] = lblk
-            w = _tri_inv128(lblk)                        # inv(L11)
             wt = w.T
             if m > j1:
                 # L21 = A21 · inv(L11)ᵀ, chunked to bound VMEM temps

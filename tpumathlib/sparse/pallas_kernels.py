@@ -159,28 +159,31 @@ def bell_spmv_pallas(a: BlockedELL, x, alpha=1.0):
     return out[:, 0]
 
 
-def _bell_split_kernel(bs: int, mb: int, ellw: int, n: int):
+def _bell_split_kernel(bs: int, mb: int, ellw: int, n: int, rpi: int = 1):
     """SpMV execute kernel over pre-split operands: A and the padded x
     stripe arrive as bf16 (hi, lo) plane pairs; per block-row the product
     is 3 single-pass bf16 MXU dots (hi·hi + hi·lo + lo·hi ≈ f32, ~1e-6
     rel) with NO in-kernel splitting — compute hides behind the A
-    stream."""
+    stream. ``rpi`` block-rows are processed per pipeline iteration
+    (fewer DMA issue/wait rounds against the ~2 us/iteration fixed
+    cost)."""
+    nit = mb // rpi
 
     def kernel(cols_ref, ah_hbm, al_hbm, xh_hbm, xl_hbm, o_hbm,
                bh, bl, abuf_h, abuf_l, obuf, bsem, asem, osem):
-        def a_load(slot, i):
-            return [pltpu.make_async_copy(h.at[i], buf.at[slot],
-                                          asem.at[slot, p])
+        def a_load(slot, it):
+            return [pltpu.make_async_copy(h.at[pl.ds(it * rpi, rpi)],
+                                          buf.at[slot], asem.at[slot, p])
                     for p, (h, buf) in enumerate(((ah_hbm, abuf_h),
                                                   (al_hbm, abuf_l)))]
 
-        def o_store(slot, i):
+        def o_store(slot, it):
             if bs == 128:
                 return pltpu.make_async_copy(
-                    obuf.at[slot], o_hbm.at[pl.ds(i, 1), :],
+                    obuf.at[slot], o_hbm.at[pl.ds(it * rpi, rpi), :],
                     osem.at[slot])
             return pltpu.make_async_copy(
-                obuf.at[slot], o_hbm.at[pl.ds(i * bs, bs), :],
+                obuf.at[slot], o_hbm.at[pl.ds(it * rpi * bs, rpi * bs), :],
                 osem.at[slot])
 
         for p, (h, buf) in enumerate(((xh_hbm, bh), (xl_hbm, bl))):
@@ -191,62 +194,64 @@ def _bell_split_kernel(bs: int, mb: int, ellw: int, n: int):
             pltpu.make_async_copy(
                 (xh_hbm, xl_hbm)[p], (bh, bl)[p], bsem.at[p]).wait()
 
-        def i_body(i, _):
-            slot = jax.lax.rem(i, 2)
-            nxt = jax.lax.rem(i + 1, 2)
+        def i_body(it, _):
+            slot = jax.lax.rem(it, 2)
+            nxt = jax.lax.rem(it + 1, 2)
 
-            @pl.when(i + 1 < mb)
+            @pl.when(it + 1 < nit)
             def _():
-                for dma in a_load(nxt, i + 1):
+                for dma in a_load(nxt, it + 1):
                     dma.start()
 
-            for dma in a_load(slot, i):
+            for dma in a_load(slot, it):
                 dma.wait()
 
-            @pl.when(i >= 2)
+            @pl.when(it >= 2)
             def _():
-                o_store(slot, i - 2).wait()
+                o_store(slot, it - 2).wait()
 
-            ah_cat = jnp.concatenate(
-                [abuf_h[slot, j] for j in range(ellw)], axis=1)
-            al_cat = jnp.concatenate(
-                [abuf_l[slot, j] for j in range(ellw)], axis=1)
-            bh_cat = jnp.concatenate(
-                [bh[pl.ds(cols_ref[i, j] * bs, bs), :]
-                 for j in range(ellw)], axis=0)
-            bl_cat = jnp.concatenate(
-                [bl[pl.ds(cols_ref[i, j] * bs, bs), :]
-                 for j in range(ellw)], axis=0)
-            acc = (jnp.dot(ah_cat, bh_cat,
-                           preferred_element_type=jnp.float32)
-                   + jnp.dot(ah_cat, bl_cat,
-                             preferred_element_type=jnp.float32)
-                   + jnp.dot(al_cat, bh_cat,
-                             preferred_element_type=jnp.float32))
-            if bs == 128:
-                # broadcast x makes all 128 output columns identical, so
-                # the lane-oriented y row is acc's diagonal — emit ONE
-                # (1, 128) row per block (128x less output traffic than
-                # storing the tile and lane-slicing it afterwards)
-                ii = jax.lax.broadcasted_iota(jnp.int32, (bs, 128), 0)
-                jj = jax.lax.broadcasted_iota(jnp.int32, (bs, 128), 1)
-                masked = jnp.where(ii == jj, acc, 0.0)
-                # colsum on the MXU — a cross-sublane VPU reduce here was
-                # measured to cost ~0.4 ms over the 128 block-rows
-                ones_row = (ii[0:1] >= 0).astype(jnp.float32)
-                # HIGHEST: each column has ONE nonzero — the dot is a
-                # selection and must not demote the f32 values to bf16
-                obuf[slot] = jnp.dot(ones_row, masked,
-                                     preferred_element_type=jnp.float32,
-                                     precision=jax.lax.Precision.HIGHEST)
-            else:
-                obuf[slot] = acc
-            o_store(slot, i).start()
+            for s in range(rpi):
+                ah_cat = jnp.concatenate(
+                    [abuf_h[slot, s, j] for j in range(ellw)], axis=1)
+                al_cat = jnp.concatenate(
+                    [abuf_l[slot, s, j] for j in range(ellw)], axis=1)
+                bh_cat = jnp.concatenate(
+                    [bh[pl.ds(cols_ref[it * rpi + s, j] * bs, bs), :]
+                     for j in range(ellw)], axis=0)
+                bl_cat = jnp.concatenate(
+                    [bl[pl.ds(cols_ref[it * rpi + s, j] * bs, bs), :]
+                     for j in range(ellw)], axis=0)
+                acc = (jnp.dot(ah_cat, bh_cat,
+                               preferred_element_type=jnp.float32)
+                       + jnp.dot(ah_cat, bl_cat,
+                                 preferred_element_type=jnp.float32)
+                       + jnp.dot(al_cat, bh_cat,
+                                 preferred_element_type=jnp.float32))
+                if bs == 128:
+                    # broadcast x makes all 128 output columns identical,
+                    # so the lane-oriented y row is acc's diagonal — emit
+                    # ONE (1, 128) row per block (128x less output
+                    # traffic than storing the tile and lane-slicing)
+                    ii = jax.lax.broadcasted_iota(jnp.int32, (bs, 128), 0)
+                    jj = jax.lax.broadcasted_iota(jnp.int32, (bs, 128), 1)
+                    masked = jnp.where(ii == jj, acc, 0.0)
+                    # colsum on the MXU — a cross-sublane VPU reduce here
+                    # was measured to cost ~0.4 ms over the block-rows
+                    ones_row = (ii[0:1] >= 0).astype(jnp.float32)
+                    # HIGHEST: each column has ONE nonzero — the dot is a
+                    # selection, must not demote the f32 values to bf16
+                    obuf[slot, pl.ds(s, 1)] = jnp.dot(
+                        ones_row, masked,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+                else:
+                    obuf[slot, pl.ds(s * bs, bs)] = acc
+            o_store(slot, it).start()
             return ()
 
-        jax.lax.fori_loop(0, mb, i_body, ())
-        for i in range(max(0, mb - 2), mb):
-            o_store(i % 2, i).wait()
+        jax.lax.fori_loop(0, nit, i_body, ())
+        for it in range(max(0, nit - 2), nit):
+            o_store(it % 2, it).wait()
 
     return kernel
 
@@ -288,20 +293,18 @@ class SpmvPlan:
         x32 = jnp.asarray(x, jnp.float32)
         xh1 = x32.astype(jnp.bfloat16)
         xl1 = (x32 - xh1.astype(jnp.float32)).astype(jnp.bfloat16)
-        # lane-broadcast through the MXU (rank-1 with a ones row): XLA's
-        # stock broadcast writes the (n, 128) planes at ~40 GB/s (part of
-        # the round-3 fed-back 0.38 ms/call gap); the k=1 matmul emits
-        # them at memory speed
-        ones_row = jnp.ones((1, 128), jnp.bfloat16)
-        xh = jnp.dot(xh1[:, None], ones_row,
-                     preferred_element_type=jnp.bfloat16)
-        xl = jnp.dot(xl1[:, None], ones_row,
-                     preferred_element_type=jnp.bfloat16)
+        # (measured r4: an MXU k=1 rank-1 broadcast was SLOWER — 154 vs
+        # 171 GB/s fed-back — XLA's broadcast_in_dim stays)
+        xh = jnp.broadcast_to(xh1[:, None], (n, 128))
+        xl = jnp.broadcast_to(xl1[:, None], (n, 128))
         compact = self.bs == 128
+        rpi = 2 if (self.mb % 2 == 0 and self.ellw * self.bs * self.bs
+                    * 2 * 2 * 2 <= (6 << 20)) else 1
         out_shape = ((self.mb, 128) if compact else (m, 128))
-        obuf_shape = ((2, 1, 128) if compact else (2, self.bs, 128))
+        obuf_shape = ((2, rpi, 128) if compact
+                      else (2, rpi * self.bs, 128))
         out = pl.pallas_call(
-            _bell_split_kernel(self.bs, self.mb, self.ellw, n),
+            _bell_split_kernel(self.bs, self.mb, self.ellw, n, rpi),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -309,9 +312,9 @@ class SpmvPlan:
             scratch_shapes=[
                 pltpu.VMEM((n, 128), jnp.bfloat16),
                 pltpu.VMEM((n, 128), jnp.bfloat16),
-                pltpu.VMEM((2, self.ellw, self.bs, self.bs),
+                pltpu.VMEM((2, rpi, self.ellw, self.bs, self.bs),
                            jnp.bfloat16),
-                pltpu.VMEM((2, self.ellw, self.bs, self.bs),
+                pltpu.VMEM((2, rpi, self.ellw, self.bs, self.bs),
                            jnp.bfloat16),
                 pltpu.VMEM(obuf_shape, jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
