@@ -217,3 +217,66 @@ def test_rhf_d_polarized_basis():
     mol2 = Molecule(mol.symbols, np.asarray(mol.coords) @ rot.T)
     ed2, _, _ = rhf(mol2, shells=shells_for(mol2))
     np.testing.assert_allclose(ed2, ed, atol=1e-8)
+
+
+def test_property_gradients():
+    """≙ python_examples/2_one_electron_integrals/property_gradients:
+    density-contracted derivative integrals (incl. the fixed-origin
+    multipole operator) vs central finite differences, with a
+    NON-symmetric pseudo-density (the sample's configuration)."""
+    from tpumathlib.apps.deriv import (grad_multipole, multipole_matrix,
+                                       property_gradient)
+
+    mol = HEH
+    shells = est.sto3g_shells(mol)
+    n = est.nbf(shells)
+    rng = np.random.default_rng(3)
+    d = rng.normal(size=(n, n))                  # non-symmetric
+
+    order, origin = (1, 0, 0), (0.1, -0.2, 0.3)
+    g = grad_multipole(shells, mol, order, origin)
+    fd = _fd_matrix(lambda m: multipole_matrix(
+        est.sto3g_shells(m), order, origin), mol)
+    np.testing.assert_allclose(g, fd, atol=1e-6)
+
+    for kind in ("overlap", "kinetic", "potential", "multipole"):
+        pg = property_gradient(kind, shells, mol, d, order, origin)
+        assert pg.shape == (2, 3)
+        if kind == "multipole":
+            np.testing.assert_allclose(
+                pg, np.einsum("axij,ij->ax", fd, d), atol=1e-6)
+    # quadrupole-order operator exercises the m=2 binomial path
+    q = multipole_matrix(shells, (0, 2, 0), origin)
+    s = est.overlap(shells)
+    assert q.shape == s.shape and np.abs(q).max() > 0
+
+
+def test_df_mo_integrals():
+    """≙ python_examples/3_density_fitting/df_mo_integrals: the DF MO
+    transformation's A_ij/A_ia/A_ab blocks reproduce exact MO-basis ERIs
+    at the DF fitting error."""
+    mol = HEH
+    shells = est.sto3g_shells(mol)
+    n = est.nbf(shells)
+    e, c, _ = est.rhf(mol)
+    nocc = mol.nelec // 2
+    cocc, cvir = c[:, :nocc].T, c[:, nocc:].T
+    df = est.DFTensors(shells)
+    a_ij, a_ia, a_ab = df.mo_blocks([cocc, cocc, cvir],
+                                    [cocc, cvir, cvir])
+    naux = df.b.shape[-1]
+    assert a_ij.shape == (naux, nocc, nocc)
+    assert a_ia.shape == (naux, nocc, n - nocc)
+    # (ij|ab) via DF = sum_P A_ij^P A_ab^P vs exact 4-center MO ERI
+    eri = est.eri_tensor(shells)
+    mo = np.einsum("im,jn,ka,lb,mnab->ijkl", cocc, cocc, cvir, cvir, eri)
+    got = np.einsum("pij,pab->ijab", np.asarray(a_ij), np.asarray(a_ab))
+    # tolerance = the auto_aux product-basis fitting error (measured
+    # 2.5e-3 for HeH+), not a transform error: with identity coefficients
+    # the blocks reproduce B exactly (below)
+    np.testing.assert_allclose(got, mo, atol=5e-3)
+    eye = np.eye(n)
+    (a_full,) = df.mo_blocks([eye], [eye])
+    np.testing.assert_allclose(np.asarray(a_full),
+                               np.moveaxis(np.asarray(df.b), -1, 0),
+                               atol=1e-6)

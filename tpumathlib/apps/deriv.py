@@ -106,6 +106,70 @@ def grad_kinetic(shells, mol: Molecule) -> np.ndarray:
     return _grad_one_electron(shells, mol, kinetic_prim)
 
 
+def multipole_prim(a, lmn1, ra, b, lmn2, rb, order, origin):
+    """⟨g1| Π_c (x_c − o_c)^{m_c} |g2⟩ via the binomial expansion around
+    the ket center: (x−o)^m = Σ_k C(m,k)(x−Bx)^k (Bx−o)^{m−k} — each term
+    an overlap with raised ket angular momentum (exact for any m)."""
+    from math import comb
+
+    val = 0.0
+    mx, my, mz = order
+    for kx in range(mx + 1):
+        cx = comb(mx, kx) * (rb[0] - origin[0]) ** (mx - kx)
+        for ky in range(my + 1):
+            cy = comb(my, ky) * (rb[1] - origin[1]) ** (my - ky)
+            for kz in range(mz + 1):
+                cz = comb(mz, kz) * (rb[2] - origin[2]) ** (mz - kz)
+                l2 = (lmn2[0] + kx, lmn2[1] + ky, lmn2[2] + kz)
+                val += cx * cy * cz * overlap_prim(a, lmn1, ra, b, l2, rb)
+    return val
+
+
+def multipole_matrix(shells, order=(1, 0, 0), origin=(0.0, 0.0, 0.0)):
+    """⟨μ| Π (x−o)^m |ν⟩ (n, n) for a Cartesian multipole ``order``
+    (≙ cuestMultipoleCompute; (1,0,0)/(0,1,0)/(0,0,1) are the dipole
+    components)."""
+    from tpumathlib.apps.est import _one_electron
+
+    origin = np.asarray(origin, float)
+    return _one_electron(
+        shells, lambda aa, li, rai, ab, lj, rbj:
+        multipole_prim(aa, li, rai, ab, lj, rbj, order, origin))
+
+
+def grad_multipole(shells, mol: Molecule, order=(1, 0, 0),
+                   origin=(0.0, 0.0, 0.0)) -> np.ndarray:
+    """d⟨μ|Π(x−o)^m|ν⟩/dR (natom, 3, n, n) — the operator origin is FIXED
+    (does not move with nuclei), so only bra/ket center derivatives
+    contribute (≙ cuestMultipoleDerivativeCompute)."""
+    origin = np.asarray(origin, float)
+    return _grad_one_electron(
+        shells, mol, lambda aa, li, rai, ab, lj, rbj:
+        multipole_prim(aa, li, rai, ab, lj, rbj, order, origin))
+
+
+def property_gradient(kind: str, shells, mol: Molecule, density,
+                      order=(1, 0, 0), origin=(0.0, 0.0, 0.0)) -> np.ndarray:
+    """Density-contracted one-electron derivative integrals → (natom, 3)
+    (≙ python_examples/2_one_electron_integrals/property_gradients/
+    run.py:1 — cuEST's derivative routines always contract with a
+    (pseudo-)density matrix, which may be NON-symmetric).
+
+    kind: "overlap" | "kinetic" | "potential" | "multipole"."""
+    density = np.asarray(density, float)
+    if kind == "overlap":
+        g = grad_overlap(shells, mol)
+    elif kind == "kinetic":
+        g = grad_kinetic(shells, mol)
+    elif kind == "potential":
+        g = grad_nuclear(shells, mol)
+    elif kind == "multipole":
+        g = grad_multipole(shells, mol, order, origin)
+    else:
+        raise ValueError(f"unknown property kind {kind!r}")
+    return np.einsum("axij,ij->ax", g, density)
+
+
 def grad_nuclear(shells, mol: Molecule) -> np.ndarray:
     """d/dR of the nuclear-attraction matrix, including the
     Hellmann–Feynman operator term: for the nucleus-C term,

@@ -324,6 +324,20 @@ class DFTensors:
         bd = einsum("mlp,ls->msp", self.b, jnp.asarray(d))
         return einsum("msp,nsp->mn", bd, self.b)
 
+    def mo_blocks(self, c_lefts, c_rights):
+        """DF MO integral transformation (≙ cuestDFMOIntegralsCompute,
+        python_examples/3_density_fitting/df_mo_integrals/run.py:31-39):
+        for each (C_left (nl, nao), C_right (nr, nao)) pair, return
+        A^P_{pq} = Σ_{μν} C_left[p,μ] B^{μν}_P C_right[q,ν] as a
+        (naux, nl, nr) device tensor — the sample's A_ij/A_ia/A_ab
+        blocks are (C_occ, C_occ), (C_occ, C_vir), (C_vir, C_vir)."""
+        out = []
+        for cl, cr in zip(c_lefts, c_rights):
+            clj = jnp.asarray(cl, self.b.dtype)
+            crj = jnp.asarray(cr, self.b.dtype)
+            out.append(einsum("mnp,im,jn->pij", self.b, clj, crj))
+        return out
+
 
 def rhf(mol: Molecule, max_iters: int = 80, conv: float = 1e-9,
         density_fit: bool = False, guess: str = "core",
