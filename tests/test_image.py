@@ -511,3 +511,39 @@ def test_j2k_multitile_partial_decode(rng):
     outs = j2k_decode_batched(blobs * 2)
     np.testing.assert_array_equal(outs[0], img)
     np.testing.assert_array_equal(outs[1], rgb)
+
+
+def test_j2k_quality_layers(rng):
+    """Quality layers + rate control (≙ nvjpeg2kEncodeParamsSpecifyQuality,
+    nvjpeg2k_encode.cpp:830): multi-layer codestreams decode losslessly in
+    BOTH openjpeg and this suite's decoder, PSNR increases monotonically
+    as layers are added (progressive quality), and the rates= knob
+    bounds the first layer's byte budget."""
+    import io
+
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    from tpumathlib.image.j2k_codestream import j2k_decode_codestream
+    from tpumathlib.image.j2k_encoder import j2k_encode_codestream
+
+    img = (rng.integers(0, 30, (96, 80), dtype=np.uint8)
+           + np.linspace(0, 180, 80, dtype=np.uint8)[None, :]).astype(np.uint8)
+    blob = j2k_encode_codestream(img, levels=3, layers=3, rates=[16, 4])
+    # full stream: lossless in both decoders
+    np.testing.assert_array_equal(j2k_decode_codestream(blob), img)
+    np.testing.assert_array_equal(
+        np.asarray(Image.open(io.BytesIO(blob))), img)
+
+    def psnr(a):
+        mse = np.mean((a.astype(float) - img.astype(float)) ** 2)
+        return 99.0 if mse == 0 else 10 * np.log10(255 ** 2 / mse)
+
+    ps = [psnr(j2k_decode_codestream(blob, max_layers=lay))
+          for lay in (1, 2, 3)]
+    assert ps[0] < ps[1] < ps[2] and ps[2] == 99.0, ps
+    assert ps[0] > 25.0, ps      # first layer is a usable approximation
+    # 2-layer stream also opens in openjpeg
+    b2 = j2k_encode_codestream(img, levels=3, layers=2)
+    np.testing.assert_array_equal(
+        np.asarray(Image.open(io.BytesIO(b2))), img)

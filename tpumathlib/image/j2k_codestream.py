@@ -468,12 +468,15 @@ def _unwrap_jp2(blob: bytes) -> bytes:
 
 
 def j2k_decode_codestream(blob: bytes,
-                          region: tuple | None = None) -> np.ndarray:
+                          region: tuple | None = None,
+                          max_layers: int | None = None) -> np.ndarray:
     """Decode a real .j2k/.jp2 stream (reversible 5/3 or irreversible
     9/7; single- or multi-tile). Returns uint8 (H, W) or (H, W, C).
     ``region`` = (y0, x0, h, w): only tiles intersecting the region are
     entropy-decoded (the partial-decode contract), and the region is
-    returned.
+    returned. ``max_layers`` decodes only the first quality layers of a
+    layered stream (≙ nvjpeg2kDecodeParams num_layers — progressive
+    quality truncation).
 
     ≙ nvJPEG2000/nvJPEG2000-Decoder/nvjpeg2000DecodeSample.cpp and
     nvJPEG2000-Decoder-Tile-Partial."""
@@ -659,7 +662,8 @@ def j2k_decode_codestream(blob: bytes,
             return cx0, cy0, cx1, cy1, st["trees"][key]
 
         pos = 0
-        for layer in range(nlayers):
+        for layer in range(nlayers if max_layers is None
+                           else min(nlayers, max_layers)):
             for r in range(nl + 1):
                 xcb_r, ycb_r, npw, nph, pbw, pbh = res_geom[r]
                 for c in range(ncomp):
@@ -677,8 +681,15 @@ def j2k_decode_codestream(blob: bytes,
                                     precinct_cbs(st, r, px, py)
                                 for cy in range(cy0, cy1):
                                     for cx in range(cx0, cx1):
-                                        incl = incl_t.decode(
-                                            cx - cx0, cy - cy0, layer + 1, rd)
+                                        if (cx, cy) in st["seen"]:
+                                            # previously included: spec
+                                            # B.10.4 — a SINGLE bit per
+                                            # later layer, not the tree
+                                            incl = bool(rd.bit())
+                                        else:
+                                            incl = incl_t.decode(
+                                                cx - cx0, cy - cy0,
+                                                layer + 1, rd)
                                         if not incl:
                                             continue
                                         first = (cx, cy) not in st["seen"]
@@ -715,20 +726,30 @@ def j2k_decode_codestream(blob: bytes,
                             pos = rd.pos
                             for (cc, rr, band, lev, cx, cy, zbp, np_,
                                  ln_) in blocks:
+                                # a code-block may contribute byte CHUNKS
+                                # in several layers — one MQ stream split
+                                # at pass boundaries; accumulate and
+                                # decode once after all packets
                                 st = state[(cc, rr, band)]
-                                x0b = cx << xcb_r
-                                y0b = cy << ycb_r
-                                bw = min(1 << xcb_r, st["bw"] - x0b)
-                                bh = min(1 << ycb_r, st["bh"] - y0b)
-                                eps_b, _ = quant_params(rr, band, lev)
-                                mb = guard + eps_b - 1
-                                numbps = mb - zbp
-                                blk = decode_codeblock(data[pos:pos + ln_],
-                                                       bw, bh, numbps, np_,
-                                                       band)
-                                coeffs[cc][(rr, band)][
-                                    y0b:y0b + bh, x0b:x0b + bw] = blk
+                                acc = st.setdefault("acc", {})
+                                ent = acc.setdefault(
+                                    (cx, cy), [b"", 0, zbp, lev])
+                                ent[0] = ent[0] + data[pos:pos + ln_]
+                                ent[1] += np_
                                 pos += ln_
+
+        for (cc, rr, band), st in state.items():
+            xcb_r, ycb_r = res_geom[rr][0], res_geom[rr][1]
+            for (cx, cy), (buf, np_, zbp, lev) in st.get("acc", {}).items():
+                x0b = cx << xcb_r
+                y0b = cy << ycb_r
+                bw = min(1 << xcb_r, st["bw"] - x0b)
+                bh = min(1 << ycb_r, st["bh"] - y0b)
+                eps_b, _ = quant_params(rr, band, lev)
+                mb = guard + eps_b - 1
+                numbps = mb - zbp
+                blk = decode_codeblock(buf, bw, bh, numbps, np_, band)
+                coeffs[cc][(rr, band)][y0b:y0b + bh, x0b:x0b + bw] = blk
 
         # synthesis per component
         _GAIN = {0: 0, 1: 1, 2: 1, 3: 2}

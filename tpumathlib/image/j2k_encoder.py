@@ -130,14 +130,15 @@ class MQEncoder:
 def encode_codeblock(coefs: np.ndarray, band: int):
     """Encode one int32 code-block losslessly.
 
-    Returns (data, numbps, npasses) — the exact mirror of
+    Returns (data, numbps, npasses, pass_lengths) — the exact mirror of
     decode_codeblock's pass sequence (cleanup at the MSB plane, then
-    SPP/MRP/CUP per lower plane)."""
+    SPP/MRP/CUP per lower plane); pass_lengths[p] is a safe truncation
+    byte count through pass p (the quality-layer split points)."""
     h, w = coefs.shape
     mag_all = np.abs(coefs.astype(np.int64))
     numbps = int(mag_all.max()).bit_length()
     if numbps == 0:
-        return b"", 0, 0
+        return b"", 0, 0, []
     mq = MQEncoder()
     sig = np.zeros((h + 2, w + 2), bool)
     sgn = np.zeros((h + 2, w + 2), np.int8)
@@ -238,14 +239,30 @@ def encode_codeblock(coefs: np.ndarray, band: int):
         visited[:] = False
 
     p = numbps - 1
+    # per-pass truncation lengths (for quality layers): bytes emitted so
+    # far + 4 covers the MQ registers' unflushed state (conservative —
+    # overshoot only moves bytes into an earlier layer), clamped to the
+    # final flushed length
+    plens = []
+
+    def mark():
+        plens.append(len(mq.out) + 4)
+
     cup(p)
+    mark()
     npasses = 1
     for p in range(numbps - 2, -1, -1):
         spp(p)
+        mark()
         mrp(p)
+        mark()
         cup(p)
+        mark()
         npasses += 3
-    return mq.flush(), numbps, npasses
+    data = mq.flush()
+    plens = [min(x, len(data)) for x in plens]
+    plens[-1] = len(data)
+    return data, numbps, npasses, plens
 
 
 # ---------------- Tier-2: header bit writer + tag trees ----------------
@@ -383,10 +400,22 @@ def _sd2d(a: np.ndarray):
 # ---------------- codestream assembly ----------------
 
 def j2k_encode_codestream(image: np.ndarray, levels: int = 5,
-                          cb: int = 64) -> bytes:
+                          cb: int = 64, layers: int = 1,
+                          rates=None) -> bytes:
     """Encode uint8 gray (H, W) or RGB (H, W, 3) into a lossless .j2k
-    codestream (reversible 5/3, RCT for RGB, single tile, one layer,
-    LRCP). Decodes bit-exactly in openjpeg and in j2k_decode_codestream."""
+    codestream (reversible 5/3, RCT for RGB, single tile, LRCP).
+    Decodes bit-exactly in openjpeg and in j2k_decode_codestream.
+
+    ``layers`` > 1 emits QUALITY LAYERS (≙ nvjpeg2kEncodeParamsSetEncodeConfig
+    num_layers / nvjpeg2kEncodeParamsSpecifyQuality,
+    nvJPEG2000/nvJPEG2000-Encoder/nvjpeg2k_encode.cpp:830): coding passes
+    are split at GLOBAL bit-plane thresholds, so each prefix of the
+    codestream is a progressively better approximation; the full stream
+    stays lossless. ``rates`` optionally gives target compression ratios
+    for the first layers (e.g. ``[16, 4]`` with layers=3 → ~16:1, ~4:1,
+    lossless) — the rate-control knob: thresholds are chosen from the
+    measured per-pass truncation lengths (PCRD-lite: global quality
+    slopes, exact sizes)."""
     img = np.asarray(image)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -446,64 +475,148 @@ def j2k_encode_codestream(image: np.ndarray, levels: int = 5,
                     for cx in range(ncx):
                         blk = arr[cy * cb:(cy + 1) * cb,
                                   cx * cb:(cx + 1) * cb]
-                        data, numbps, np_ = encode_codeblock(
+                        data, numbps, np_, plens = encode_codeblock(
                             np.asarray(blk, np.int32), band)
                         mb = guard + eps_of(band) - 1
                         zbp = mb - numbps
                         assert zbp >= 0, (numbps, mb)
-                        blocks[(cx, cy)] = (data, zbp, np_)
+                        blocks[(cx, cy)] = (data, zbp, np_, plens)
                 enc[(c, r, band)] = (ncx, ncy, blocks)
 
-    # packets: LRCP, 1 layer, no precincts
+    # ---- layer assignment: global bit-plane thresholds ----
+    # pass p of a block codes relative plane 0 (cleanup at the MSB) or
+    # (p+2)//3; its GLOBAL depth is zbp + that. Layer l contains passes
+    # with depth in (T[l-1], T[l]].
+    def depth_of_pass(zbp, p):
+        return zbp + (0 if p == 0 else (p + 2) // 3)
+
+    max_depth = 0
+    all_blocks = []
+    for key, (ncx, ncy, blocks) in enc.items():
+        for bkey, (data, zbp, np_, plens) in blocks.items():
+            all_blocks.append((data, zbp, np_, plens))
+            if np_:
+                max_depth = max(max_depth, depth_of_pass(zbp, np_ - 1))
+    nlayers = max(1, min(int(layers), max_depth + 1))
+    if rates is not None and nlayers > 1:
+        # PCRD-lite rate control: cumulative EXACT bytes per threshold
+        total_px = h * w * ncomp
+        cum = np.zeros(max_depth + 1, np.int64)
+        for data, zbp, np_, plens in all_blocks:
+            for p in range(np_):
+                cum[depth_of_pass(zbp, p)] += (
+                    plens[p] - (plens[p - 1] if p else 0))
+        cum = np.cumsum(cum)
+        thresholds = []
+        for ratio in list(rates)[:nlayers - 1]:
+            budget = total_px / float(ratio)   # bytes target (8 bpp)
+            t_sel = int(np.searchsorted(cum, budget, side="right"))
+            thresholds.append(min(max(t_sel, 0), max_depth))
+        thresholds = sorted(set(thresholds))
+        thresholds.append(max_depth)
+        nlayers = len(thresholds)
+    else:
+        thresholds = [((l + 1) * (max_depth + 1)) // nlayers - 1
+                      for l in range(nlayers)]
+        thresholds[-1] = max_depth
+
+    def passes_of_layer(zbp, np_, layer):
+        lo = thresholds[layer - 1] if layer else -1
+        hi = thresholds[layer]
+        return [p for p in range(np_)
+                if lo < depth_of_pass(zbp, p) <= hi]
+
+    # ---- packets: LRCP over layers, no precincts ----
     body = bytearray()
-    for r in range(nl + 1):
-        for c in range(ncomp):
-            wr = _HeaderBitsWriter()
-            datas = []
-            any_blocks = any(enc[(c, r, band)][2]
-                             for band, _ in bands_for_res(r))
-            wr.bit(1 if any_blocks else 0)
-            if any_blocks:
+    states = {}          # (c, r, band) -> per-band tag trees + lblk/seen
+    for key, (ncx, ncy, blocks) in enc.items():
+        first_layer = np.zeros((max(ncy, 1), max(ncx, 1)), np.int32)
+        for (cx, cy), (data, zbp, np_, plens) in blocks.items():
+            fl = 0
+            for l in range(nlayers):
+                if passes_of_layer(zbp, np_, l) or np_ == 0:
+                    fl = l
+                    break
+            first_layer[cy, cx] = fl
+        states[key] = {
+            "incl": TagTreeEncoder(max(ncx, 1), max(ncy, 1), first_layer),
+            "zbpt": TagTreeEncoder(
+                max(ncx, 1), max(ncy, 1),
+                np.array([[blocks[(x_, y_)][1] if (x_, y_) in blocks else 0
+                           for x_ in range(max(ncx, 1))]
+                          for y_ in range(max(ncy, 1))], np.int32)),
+            "first_layer": first_layer,
+            "lblk": np.full((max(ncy, 1), max(ncx, 1)), 3, np.int32),
+            "seen": set(),
+            "sent": {},   # (cx, cy) -> bytes emitted so far
+        }
+
+    for layer in range(nlayers):
+        for r in range(nl + 1):
+            for c in range(ncomp):
+                wr = _HeaderBitsWriter()
+                datas = []
+                contrib = False
                 for band, _ in bands_for_res(r):
                     ncx, ncy, blocks = enc[(c, r, band)]
-                    if not blocks:
-                        continue
-                    incl = TagTreeEncoder(
-                        max(ncx, 1), max(ncy, 1),
-                        np.zeros((max(ncy, 1), max(ncx, 1)), np.int32))
-                    zbpt = TagTreeEncoder(
-                        max(ncx, 1), max(ncy, 1),
-                        np.array([[blocks[(x_, y_)][1]
-                                   for x_ in range(max(ncx, 1))]
-                                  for y_ in range(max(ncy, 1))],
-                                 np.int32))
-                    for cy in range(ncy):
-                        for cx in range(ncx):
-                            data, zbp, np_ = blocks[(cx, cy)]
-                            incl.encode(cx, cy, 1, wr)   # included, layer 0
-                            t = 1
-                            while True:
-                                zbpt.encode(cx, cy, t, wr)
-                                if zbpt.known[0][cy, cx] or t > zbp:
-                                    break
-                                t += 1
-                            _write_npasses(wr, max(np_, 1))
-                            # Lblock: start 3, emit 1s until length fits
-                            lblk = 3
-                            nb_needed = max(len(data), 1).bit_length()
-                            while lblk + int(math.floor(
-                                    math.log2(max(np_, 1)))) < nb_needed:
-                                wr.bit(1)
-                                lblk += 1
-                            wr.bit(0)
-                            nbits = lblk + int(math.floor(
-                                math.log2(max(np_, 1))))
-                            wr.bits(len(data), nbits)
-                            datas.append(data)
-            wr.align()
-            body += wr.data()
-            for d in datas:
-                body += d
+                    st = states[(c, r, band)]
+                    for (cx, cy), (data, zbp, np_, plens) in blocks.items():
+                        if st["first_layer"][cy, cx] == layer or (
+                                (cx, cy) in st["seen"]
+                                and passes_of_layer(zbp, np_, layer)):
+                            contrib = True
+                wr.bit(1 if contrib else 0)
+                if contrib:
+                    for band, _ in bands_for_res(r):
+                        ncx, ncy, blocks = enc[(c, r, band)]
+                        if not blocks:
+                            continue
+                        st = states[(c, r, band)]
+                        incl, zbpt = st["incl"], st["zbpt"]
+                        for cy in range(ncy):
+                            for cx in range(ncx):
+                                data, zbp, np_, plens = blocks[(cx, cy)]
+                                ps = passes_of_layer(zbp, np_, layer)
+                                prev = (cx, cy) in st["seen"]
+                                if prev:
+                                    # re-inclusion: a single bit (B.10.4)
+                                    wr.bit(1 if ps else 0)
+                                    if not ps:
+                                        continue
+                                else:
+                                    incl.encode(cx, cy, layer + 1, wr)
+                                    if st["first_layer"][cy, cx] != layer:
+                                        continue
+                                st["seen"].add((cx, cy))
+                                if not prev:
+                                    t = 1
+                                    while True:
+                                        zbpt.encode(cx, cy, t, wr)
+                                        if zbpt.known[0][cy, cx]                                                 or t > zbp:
+                                            break
+                                        t += 1
+                                npl = max(len(ps), 1)
+                                _write_npasses(wr, npl)
+                                sent = st["sent"].get((cx, cy), 0)
+                                end = plens[ps[-1]] if ps else 0
+                                chunk = data[sent:end]
+                                st["sent"][(cx, cy)] = end
+                                lblk = int(st["lblk"][cy, cx])
+                                nb_needed = max(len(chunk), 1).bit_length()
+                                while lblk + int(math.floor(
+                                        math.log2(npl))) < nb_needed:
+                                    wr.bit(1)
+                                    lblk += 1
+                                wr.bit(0)
+                                st["lblk"][cy, cx] = lblk
+                                nbits = lblk + int(math.floor(
+                                    math.log2(npl)))
+                                wr.bits(len(chunk), nbits)
+                                datas.append(chunk)
+                wr.align()
+                body += wr.data()
+                for d in datas:
+                    body += d
 
     # markers
     out = bytearray()
@@ -512,7 +625,7 @@ def j2k_encode_codestream(image: np.ndarray, levels: int = 5,
     for _ in range(ncomp):
         siz += struct.pack(">BBB", depth - 1, 1, 1)
     out += b"\xff\x51" + struct.pack(">H", len(siz) + 2) + siz
-    cod = bytes([0, 0]) + struct.pack(">H", 1) + bytes(
+    cod = bytes([0, 0]) + struct.pack(">H", nlayers) + bytes(
         [mct, nl, xcb - 2, xcb - 2, 0, 1])
     out += b"\xff\x52" + struct.pack(">H", len(cod) + 2) + cod
     nbands = 3 * nl + 1
