@@ -154,7 +154,8 @@ def test_dss_mgmn(rng):
 # ---------------- comp ----------------
 
 @pytest.mark.parametrize("codec", ["lz4", "deflate", "gzip", "snappy",
-                                   "cascaded", "bitcomp", "ans", "gdeflate"])
+                                   "cascaded", "bitcomp", "ans", "gdeflate",
+                                   "zstd"])
 def test_codec_roundtrip(codec, rng):
     data = (np.repeat(rng.integers(0, 50, 200), rng.integers(1, 20, 200))
             .astype(np.int32).tobytes())
@@ -162,7 +163,7 @@ def test_codec_roundtrip(codec, rng):
     d = comp.batched_decompress(codec, [c], [len(data)])[0]
     assert d == data
     if codec in ("lz4", "cascaded", "bitcomp", "ans", "deflate",
-                 "gdeflate"):
+                 "gdeflate", "zstd"):
         assert len(c) < len(data)  # really compresses RLE-friendly data
 
 

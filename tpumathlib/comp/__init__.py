@@ -45,6 +45,10 @@ def _codec_fns(codec: str):
 
         return (lambda b: gzip.compress(b, 6), lambda b, n: gzip.decompress(b))
     if codec == "zstd":
+        # real zstd frames (≙ nvCOMP/examples/zstd_cpu_compression):
+        # system libzstd via ctypes, zstandard package as fallback
+        if _zstd_lib() is not None:
+            return (_zstd_compress, _zstd_decompress)
         try:
             import zstandard  # optional
 
@@ -52,8 +56,8 @@ def _codec_fns(codec: str):
                     lambda b, n: zstandard.decompress(b))
         except ImportError:
             raise NotSupportedError(
-                "zstd codec requires the 'zstandard' package — refusing to "
-                "emit a non-zstd stream under the zstd label")
+                "zstd codec needs libzstd or the 'zstandard' package — "
+                "refusing to emit a non-zstd stream under the zstd label")
     if codec == "snappy":
         # real snappy BLOCK format (comp/snappy.py — spec-conformant tag
         # stream, interoperates with google/snappy block data)
@@ -206,6 +210,65 @@ def bitcomp_decompress(blob: bytes, out_size: int) -> bytes:
     arr = ((zz >> np.uint64(1)).astype(np.int64)
            ^ -(zz & np.uint64(1)).astype(np.int64)).astype(np.int32)
     return arr.tobytes()[:total]
+
+
+# ---------------- zstd via system libzstd ----------------
+
+_ZSTD_LIB = "unset"
+
+
+def _zstd_lib():
+    """ctypes handle to the system libzstd (or None): the real-zstd-frame
+    path of the zstd codec (≙ nvCOMP zstd interop samples — byte streams
+    any zstd tool decodes)."""
+    global _ZSTD_LIB
+    if _ZSTD_LIB == "unset":
+        import ctypes
+        import ctypes.util
+
+        name = ctypes.util.find_library("zstd")
+        try:
+            lib = ctypes.CDLL(name or "libzstd.so.1")
+            lib.ZSTD_compressBound.restype = ctypes.c_size_t
+            lib.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
+            lib.ZSTD_compress.restype = ctypes.c_size_t
+            lib.ZSTD_compress.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                          ctypes.c_char_p, ctypes.c_size_t,
+                                          ctypes.c_int]
+            lib.ZSTD_decompress.restype = ctypes.c_size_t
+            lib.ZSTD_decompress.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                            ctypes.c_char_p, ctypes.c_size_t]
+            lib.ZSTD_isError.restype = ctypes.c_uint
+            lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
+            _ZSTD_LIB = lib
+        except OSError:
+            _ZSTD_LIB = None
+    return _ZSTD_LIB
+
+
+def _zstd_compress(data: bytes, level: int = 3) -> bytes:
+    import ctypes
+
+    lib = _zstd_lib()
+    data = bytes(data)
+    cap = lib.ZSTD_compressBound(len(data))
+    dst = ctypes.create_string_buffer(cap)
+    n = lib.ZSTD_compress(dst, cap, data, len(data), level)
+    if lib.ZSTD_isError(n):
+        raise RuntimeError("ZSTD_compress failed")
+    return dst.raw[:n]
+
+
+def _zstd_decompress(blob: bytes, out_size: int) -> bytes:
+    import ctypes
+
+    lib = _zstd_lib()
+    blob = bytes(blob)
+    dst = ctypes.create_string_buffer(max(out_size, 1))
+    n = lib.ZSTD_decompress(dst, out_size, blob, len(blob))
+    if lib.ZSTD_isError(n):
+        raise RuntimeError("ZSTD_decompress failed")
+    return dst.raw[:n]
 
 
 # ---------------- rANS entropy coder ----------------
