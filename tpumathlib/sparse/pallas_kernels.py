@@ -298,8 +298,15 @@ class SpmvPlan:
         xh = jnp.broadcast_to(xh1[:, None], (n, 128))
         xl = jnp.broadcast_to(xl1[:, None], (n, 128))
         compact = self.bs == 128
-        rpi = 2 if (self.mb % 2 == 0 and self.ellw * self.bs * self.bs
-                    * 2 * 2 * 2 <= (6 << 20)) else 1
+        # 2 block-rows per pipeline iteration when the WHOLE VMEM budget
+        # (A slot buffers + resident x planes) allows; at the r4 bench
+        # shape (ellw=32, bs=128, n=16384) the budget is fully committed
+        # (measured: rpi=2 overflows the 16 MB scoped vmem by 2 KB), so
+        # the ~0.3 ms/call fixed cost stands there — see NOTES_r4
+        abuf_bytes = 2 * 2 * 2 * self.ellw * self.bs * self.bs * 2
+        xbuf_bytes = 2 * n * 128 * 2
+        rpi = 2 if (self.mb % 2 == 0
+                    and abuf_bytes + xbuf_bytes <= (14 << 20)) else 1
         out_shape = ((self.mb, 128) if compact else (m, 128))
         obuf_shape = ((2, rpi, 128) if compact
                       else (2, rpi * self.bs, 128))
