@@ -97,3 +97,10 @@ def test_dif_butterfly_fft(rng, n):
     perm = shuffle_perm(n)
     np.testing.assert_allclose(np.asarray(sr)[:, perm], np.asarray(yr),
                                rtol=1e-5, atol=1e-3)
+    # bf16-plane fast mode: HALF the HBM stream bytes, documented ~4e-3
+    # rel-L2 contract (input/output quantization; butterflies stay f32)
+    hr, hi = dif_fft(jnp.asarray(x.real), jnp.asarray(x.imag), tile=4,
+                     halfplanes=True)
+    assert hr.dtype == jnp.bfloat16
+    assert rel_l2(np.asarray(hr, np.float64)
+                  + 1j * np.asarray(hi, np.float64), w) < 8e-3
