@@ -421,6 +421,7 @@ def rhf(mol: Molecule, max_iters: int = 80, conv: float = 1e-9,
     e_old = 0.0
     errs, focks = [], []
     e = 0.0
+    best_de, stall = float("inf"), 0
     for it in range(max_iters):
         f = fock(d)
         e = float(np.sum(d * (hcore + f))) + mol.nuclear_repulsion()
@@ -446,8 +447,17 @@ def rhf(mol: Molecule, max_iters: int = 80, conv: float = 1e-9,
             except np.linalg.LinAlgError:
                 pass
         d, c, eps = density(f)
-        if abs(e - e_old) < conv and it > 1:
+        de = abs(e - e_old)
+        if de < conv and it > 1:
             break
+        # f32-device noise floor (measured on chip, NOTES_r4): with f32
+        # J/K the energy plateaus around 1e-5..1e-6 Ha — stop once the
+        # plateau stops improving instead of burning max_iters
+        if it > 1 and de < 1e-5:
+            stall = stall + 1 if de >= best_de else 0
+            best_de = min(best_de, de)
+            if stall >= 8:
+                break
         e_old = e
     # final energy at full host f64 (variational: density error enters at
     # second order, so the f32 device iterations don't touch the total)

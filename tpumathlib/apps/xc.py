@@ -442,6 +442,7 @@ def uhf(mol: Molecule, spin: int = 0, max_iters: int = 120,
     # mixing); without it, symmetric guesses stay spin-restricted
     e_old, e = 0.0, 0.0
     errs, focks = [], []
+    best_de, stall = float("inf"), 0
     for it in range(max_iters):
         jt, _ = build_jk(da + db, exchange=False)
         if xc is None:
@@ -472,8 +473,15 @@ def uhf(mol: Molecule, spin: int = 0, max_iters: int = 120,
             db, cb, epsb = density(fab[1], nb)
         else:
             db = np.zeros_like(da)
-        if abs(e - e_old) < conv and it > 3:
+        de = abs(e - e_old)
+        if de < conv and it > 3:
             break
+        # f32-device plateau detection (see est.rhf / NOTES_r4)
+        if it > 3 and de < 1e-5:
+            stall = stall + 1 if de >= best_de else 0
+            best_de = min(best_de, de)
+            if stall >= 8:
+                break
         e_old = e
 
     # final host-f64 energy
