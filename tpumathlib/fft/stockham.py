@@ -172,15 +172,23 @@ def _unstack_tiles(v, ngroups: int):
 
 
 def _fft_chunk(vr, vi, wr_ref, wi_ref, dr_ref, di_ref, ds_ref,
-               m0: int, exact: bool, collapse: int = 1):
+               m0: int, exact: bool, collapse: int = 1,
+               lowprec: bool = False):
     """Transform one (T, n) chunk held in VMEM (n = m0·128). ``collapse``
     folds the last log2(collapse) cross-row stages into the lane-DFT
     matmul (DFT of size 128·collapse over tile groups) — fewer VPU roll
-    stages at more (budget-checked) MXU work."""
+    stages at more (budget-checked) MXU work. ``lowprec`` (the
+    halfplanes fast mode) runs the lane-DFT with bf16 single-pass
+    operands (3 MXU passes instead of 9 — at bf16 plane accuracy the
+    split passes buy nothing). The roll butterflies stay f32: Mosaic has
+    no sub-32-bit lane rotate ("Rotate with non-32-bit data", measured
+    r4), so stage A cannot drop below f32 vregs."""
     t, n = vr.shape
     nstages = int(math.log2(m0 // collapse))
     j_idx = jax.lax.broadcasted_iota(jnp.int32, (t, n), 1)
     m_idx = j_idx >> 7  # row index m = j // 128
+    vr = vr.astype(jnp.float32)
+    vi = vi.astype(jnp.float32)
 
     # ---- stage A: cross-row radix-2 DIF butterflies (whole-tile rolls) ----
     d = m0 // 2
@@ -211,6 +219,17 @@ def _fft_chunk(vr, vi, wr_ref, wi_ref, dr_ref, di_ref, ds_ref,
                      precision=hp)
         p3 = jnp.dot(ar + ai, ds_ref[:],
                      preferred_element_type=jnp.float32, precision=hp)
+    elif lowprec:
+        # bf16-plane accuracy: single-pass 3M product (3 MXU passes)
+        drh = dr_ref[:].astype(jnp.bfloat16)
+        dih = di_ref[:].astype(jnp.bfloat16)
+        dsh = ds_ref[:].astype(jnp.bfloat16)
+        arh = ar.astype(jnp.bfloat16)
+        aih = ai.astype(jnp.bfloat16)
+        p1 = jnp.dot(arh, drh, preferred_element_type=jnp.float32)
+        p2 = jnp.dot(aih, dih, preferred_element_type=jnp.float32)
+        p3 = jnp.dot((ar + ai).astype(jnp.bfloat16), dsh,
+                     preferred_element_type=jnp.float32)
     else:
         rh, rl = _split_bf16(ar)
         ih, il = _split_bf16(ai)
@@ -271,11 +290,10 @@ def _pipeline_kernel(m0: int, exact: bool, chunk: int, nchunks: int,
                 for dma in stores(slot, c - 2):
                     dma.wait()
 
-            vr, vi = _fft_chunk(bufr[slot].astype(jnp.float32),
-                                bufi[slot].astype(jnp.float32),
+            vr, vi = _fft_chunk(bufr[slot], bufi[slot],
                                 wr_ref, wi_ref,
                                 dr_ref, di_ref, ds_ref, m0, exact,
-                                collapse)
+                                collapse, lowprec=halfplanes)
             if halfplanes:
                 obufr[slot] = vr.astype(jnp.bfloat16)
                 obufi[slot] = vi.astype(jnp.bfloat16)
