@@ -151,7 +151,11 @@ def bench_sparse(hbm_target):
     spmm = bench_spmm_bell()
     return [
         {"metric": "spmv_csr_3.2Mnnz_gbps", "value": round(csr["gbps"], 2),
-         "unit": "GB/s", "vs_baseline": round(csr["gbps"] / hbm_target, 4)},
+         "unit": "GB/s", "vs_baseline": round(csr["gbps"] / hbm_target, 4),
+         "note": "unstructured-CSR gather wall (~126M elem/s on this "
+                 "hardware, NOTES_r2); block-structured CSR should "
+                 "convert via sparse.csr_to_blocked_ell and run the "
+                 "170-225 GB/s MXU kernels"},
         {"metric": "spmv_blockedell_67Mnnz_gbps",
          "value": round(bell["gbps"], 1), "unit": "GB/s",
          "vs_baseline": round(bell["gbps"] / hbm_target, 4)},

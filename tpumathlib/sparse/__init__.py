@@ -28,7 +28,8 @@ from tpumathlib.sparse.spgemm import spgemm, spgemm_mem, SpGemmPlan  # noqa: F40
 from tpumathlib.sparse.spsv import SpSvPlan, spsv, spsm  # noqa: F401
 from tpumathlib.sparse.convert import (  # noqa: F401
     dense_to_csr, dense_to_coo, csr_to_dense, coo_to_dense, coo_sort,
-    dense_to_blocked_ell, csr_to_coo, coo_to_csr, prune_dense,
+    dense_to_blocked_ell, csr_to_blocked_ell, csr_to_coo, coo_to_csr,
+    prune_dense,
 )
 from tpumathlib.sparse.tridiag import gtsv, gpsv_interleaved_batch  # noqa: F401
 from tpumathlib.sparse.solvers import cg, bicgstab, ic0, ilu0  # noqa: F401
