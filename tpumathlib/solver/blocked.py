@@ -62,28 +62,6 @@ _HI = jax.lax.Precision.HIGHEST
 _NB = 128           # unrolled base block (one VPU tile row of lanes)
 
 
-def _chol128_inplace(d):
-    """Unrolled in-register Cholesky of a (128,128) f32 tile: returns
-    lower L (upper zeroed). All slices static — every column step is
-    ~6 vector ops on 16-vreg tiles."""
-    nb = d.shape[0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
-    for j in range(nb):
-        piv = d[j:j + 1, j:j + 1]                       # (1,1)
-        rs = 1.0 / jnp.sqrt(piv)
-        row = d[j:j + 1, :] * rs                        # col j of L, as row
-        vr = jnp.where(lane > j, row, 0.0)              # strict tail
-        vc = d[:, j:j + 1] * rs                         # col j of L
-        d = d - vc * vr                                 # masked rank-1
-        # write L's column j (lanes == j): tail + sqrt(piv) on the diag
-        lj = jnp.where(lane == j, vc, 0.0)
-        keep = jnp.where(lane == j, 0.0, 1.0)
-        d = d * keep + lj
-    row_i = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
-    col_i = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
-    return jnp.where(row_i >= col_i, d, 0.0)
-
-
 def _chol_inv128(d):
     """Fused Cholesky + inverse of a (128,128) tile: one column sweep
     produces U (L's columns as rows) AND W = inv(L) row by row via
@@ -116,33 +94,9 @@ def _chol_inv128(d):
     return u.T, w
 
 
-def _tri_inv128(l):
-    """inv(L) for lower-triangular (128,128) via nilpotent doubling:
-    L = (I+N)·D with N strictly lower ⇒
-    inv(L) = D⁻¹·(I−N)(I+N²)(I+N⁴)(I+N⁸)(I+N¹⁶)(I+N³²)(I+N⁶⁴)."""
-    nb = l.shape[0]
-    row_i = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
-    col_i = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
-    eyem = (row_i == col_i).astype(l.dtype)
-    diag_row = jnp.sum(jnp.where(row_i == col_i, l, 0.0), axis=0,
-                       keepdims=True)                    # (1, nb)
-    dinv_row = 1.0 / diag_row
-    n_mat = jnp.where(row_i > col_i, l * dinv_row, 0.0)  # N = sl(L)·D⁻¹
-    p = eyem - n_mat
-    s = n_mat
-    for _ in range(6):
-        s = jnp.dot(s, s, preferred_element_type=jnp.float32, precision=_HI)
-        p = jnp.dot(p, eyem + s, preferred_element_type=jnp.float32,
-                    precision=_HI)
-    # inv(L) = D⁻¹ · inv(I+N): scale ROWS by dinv — dinv as a column
-    dinv_col = jnp.sum(jnp.where(row_i == col_i, 1.0 / l, 0.0), axis=1,
-                       keepdims=True)                    # (nb, 1)
-    return p * dinv_col
-
-
 def _panel_kernel(m: int, p: int, chunk: int = 2048):
-    """Kernel: factor an (m, p) trailing panel in place — diag Cholesky,
-    doubling inverse, trsm of the sub-diagonal rows, and the
+    """Kernel: factor an (m, p) trailing panel in place — fused diag
+    Cholesky + inverse sweep, trsm of the sub-diagonal rows, and the
     within-panel trailing updates, all in VMEM."""
 
     def kernel(a_ref, o_ref):
