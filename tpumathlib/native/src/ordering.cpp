@@ -164,7 +164,7 @@ int nd_ordering(int64_t n, const int64_t* indptr, const int64_t* indices,
         int64_t maxlev = level[q.back()];
         std::vector<int64_t> lsize(maxlev + 1, 0);
         for (int64_t v : q) lsize[level[v]]++;
-        int64_t cut_level = 1, acc = 0, bestsz = INT64_MAX;
+        int64_t cut_level = 1, bestsz = INT64_MAX;
         {
             int64_t cum = 0;
             for (int64_t L = 0; L <= maxlev; L++) {
@@ -179,7 +179,6 @@ int nd_ordering(int64_t n, const int64_t* indptr, const int64_t* indices,
                 cut_level = level[q[(int64_t)q.size() / 2]];
             if (cut_level < 1) cut_level = 1;
         }
-        (void)acc;
         std::vector<int64_t> a_side, b_side, sep;
         for (int64_t v : q)
             (level[v] < cut_level ? a_side : b_side).push_back(v);

@@ -89,8 +89,8 @@ uint32_t encode_chunk(const uint8_t* src, uint32_t n, const Table& t,
     int j = (int)(i % NWAY);
     uint8_t s = src[i];
     uint32_t f = t.freq[s];
-    uint32_t x_max = f << (32 - PROB_BITS - 16 + 16 - 16 + 20 - 20);  // f << 20 below
-    x_max = f << 20;  // ((RANS_L >> PROB_BITS) << 16) * f with RANS_L = 1<<16
+    // ((RANS_L >> PROB_BITS) << 16) * f with RANS_L = 1<<16
+    uint32_t x_max = f << 20;
     uint32_t xx = x[j];
     if (xx >= x_max) { rev.push_back((uint16_t)xx); xx >>= 16; }
     x[j] = ((xx / f) << PROB_BITS) + (xx % f) + t.cum[s];
