@@ -158,11 +158,9 @@ def csr_to_blocked_ell(a: CSR, blocksize: int = 128,
     cols = np.full((mb, width), -1, np.int32)
     datat = np.zeros((mb, width, bs, bs), vals.dtype)
     tile_of = np.searchsorted(uniq, key)          # tile index per entry
-    # slot of each tile within its block-row
-    slot = np.zeros(len(uniq), np.int64)
+    # slot of each tile within its block-row (uniq sorted by block-row)
     ubr = uniq // (n // bs)
-    for i in range(1, len(uniq)):
-        slot[i] = slot[i - 1] + 1 if ubr[i] == ubr[i - 1] else 0
+    slot = np.arange(len(uniq)) - np.searchsorted(ubr, ubr, side="left")
     cols[ubr, slot] = (uniq % (n // bs)).astype(np.int32)
     datat[ubr[tile_of], slot[tile_of], rows % bs, cols_ % bs] = vals
     return BlockedELL(jnp.asarray(cols), jnp.asarray(datat), (m, n), bs)
