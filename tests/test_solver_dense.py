@@ -320,3 +320,58 @@ def test_potrf_blocked(rng):
         rel = np.abs(l - lr).max() / np.abs(lr).max()
         assert rel < 5e-5, rel
         assert np.abs(np.triu(l, 1)).max() == 0.0
+
+
+def test_stebz_stein_device(rng):
+    """Device tridiagonal eigensolver (solver/stebz.py — the
+    dstebz/dstein-class engine behind xstedc): parallel-prefix Sturm
+    bisection eigenvalues vs LAPACK, twisted-factorization eigenvectors
+    (residual + orthogonality at dtype grade), LAPACK-style splitting
+    with repeated eigenvalues across decoupled blocks."""
+    from tpumathlib.solver.stebz import (stebz_device, stein_device,
+                                         sturm_counts)
+
+    def check(d, e, res_tol, orth_tol):
+        d = jnp.asarray(d)
+        e = jnp.asarray(e)
+        t = (np.diag(np.asarray(d)) + np.diag(np.asarray(e), 1)
+             + np.diag(np.asarray(e), -1))
+        w = np.asarray(stebz_device(d, e))
+        wref = np.linalg.eigvalsh(t)
+        scale = max(abs(wref[0]), abs(wref[-1]), 1.0)
+        assert np.abs(w - wref).max() < 50 * np.finfo(
+            np.asarray(d).dtype).eps * scale
+        v = np.asarray(stein_device(d, e, jnp.asarray(w)))
+        res = np.abs(t @ v - v * w[None, :]).max()
+        orth = np.abs(v.T @ v - np.eye(len(w)))
+        np.fill_diagonal(orth, 0)
+        assert res < res_tol * scale, res
+        assert orth.max() < orth_tol, orth.max()
+        return w
+
+    n = 150
+    d32 = rng.normal(size=n).astype(np.float32)
+    e32 = rng.normal(size=n - 1).astype(np.float32)
+    check(d32, e32, 5e-5, 5e-4)
+    check(d32.astype(np.float64), e32.astype(np.float64), 1e-13, 1e-11)
+    # counts at midpoints between WELL-SEPARATED eigenvalues are exact
+    t = np.diag(d32) + np.diag(e32, 1) + np.diag(e32, -1)
+    wref = np.linalg.eigvalsh(t).astype(np.float32)
+    mids = 0.5 * (wref[:-1] + wref[1:])
+    sepd = np.diff(wref) > 1e-3
+    c = np.asarray(sturm_counts(jnp.asarray(d32), jnp.asarray(e32),
+                                jnp.asarray(mids)))
+    np.testing.assert_array_equal(c[sepd], np.arange(1, n)[sepd])
+    # scan-method counts agree with prefix
+    c2 = np.asarray(sturm_counts(jnp.asarray(d32), jnp.asarray(e32),
+                                 jnp.asarray(mids), method="scan"))
+    np.testing.assert_array_equal(c[sepd], c2[sepd])
+    # repeated eigenvalues across DECOUPLED blocks (the reducible case
+    # LAPACK handles by splitting): kron(I_4, X) tridiagonalized
+    small = rng.normal(size=(16, 16))
+    small = (small + small.T) / 2
+    a = np.kron(np.eye(4), small).astype(np.float32)
+    tt = scipy.linalg.hessenberg(a)
+    dcl = np.diag(tt).astype(np.float32)
+    ecl = np.diag(tt, 1).astype(np.float32)
+    check(dcl, ecl, 5e-4, 5e-3)

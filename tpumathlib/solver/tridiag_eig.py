@@ -69,14 +69,22 @@ def xsytrd(a):
     return d, e, q
 
 
-@jax.jit
-def xstedc(d, e, vectors: bool = True):
+@functools.partial(jax.jit, static_argnames=("method",))
+def xstedc(d, e, vectors: bool = True, method: str = "bisect"):
     """Eigendecomposition of tridiag(e, d, e): (w ascending, z).
 
-    ≙ cusolverDnXstedc / cusolverMpStedc. The secular-equation D&C is
-    host-control-flow heavy; the TPU path builds the (banded) matrix and
-    runs the blocked eigensolver — same O(n³) vector accumulation cost as
-    D&C-with-vectors, MXU-resident."""
+    ≙ cusolverDnXstedc / cusolverMpStedc. method="bisect" (default) is
+    the suite's OWN device tridiagonal engine (solver/stebz.py):
+    parallel-prefix Sturm bisection for values + twisted-factorization
+    eigenvectors with LAPACK-style block splitting — O(n²·rounds) work
+    with log-depth scans, no O(n³) dense fallback. method="eigh" keeps
+    the round-3 path (build the matrix, run the blocked eigensolver)."""
+    if method == "bisect":
+        from tpumathlib.solver.stebz import stebz_device, stein_device
+
+        w = stebz_device(d, e)
+        z = stein_device(d, e, w)
+        return w, z
     n = d.shape[0]
     t = jnp.diag(d) + jnp.diag(e, 1) + jnp.diag(e, -1)
     return jnp.linalg.eigh(t)
