@@ -375,3 +375,14 @@ def test_stebz_stein_device(rng):
     dcl = np.diag(tt).astype(np.float32)
     ecl = np.diag(tt, 1).astype(np.float32)
     check(dcl, ecl, 5e-4, 5e-3)
+    # near-degenerate pairs INSIDE one irreducible block (gray zone:
+    # resolved eigenvalues, near-parallel naive twists) — the collision
+    # fix rebuilds the second copy at its next-best localization site
+    sm2 = rng.normal(size=(24, 24))
+    sm2 = (sm2 + sm2.T) / 2
+    t2 = scipy.linalg.hessenberg(sm2)
+    d2 = np.diag(t2)
+    e2 = np.diag(t2, 1)
+    dnd = np.concatenate([d2, d2]).astype(np.float32)
+    endd = np.concatenate([e2, [1e-5], e2]).astype(np.float32)
+    check(dnd, endd, 2e-3, 5e-3)

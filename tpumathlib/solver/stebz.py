@@ -23,10 +23,13 @@ TPU formulation (everything fixed-shape, no host control flow):
   (the prefix form is sign-safe only), twist at the minimal-γ row, the
   vector read off as log-space ratio products — no unpivoted inverse
   iteration (which measurably loses digits on indefinite shifts).
-- **LAPACK-style splitting**: negligible couplings are zeroed; repeated
-  eigenvalues live in distinct irreducible blocks, and each copy's
-  twist is restricted to its own block (blocks ranked by per-block
-  min |γ|), with windowed neighbor re-orthogonalization behind it.
+- **LAPACK-style splitting + cluster site assignment**: negligible
+  couplings are zeroed (pivot recurrences restart per irreducible
+  block); twists sit at LOCAL MINIMA of |γ| (eigenvector localization
+  sites), and the t-th copy of a (near-)degenerate cluster takes the
+  t-th best site — covering repeated eigenvalues across decoupled
+  blocks AND near-degenerate pairs inside one block — with windowed
+  neighbor re-orthogonalization behind it.
 """
 
 from __future__ import annotations
@@ -175,15 +178,27 @@ def stein_device(d, e, w, key=None):
     scale = jnp.maximum(jnp.max(jnp.abs(d)) + 2 * jnp.max(
         jnp.abs(e) if e.shape[0] else jnp.zeros(1, d.dtype)), 1.0)
     # separate clustered shifts (the stein perturbation): λ_j += pos·sep
-    # within runs of near-equal eigenvalues
+    # within runs of near-equal eigenvalues. The CLUSTER criterion for
+    # site assignment/re-orthogonalization is much wider (tolc) than the
+    # shift perturbation: near-degenerate pairs whose twisted vectors
+    # would come out nearly parallel must get distinct localization
+    # sites even when their eigenvalues are individually resolved.
     sep = 10.0 * eps * scale
+    tolc = 1e3 * sep
+    site_tol = 50.0 * eps * scale   # twisted vectors indistinguishable
     close_prev = jnp.concatenate(
         [jnp.zeros(1, jnp.bool_), (w[1:] - w[:-1]) < sep])
-    runpos = jax.lax.associative_scan(
+    runpos_sep = jax.lax.associative_scan(
         lambda x, y: (x[0] * y[0], y[0] * x[1] + y[1]),
         (close_prev.astype(d.dtype),
          close_prev.astype(d.dtype)))[1]
-    lam = w + runpos * sep
+    close_site = jnp.concatenate(
+        [jnp.zeros(1, jnp.bool_), (w[1:] - w[:-1]) < site_tol])
+    runpos = jax.lax.associative_scan(
+        lambda x, y: (x[0] * y[0], y[0] * x[1] + y[1]),
+        (close_site.astype(d.dtype),
+         close_site.astype(d.dtype)))[1]
+    lam = w + runpos_sep * sep
 
     # LAPACK-style SPLITTING: negligible couplings decouple the matrix
     # into irreducible blocks (unreduced tridiagonals have SIMPLE
@@ -207,20 +222,25 @@ def stein_device(d, e, w, key=None):
     p = _pivot_scan(d, e, lam)
     q = _pivot_scan(d[::-1], e[::-1], lam)[::-1]
 
-    # twist index per eigenvector, block-assigned: rank blocks by their
-    # best |γ| and give the t-th COPY of a repeated eigenvalue the t-th
-    # best block (duplicates across decoupled blocks get distinct
-    # owners; runpos is the within-cluster position)
+    # twist index per eigenvector: the twist sits at a LOCAL MINIMUM of
+    # |γ| (an eigenvector localization site). Repeated/near-degenerate
+    # eigenvalues have several sites — across decoupled blocks AND
+    # within one block — so the t-th COPY of a cluster (runpos) takes
+    # the t-th best site: each copy lands in a different part of the
+    # (near-)degenerate subspace and the neighbor re-orthogonalization
+    # then works INSIDE that subspace.
     gamma = jnp.abs(p + q - (d[:, None] - lam[None, :]))
-    seg_min = jax.ops.segment_min(gamma, bid, num_segments=n)  # (n, nev)
-    order = jnp.argsort(seg_min, axis=0)                       # blocks ranked
-    copy_t = jnp.clip(runpos.astype(jnp.int32),
-                      0, jnp.maximum(bid[-1], 0))
-    own = jnp.take_along_axis(order, copy_t[None, :], axis=0)[0]  # (nev,)
-    gmask = jnp.where(bid[:, None] == own[None, :], gamma, jnp.inf)
-    r = jnp.argmin(gmask, axis=0)                           # (nev,)
+    inf = jnp.asarray(jnp.inf, d.dtype)
+    g_lo = jnp.concatenate([jnp.full((1, nev), inf), gamma[:-1]], axis=0)
+    g_hi = jnp.concatenate([gamma[1:], jnp.full((1, nev), inf)], axis=0)
+    is_min = (gamma <= g_lo) & (gamma <= g_hi)
+    cand = jnp.where(is_min, gamma, inf)
+    order = jnp.argsort(cand, axis=0)                       # sites ranked
+    nsites = jnp.sum(is_min.astype(jnp.int32), axis=0)
+    copy_t = jnp.minimum(runpos.astype(jnp.int32),
+                         jnp.maximum(nsites - 1, 0))
 
-    # ratio chains in log space
+    # ratio chains in log space (shared by every site choice)
     t_up = -e_hi[:, None] / safed(p)        # k < r uses t_up[k]
     s_dn = -e_lo[:, None] / safed(q)        # k > r uses s_dn[k]
     logt = jnp.log(jnp.maximum(jnp.abs(t_up), tiny))
@@ -235,25 +255,51 @@ def stein_device(d, e, w, key=None):
     st = jnp.concatenate([zrow_i, jnp.cumsum(negt, axis=0)], axis=0)
     ss = jnp.concatenate([zrow_i, jnp.cumsum(negs, axis=0)], axis=0)
     jj = jnp.arange(nev)
-    lt_r = lt[r, jj][None, :]
-    ls_r = ls[r + 1, jj][None, :]
-    st_r = st[r, jj][None, :]
-    ss_r = ss[r + 1, jj][None, :]
     k = jnp.arange(n)[:, None]
-    rb = r[None, :]
-    # |x_k| in log space, clamped into the f32 exp range (normalization
-    # absorbs the clamp; magnitudes decay away from the twist)
-    up_mag = jnp.clip(lt_r - lt[:n], -60.0, 40.0)
-    dn_mag = jnp.clip(ls[1:n + 1] - ls_r, -60.0, 40.0)
-    up_sgn = 1.0 - 2.0 * jnp.abs((st_r - st[:n]) % 2).astype(d.dtype)
-    dn_sgn = 1.0 - 2.0 * jnp.abs((ss[1:n + 1] - ss_r) % 2).astype(d.dtype)
-    x = jnp.where(k < rb, up_sgn * jnp.exp(up_mag),
-                  jnp.where(k == rb, 1.0, dn_sgn * jnp.exp(dn_mag)))
-    x = x / jnp.maximum(jnp.linalg.norm(x, axis=0, keepdims=True), 1e-30)
+
+    def build(ct):
+        r = jnp.take_along_axis(order, ct[None, :], axis=0)[0]
+        lt_r = lt[r, jj][None, :]
+        ls_r = ls[r + 1, jj][None, :]
+        st_r = st[r, jj][None, :]
+        ss_r = ss[r + 1, jj][None, :]
+        rb = r[None, :]
+        return r, lt_r, ls_r, st_r, ss_r, rb
+
+    def vectors(ct):
+        r, lt_r, ls_r, st_r, ss_r, rb = build(ct)
+        # |x_k| in log space, clamped into the f32 exp range
+        # (normalization absorbs the clamp; magnitudes decay away from
+        # the twist)
+        up_mag = jnp.clip(lt_r - lt[:n], -60.0, 40.0)
+        dn_mag = jnp.clip(ls[1:n + 1] - ls_r, -60.0, 40.0)
+        up_sgn = 1.0 - 2.0 * jnp.abs((st_r - st[:n]) % 2).astype(d.dtype)
+        dn_sgn = 1.0 - 2.0 * jnp.abs(
+            (ss[1:n + 1] - ss_r) % 2).astype(d.dtype)
+        x = jnp.where(k < rb, up_sgn * jnp.exp(up_mag),
+                      jnp.where(k == rb, 1.0, dn_sgn * jnp.exp(dn_mag)))
+        return x / jnp.maximum(
+            jnp.linalg.norm(x, axis=0, keepdims=True), 1e-30)
+
+    x = vectors(copy_t)
+    # COLLISION FIX: gray-zone near-degenerate pairs (resolved
+    # eigenvalues whose twisted vectors still come out near-parallel)
+    # are detected from actual neighbor overlaps and rebuilt at their
+    # next-best localization site
+    prev1 = jnp.concatenate([jnp.zeros((n, 1), d.dtype), x[:, :-1]],
+                            axis=1)
+    near = jnp.concatenate([jnp.zeros(1, jnp.bool_),
+                            (w[1:] - w[:-1]) < tolc])
+    collide = near & (jnp.abs(jnp.sum(prev1 * x, axis=0)) > 0.5)
+    bump = jax.lax.associative_scan(
+        lambda a, b: (a[0] * b[0], b[0] * a[1] + b[1]),
+        (collide.astype(d.dtype), collide.astype(d.dtype)))[1]
+    copy_t2 = jnp.minimum(copy_t + bump.astype(jnp.int32),
+                          jnp.maximum(nsites - 1, 0))
+    x = vectors(copy_t2)
 
     # windowed re-orthogonalization against sorted neighbors (clusters
     # are contiguous): a few sweeps of offset projections
-    tolc = 1e3 * sep
     for _ in range(2):
         for off in (1, 2, 3):
             prev = jnp.concatenate(
