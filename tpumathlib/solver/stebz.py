@@ -185,19 +185,12 @@ def stein_device(d, e, w, key=None):
     # sites even when their eigenvalues are individually resolved.
     sep = 10.0 * eps * scale
     tolc = 1e3 * sep
-    site_tol = 50.0 * eps * scale   # twisted vectors indistinguishable
     close_prev = jnp.concatenate(
         [jnp.zeros(1, jnp.bool_), (w[1:] - w[:-1]) < sep])
     runpos_sep = jax.lax.associative_scan(
         lambda x, y: (x[0] * y[0], y[0] * x[1] + y[1]),
         (close_prev.astype(d.dtype),
          close_prev.astype(d.dtype)))[1]
-    close_site = jnp.concatenate(
-        [jnp.zeros(1, jnp.bool_), (w[1:] - w[:-1]) < site_tol])
-    runpos = jax.lax.associative_scan(
-        lambda x, y: (x[0] * y[0], y[0] * x[1] + y[1]),
-        (close_site.astype(d.dtype),
-         close_site.astype(d.dtype)))[1]
     lam = w + runpos_sep * sep
 
     # LAPACK-style SPLITTING: negligible couplings decouple the matrix
@@ -237,8 +230,6 @@ def stein_device(d, e, w, key=None):
     cand = jnp.where(is_min, gamma, inf)
     order = jnp.argsort(cand, axis=0)                       # sites ranked
     nsites = jnp.sum(is_min.astype(jnp.int32), axis=0)
-    copy_t = jnp.minimum(runpos.astype(jnp.int32),
-                         jnp.maximum(nsites - 1, 0))
 
     # ratio chains in log space (shared by every site choice)
     t_up = -e_hi[:, None] / safed(p)        # k < r uses t_up[k]
@@ -281,22 +272,55 @@ def stein_device(d, e, w, key=None):
         return x / jnp.maximum(
             jnp.linalg.norm(x, axis=0, keepdims=True), 1e-30)
 
-    x = vectors(copy_t)
-    # COLLISION FIX: gray-zone near-degenerate pairs (resolved
-    # eigenvalues whose twisted vectors still come out near-parallel)
-    # are detected from actual neighbor overlaps and rebuilt at their
-    # next-best localization site
-    prev1 = jnp.concatenate([jnp.zeros((n, 1), d.dtype), x[:, :-1]],
-                            axis=1)
-    near = jnp.concatenate([jnp.zeros(1, jnp.bool_),
-                            (w[1:] - w[:-1]) < tolc])
-    collide = near & (jnp.abs(jnp.sum(prev1 * x, axis=0)) > 0.5)
-    bump = jax.lax.associative_scan(
+    def col_res(x):
+        tx = d[:, None] * x
+        ez = e[:, None]
+        tx = tx + jnp.concatenate(
+            [ez * x[1:], jnp.zeros((1, nev), d.dtype)], axis=0)
+        tx = tx + jnp.concatenate(
+            [jnp.zeros((1, nev), d.dtype), ez * x[:-1]], axis=0)
+        return jnp.max(jnp.abs(tx - w[None, :] * x), axis=0)
+
+    # VALIDATED MULTI-CANDIDATE SITE SELECTION: build the vector at the
+    # best few localization sites, reject candidates whose RESIDUAL says
+    # they belong to a different eigenvalue (a wrong site reproduces
+    # some other eigenvector: residual ≈ |λ_other − λ| — cheap to test
+    # with the tridiagonal matvec), and among acceptable candidates take
+    # the one least parallel to the preceding columns. This one rule
+    # covers simple eigenvalues (candidate 0 wins), duplicates across
+    # decoupled blocks, AND near-degenerate doublets inside a block
+    # (both sites pass validation; the overlap tie-break distributes the
+    # copies). Columns where every alternative fails keep the best
+    # residual — for clusters tighter than f32 resolves, the windowed
+    # re-orthogonalization below then spans the cluster subspace (the
+    # LAPACK dstein contract).
+    ncand = min(4, n)
+    xs = [vectors(jnp.minimum(jnp.full((nev,), c, jnp.int32),
+                              jnp.maximum(nsites - 1, 0)))
+          for c in range(ncand)]
+    res_c = jnp.stack([col_res(xc) for xc in xs])           # (C, nev)
+    res_best = jnp.min(res_c, axis=0)
+    ok = res_c <= jnp.maximum(10.0 * res_best, 100.0 * eps * scale)
+    refs = [jnp.concatenate([jnp.zeros((n, o), d.dtype),
+                             xs[0][:, :-o]], axis=1) for o in (1, 2, 3)]
+    ov_c = jnp.stack([sum(jnp.abs(jnp.sum(xc * rf, axis=0))
+                          for rf in refs) for xc in xs])
+    # tie-break: in an exact degenerate tie (all overlaps equal), the
+    # t-th cluster copy prefers the t-th candidate — without this, every
+    # copy of a multiplicity-k eigenvalue would jump to the SAME first
+    # alternate site. Resolved eigenvalues are never in ties (their own
+    # candidate-0 has near-zero overlap and wins outright).
+    close_wide = jnp.concatenate(
+        [jnp.zeros(1, jnp.bool_), (w[1:] - w[:-1]) < tolc])
+    runpos_w = jax.lax.associative_scan(
         lambda a, b: (a[0] * b[0], b[0] * a[1] + b[1]),
-        (collide.astype(d.dtype), collide.astype(d.dtype)))[1]
-    copy_t2 = jnp.minimum(copy_t + bump.astype(jnp.int32),
-                          jnp.maximum(nsites - 1, 0))
-    x = vectors(copy_t2)
+        (close_wide.astype(d.dtype), close_wide.astype(d.dtype)))[1]
+    pref = jnp.abs(jnp.arange(ncand, dtype=d.dtype)[:, None]
+                   - runpos_w[None, :])
+    score = ov_c + 1e6 * (~ok).astype(d.dtype) + 1e-3 * pref
+    pick = jnp.argmin(score, axis=0)                        # (nev,)
+    xstack = jnp.stack(xs)                                  # (C, n, nev)
+    x = jnp.take_along_axis(xstack, pick[None, None, :], axis=0)[0]
 
     # windowed re-orthogonalization against sorted neighbors (clusters
     # are contiguous): a few sweeps of offset projections
