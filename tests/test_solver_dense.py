@@ -386,3 +386,18 @@ def test_stebz_stein_device(rng):
     dnd = np.concatenate([d2, d2]).astype(np.float32)
     endd = np.concatenate([e2, [1e-5], e2]).astype(np.float32)
     check(dnd, endd, 2e-3, 5e-3)
+    # constant-coefficient 1-2-1 Laplacian: its Gershgorin midpoint
+    # lands EXACTLY on a pivot-zero shift (every 2x2 transfer a pure
+    # rotation) — the regression that lost half the Sturm sign changes
+    n2 = 128
+    check(np.full(n2, 2.0, np.float32), np.full(n2 - 1, -1.0, np.float32),
+          5e-5, 5e-4)
+    # glued Wilkinson W11 x 4: clusters 4 deep with gaps below the
+    # twisted-factorization residual floor — exercises the
+    # random-restart inverse-iteration + global Gram-Schmidt cleanup
+    wd = np.abs(np.arange(-5, 6)).astype(np.float32)
+    dg = np.tile(wd, 4)
+    ego = np.ones(len(wd) - 1, np.float32)
+    eg = np.concatenate(
+        [np.concatenate([ego, [1e-5]]) for _ in range(4)])[:-1]
+    check(dg, eg.astype(np.float32), 2e-3, 1e-3)

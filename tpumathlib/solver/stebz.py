@@ -8,28 +8,27 @@ sytrd→stedc→ormtr pipeline (cuSOLVERMp/mp_sytrd_stedc_ormtr.c:1).
 
 TPU formulation (everything fixed-shape, no host control flow):
 
-- **Sturm counts by parallel prefix**: the pivot recurrence
-  q_k = (d_k − x) − e_{k-1}²/q_{k-1} is a Möbius transform, so the k-th
-  pivot is a normalized product of 2×2 matrices
-  M_k = [[d_k − x, −e_{k-1}²], [1, 0]] — ``lax.associative_scan`` gives
-  ALL pivots' signs in log₂(n) levels instead of an n-step sequential
-  scan (measured: the sequential scan costs ~n·µs-class per bisection
-  round; the prefix form is ~levels·array-op-class). Scale invariance of
-  Möbius transforms makes per-combine normalization exact.
+- **Sturm counts**: the pivot recurrence
+  q_k = (d_k − x) − e_{k-1}²/q_{k-1}, all n shifts narrowed at once as
+  vector lanes of one sequential ``lax.scan`` (default — the sign
+  pattern is exact at any spectrum). A log₂(n)-depth
+  ``associative_scan`` over the equivalent Möbius 2×2 products is kept
+  as the opt-in "prefix" method; it is depth-optimal but its f32
+  normalized products cancel catastrophically inside tight clusters.
 - **Bisection**: one shift per eigenvalue index, all n indices narrowed
   simultaneously from Gershgorin brackets; ~f32-mantissa rounds.
 - **Eigenvectors by twisted factorization** (the MRRR/Fernando core):
-  top-down and bottom-up pivot sequences from stable sequential scans
-  (the prefix form is sign-safe only), twist at the minimal-γ row, the
-  vector read off as log-space ratio products — no unpivoted inverse
-  iteration (which measurably loses digits on indefinite shifts).
-- **LAPACK-style splitting + cluster site assignment**: negligible
-  couplings are zeroed (pivot recurrences restart per irreducible
-  block); twists sit at LOCAL MINIMA of |γ| (eigenvector localization
-  sites), and the t-th copy of a (near-)degenerate cluster takes the
-  t-th best site — covering repeated eigenvalues across decoupled
-  blocks AND near-degenerate pairs inside one block — with windowed
-  neighbor re-orthogonalization behind it.
+  top-down and bottom-up pivot sequences from stable sequential scans,
+  twist at the minimal-γ row, the vector read off as log-space ratio
+  products — overflow-free and batched over all eigenvectors.
+- **LAPACK-style splitting + cluster handling**: negligible couplings
+  are zeroed (pivot recurrences restart per irreducible block); twists
+  sit at LOCAL MINIMA of |γ| (localization sites) with the t-th cluster
+  copy taking the t-th best site, iteratively re-scored against the
+  actually-chosen neighbors; clusters whose gaps sit below the twist
+  residual floor are finished by dstein-style random-restart inverse
+  iteration (partial-pivoted tridiagonal solves) under a global
+  Cholesky Gram-Schmidt.
 """
 
 from __future__ import annotations
@@ -38,6 +37,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import jax.scipy.linalg
 import numpy as np
 
 
@@ -71,24 +71,38 @@ def _mobius_prefix(d, e2, shifts):
     return num, den
 
 
-def sturm_counts(d, e, shifts, method: str = "prefix"):
+def sturm_counts(d, e, shifts, method: str = "scan"):
     """#eigenvalues of tridiag(e, d, e) strictly below each shift
-    (≙ the dstebz count kernel). method="prefix" uses the log-depth
-    Möbius products; "scan" the n-step sequential recurrence (less HBM
-    traffic per round — the prefix materializes O(log n) (n, nshift)
-    intermediates)."""
+    (≙ the dstebz count kernel). method="scan" (default) is the n-step
+    sequential pivot recurrence — exact sign pattern at any spectrum.
+    method="prefix" evaluates the log-depth Möbius products instead;
+    it is depth-optimal but f32-SIGN-FRAGILE on tightly clustered
+    spectra (normalized 2×2 products cancel catastrophically inside a
+    cluster: glued-Wilkinson counts came back short by up to 18), so
+    it is an opt-in for well-separated spectra only."""
     if method == "scan":
         p = _pivot_scan(d, e, shifts)
         return jnp.sum((p < 0).astype(jnp.int32), axis=0)
     e2 = jnp.concatenate([jnp.zeros(1, d.dtype), e * e])
-    num, den = _mobius_prefix(d, e2, shifts)
-    neg = (num * den) < 0
+    num, _ = _mobius_prefix(d, e2, shifts)
+    # num_k ∝ leading-minor determinant δ_k (normalizations are
+    # positive, signs exact); #negative pivots = #sign changes of
+    # δ_0=1, δ_1, …, δ_n. A δ_k that is EXACTLY zero counts as a forced
+    # change (the dstebz pivmin convention) and contributes no second
+    # change at k+1 — testing q_k = num·den < 0 instead silently drops
+    # every other change when a shift lands on a pivot zero (e.g. the
+    # 1-2-1 Laplacian at its Gershgorin midpoint turns every 2×2
+    # transfer into a pure rotation: half the minors are exact zeros
+    # and the count came back 0 of 512).
+    prev = jnp.concatenate(
+        [jnp.ones_like(num[:1]), num[:-1]], axis=0)
+    neg = (num * prev < 0) | (num == 0)
     return jnp.sum(neg.astype(jnp.int32), axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("rounds", "method"))
 def stebz_device(d, e, rounds: int | None = None,
-                 method: str = "prefix"):
+                 method: str = "scan"):
     """ALL eigenvalues of tridiag(e, d, e), ascending — bisection with
     one Sturm-prefix evaluation per round narrowing every index at once
     (≙ cusolverDn's dstebz stage). ``rounds`` halvings of the Gershgorin
@@ -143,6 +157,69 @@ def _pivot_scan(d, e, lam):
     return ps                                   # (n, nev)
 
 
+def _pplu_solve(d, e, lam, b):
+    """Solve (T − λ_j·I) y_j = b_j per column with PARTIAL-PIVOTED
+    tridiagonal LU (the dlagtf/dlagts pair under LAPACK dstein,
+    ref cusolver Xsyevd chain): forward elimination with row swaps
+    (fill-in of one extra superdiagonal), then a 3-term back
+    substitution. Both sweeps are lax.scans sequential in n and
+    vectorized over the nev lanes. Near-singular pivots (λ̂ ≈ exact
+    eigenvalue — the inverse-iteration use case) are clamped to ±tiny:
+    the solution blows up along the target eigenvector, which is the
+    point."""
+    n = d.shape[0]
+    nev = lam.shape[0]
+    tiny = jnp.asarray(1e-20, d.dtype)
+
+    def safed(x):
+        return jnp.where(jnp.abs(x) > tiny, x,
+                         jnp.where(x >= 0, tiny, -tiny))
+
+    dd = d[:, None] - lam[None, :]                # (n, nev)
+    if n == 1:
+        return b / safed(dd)
+    e_hi = jnp.concatenate([e, jnp.zeros(1, d.dtype)])
+    zl = jnp.zeros((nev,), d.dtype)
+
+    def fwd(carry, row):
+        # carry = active row i (cols i..i+2 + rhs); row = row i+1's
+        # (e_i, d_{i+1}−λ, e_{i+1}, b_{i+1})
+        ca, cb, cc, cr = carry
+        ra_s, rb_v, rc_s, rr = row
+        ra = ra_s * jnp.ones((nev,), d.dtype)
+        rc = rc_s * jnp.ones((nev,), d.dtype)
+        swap = jnp.abs(ra) > jnp.abs(ca)
+        pa = jnp.where(swap, ra, ca)
+        pb = jnp.where(swap, rb_v, cb)
+        pc = jnp.where(swap, rc, cc)
+        pr = jnp.where(swap, rr, cr)
+        oa = jnp.where(swap, ca, ra)
+        ob = jnp.where(swap, cb, rb_v)
+        oc = jnp.where(swap, cc, rc)
+        orr = jnp.where(swap, cr, rr)
+        m = oa / safed(pa)
+        return (ob - m * pb, oc - m * pc, zl, orr - m * pr), \
+            (pa, pb, pc, pr)
+
+    init = (dd[0], e_hi[0] * jnp.ones((nev,), d.dtype), zl, b[0])
+    (la, lb, lc, lr), (u0, u1, u2, z) = jax.lax.scan(
+        fwd, init, (e, dd[1:], e_hi[1:], b[1:]))
+    u0 = jnp.concatenate([u0, la[None]], axis=0)  # (n, nev)
+    u1 = jnp.concatenate([u1, lb[None]], axis=0)
+    u2 = jnp.concatenate([u2, lc[None]], axis=0)
+    z = jnp.concatenate([z, lr[None]], axis=0)
+
+    def bwd(carry, row):
+        y1, y2 = carry
+        a0, a1, a2, rz = row
+        y = (rz - a1 * y1 - a2 * y2) / safed(a0)
+        y = jnp.clip(y, -1e30, 1e30)
+        return (y, y1), y
+
+    _, ys = jax.lax.scan(bwd, (zl, zl), (u0, u1, u2, z), reverse=True)
+    return ys
+
+
 def _linear_recurrence(alpha, beta, reverse: bool = False):
     """y_k = alpha_k · y_{k-1} + beta_k (y_0 = beta_0·…) via associative
     scan; composition (a2,b2)∘(a1,b1) = (a1·a2, a2·b1 + b2)."""
@@ -184,14 +261,20 @@ def stein_device(d, e, w, key=None):
     # would come out nearly parallel must get distinct localization
     # sites even when their eigenvalues are individually resolved.
     sep = 10.0 * eps * scale
-    tolc = 1e3 * sep
     close_prev = jnp.concatenate(
         [jnp.zeros(1, jnp.bool_), (w[1:] - w[:-1]) < sep])
     runpos_sep = jax.lax.associative_scan(
         lambda x, y: (x[0] * y[0], y[0] * x[1] + y[1]),
         (close_prev.astype(d.dtype),
          close_prev.astype(d.dtype)))[1]
-    lam = w + runpos_sep * sep
+    # cap the total shift at a few steps: an UNCAPPED linear ramp walks
+    # the later members of a wide cluster (glued-matrix clusters run
+    # 20+ deep) right out of their own cluster toward the next one,
+    # where the inverse-iteration solves stop discriminating (measured:
+    # glued-Wilkinson 24-clusters, 1e-5 wide, 1e-3 apart — runpos·sep
+    # reached 3.3e-4 and mixed neighboring clusters). dstein likewise
+    # perturbs by only a few ulps total, not per-member.
+    lam = w + jnp.minimum(runpos_sep, 3.0) * sep
 
     # LAPACK-style SPLITTING: negligible couplings decouple the matrix
     # into irreducible blocks (unreduced tridiagonals have SIMPLE
@@ -301,8 +384,12 @@ def stein_device(d, e, w, key=None):
     res_c = jnp.stack([col_res(xc) for xc in xs])           # (C, nev)
     res_best = jnp.min(res_c, axis=0)
     ok = res_c <= jnp.maximum(10.0 * res_best, 100.0 * eps * scale)
-    refs = [jnp.concatenate([jnp.zeros((n, o), d.dtype),
-                             xs[0][:, :-o]], axis=1) for o in (1, 2, 3)]
+    colj = jnp.arange(nev)[None, :]
+
+    def shift_cols(x, o):
+        return jnp.where(colj >= o, jnp.roll(x, o, axis=1), 0.0)
+
+    refs = [shift_cols(xs[0], o) for o in (1, 2, 3)]
     ov_c = jnp.stack([sum(jnp.abs(jnp.sum(xc * rf, axis=0))
                           for rf in refs) for xc in xs])
     # tie-break: in an exact degenerate tie (all overlaps equal), the
@@ -310,8 +397,11 @@ def stein_device(d, e, w, key=None):
     # copy of a multiplicity-k eigenvalue would jump to the SAME first
     # alternate site. Resolved eigenvalues are never in ties (their own
     # candidate-0 has near-zero overlap and wins outright).
+    # chain threshold = the validation floor: only where the residual
+    # test cannot distinguish candidates do copies need distinct ranks
     close_wide = jnp.concatenate(
-        [jnp.zeros(1, jnp.bool_), (w[1:] - w[:-1]) < tolc])
+        [jnp.zeros(1, jnp.bool_),
+         (w[1:] - w[:-1]) < 200.0 * eps * scale])
     runpos_w = jax.lax.associative_scan(
         lambda a, b: (a[0] * b[0], b[0] * a[1] + b[1]),
         (close_wide.astype(d.dtype), close_wide.astype(d.dtype)))[1]
@@ -322,17 +412,82 @@ def stein_device(d, e, w, key=None):
     xstack = jnp.stack(xs)                                  # (C, n, nev)
     x = jnp.take_along_axis(xstack, pick[None, None, :], axis=0)[0]
 
-    # windowed re-orthogonalization against sorted neighbors (clusters
-    # are contiguous): a few sweeps of offset projections
-    for _ in range(2):
-        for off in (1, 2, 3):
-            prev = jnp.concatenate(
-                [jnp.zeros((n, off), d.dtype), x[:, :-off]], axis=1)
-            same = jnp.concatenate(
-                [jnp.zeros(off, jnp.bool_),
-                 (w[off:] - w[:-off]) < tolc])
-            proj = jnp.sum(prev * x, axis=0)
-            x = x - jnp.where(same, proj, 0.0)[None, :] * prev
-        x = x / jnp.maximum(jnp.linalg.norm(x, axis=0, keepdims=True),
+    # The first pass scored overlap against candidate-0 APPROXIMATIONS
+    # of the preceding columns; when a neighbor itself re-picked (its
+    # candidate 0 duplicated an earlier column), a later cluster member
+    # can land parallel to the neighbor's ACTUAL choice — which the
+    # re-orthogonalization below would then annihilate. Re-score against
+    # the chosen vectors, finalizing cluster position t at round t (its
+    # predecessors are already frozen), the parallelized form of
+    # dstein's sequential per-cluster loop.
+    for t in (1, 2, 3):
+        ov_t = jnp.stack([sum(jnp.abs(jnp.sum(xc * shift_cols(x, o),
+                                              axis=0)) for o in (1, 2, 3))
+                          for xc in xs])
+        pick_t = jnp.argmin(ov_t + 1e6 * (~ok).astype(d.dtype)
+                            + 1e-3 * pref, axis=0)
+        pick = jnp.where(runpos_w >= t, pick_t, pick)
+        x = jnp.take_along_axis(xstack, pick[None, None, :], axis=0)[0]
+
+    # GLOBAL Gram-Schmidt via ridged Cholesky of the Gram matrix
+    # (x ← x·L⁻ᵀ, G + δI = LLᵀ): equivalent to column-by-column MGS but
+    # runs as one MXU matmul + a small Cholesky + a triangular solve,
+    # and handles clusters of ANY width (the offset-window sweep used
+    # previously broke on >4-wide clusters: glued-Wilkinson chains,
+    # Laplacian edge clusters). diag(L) is the exact sequential
+    # dependency pivot: ≈1 for an independent column, ≈√δ when the
+    # column duplicates the span of its predecessors.
+    pyeps = float(np.finfo(np.dtype(d.dtype)).eps)
+    ridge = jnp.asarray(1e-3 if pyeps > 1e-10 else 1e-8, d.dtype)
+    eyeg = jnp.eye(nev, dtype=d.dtype) * ridge
+
+    def gmgs(x):
+        # full f32 on the MXU: DEFAULT precision demotes the Gram
+        # matmul (and the dots inside cholesky/triangular_solve) to
+        # bf16 on TPU — measured on chip as orth 4e-3 / residual 1e-2
+        # where the CPU path gave 4e-6 / 2e-5
+        with jax.default_matmul_precision("highest"):
+            g = x.T @ x
+            ll = jnp.linalg.cholesky(g + eyeg)
+            pn = jnp.diagonal(ll)
+            xo = jax.scipy.linalg.solve_triangular(ll, x.T,
+                                                   lower=True).T
+        return xo / jnp.maximum(
+            jnp.linalg.norm(xo, axis=0, keepdims=True), 1e-30), pn
+
+    # INVERSE-ITERATION CLEANUP (dstein's actual engine, ref
+    # cusolverDnXsyevd chain): a cluster whose gaps sit BELOW the
+    # twisted factorization's residual floor yields the SAME vector at
+    # every candidate site — the missing complement directions are not
+    # constructible from sites at all, so later cluster members
+    # duplicate their neighbors and the Gram-Schmidt annihilates them.
+    # Recovery = dstein's random-restart inverse iteration: re-seed each
+    # annihilated lane with noise, orthogonalize the SEED against the
+    # predecessors (otherwise the solve just re-amplifies the duplicated
+    # direction and the loop never converges), then one partial-pivoted
+    # solve at the index-separated λ̂ — (T − λ̂)⁻¹ amplifies the cluster
+    # subspace over everything else and the iterate converges into the
+    # cluster's missing complement. Healthy columns are only REFINED by
+    # the same step, so the sweep runs on all lanes.
+    kk = jax.random.PRNGKey(0) if key is None else key
+    noise = jax.random.normal(kk, (n, nev), d.dtype)
+    noise = noise / jnp.linalg.norm(noise, axis=0, keepdims=True)
+    for it in range(3):
+        xo, pn = gmgs(x)
+        x = jnp.where((pn < 0.3)[None, :],
+                      jnp.roll(noise, it, axis=0), xo)
+        x = gmgs(x)[0]
+        y = _pplu_solve(d, e, lam, x)
+        # max-scale first: near-singular solves reach ~1e20+ and their
+        # sum of squares overflows f32
+        y = y / jnp.maximum(jnp.max(jnp.abs(y), axis=0, keepdims=True),
                             1e-30)
+        x = y / jnp.maximum(jnp.linalg.norm(y, axis=0, keepdims=True),
+                            1e-30)
+    # two final passes ("twice is enough"): the ridge caps how
+    # orthogonal one pass can make an ill-conditioned cluster; the
+    # second pass starts near-orthonormal where the ridge correction
+    # is negligible
+    x = gmgs(x)[0]
+    x = gmgs(x)[0]
     return x

