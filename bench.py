@@ -217,6 +217,15 @@ def bench_solver(peak):
     yield {"metric": f"dx_getrf_packed_b{bsz}_n{ns}_speedup_vs_xla",
            "value": round(t_xla / t_dx, 2), "unit": "x",
            "vs_baseline": round(t_xla / t_dx, 4)}
+    # batched device eigenvector recovery (the cusolverDnXgeev dtrevc
+    # stage) vs the host LAPACK loop it replaced
+    from tpumathlib.benchmarks import bench_trevc
+
+    tv = bench_trevc()
+    yield {"metric": f"trevc_device_n{tv['n']}_b{tv['batch']}"
+                     "_speedup_vs_host",
+           "value": round(tv["speedup_vs_host"], 2), "unit": "x",
+           "vs_baseline": round(tv["speedup_vs_host"], 4)}
 
 
 def bench_comp(hbm_target):
