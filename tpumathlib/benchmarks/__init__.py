@@ -97,10 +97,15 @@ def bench_spmv(n=100_000, nnz_per_row=32) -> dict:
 def bench_spmv_bell(mb=128, nb=128, ellw=32, bs=128) -> dict:
     """Blocked-ELL SpMV (the TPU-native sparse format): SpmvPlan
     analysis outside the timed loop (the cuSPARSE descriptor lifecycle).
-    Measured on a v5e (~4e-6 rel): 171 GB/s with the solver-style
-    fed-back chain (x changes per call: per-call split/broadcast prep
-    included), 225 GB/s with constant x — vs 1.5 GB/s for gather-bound
-    unstructured CSR."""
+    Measured on a v5e (~4e-6 rel) with the r4 rowform kernel: 158.7 GB/s
+    with the solver-style fed-back chain (x changes per call; per-call
+    split/retile prep ~0.12 ms, down from 0.38), within 7% of the
+    kernel's own no-compute DMA twin (170 GB/s same-day) — vs 1.5 GB/s
+    for gather-bound unstructured CSR. NOTE the absolute ceiling drifts
+    with the chip/tunnel environment: the round-3 records (171 fed-back
+    / 225 fixed-x) were taken when the same A/B pattern streamed ~35%
+    faster; the old broadcast kernel re-measured 155 GB/s fixed-x the
+    day the rowform kernel measured 170."""
     import jax
     import jax.numpy as jnp
 

@@ -29,10 +29,15 @@ from tpumathlib.core.errors import NotSupportedError, check
 def split_bf16(x, k: int):
     """Split f32 array into k bf16 words: x ≈ Σ w_i, w_0 holding the leading
     bits. Classic multi-word (Dekker-style) splitting."""
+    import jax
+
     words = []
     r = x.astype(jnp.float32)
     for _ in range(k):
-        w = r.astype(jnp.bfloat16)
+        # barrier: --xla_allow_excess_precision folds the f32->bf16->f32
+        # convert pair to identity, zeroing every residual word (see
+        # core.dtypes.bf16_split)
+        w = jax.lax.optimization_barrier(r.astype(jnp.bfloat16))
         words.append(w)
         r = r - w.astype(jnp.float32)
     return words

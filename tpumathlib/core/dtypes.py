@@ -102,6 +102,24 @@ def complex_dtype(dtype):
     return jnp.dtype(jnp.complex64)
 
 
+def bf16_split(x):
+    """(hi, lo) bf16 planes of an f32 array with hi + lo ≈ x (Dekker-style
+    two-word split; lo carries the next 8 mantissa bits).
+
+    The naive ``x - x.astype(bf16).astype(f32)`` is UNSAFE under jit on
+    this TPU backend: the terminal compiles with
+    ``--xla_allow_excess_precision=true``, which lets XLA fold the
+    f32→bf16→f32 convert pair to the identity, collapsing lo to ZERO
+    (measured on chip: the SpMV x-plane split silently returned lo=0 at
+    1.7e-3 rel while interpret/CPU runs were exact). The
+    optimization_barrier pins the rounded hi value."""
+    import jax
+
+    hi = jax.lax.optimization_barrier(x.astype(jnp.bfloat16))
+    lo = (x - hi.astype(x.dtype)).astype(jnp.bfloat16)
+    return hi, lo
+
+
 def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 

@@ -142,6 +142,11 @@ def _bitrev_perm(n: int) -> np.ndarray:
 
 
 def _split_bf16(v):
+    # in-KERNEL split (Mosaic): the naive convert-pair form is safe here
+    # — Mosaic does not apply XLA's excess-precision fold that zeroes lo
+    # at the XLA level (see core.dtypes.bf16_split; the 5.5e-6 on-chip
+    # fft_c2c_rel_l2 bench line is the regression witness), and
+    # optimization_barrier has no Mosaic lowering anyway
     hi = v.astype(jnp.bfloat16)
     lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, lo

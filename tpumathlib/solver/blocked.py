@@ -149,9 +149,10 @@ def _panel_call(m: int, p: int):
 
 
 def _split_planes(x):
-    hi = x.astype(jnp.bfloat16)
-    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
+    # barrier-protected: the naive convert-pair split folds lo to zero
+    # under --xla_allow_excess_precision (see core.dtypes.bf16_split)
+    from tpumathlib.core.dtypes import bf16_split
+    return bf16_split(x)
 
 
 def _syrk_split(l21):

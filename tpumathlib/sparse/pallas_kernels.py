@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpumathlib.core.dtypes import bf16_split
 from tpumathlib.core.errors import check
 from tpumathlib.dx.pallas_utils import interpret_mode
 from tpumathlib.sparse.containers import BlockedELL
@@ -256,12 +257,95 @@ def _bell_split_kernel(bs: int, mb: int, ellw: int, n: int, rpi: int = 1):
     return kernel
 
 
+def _bell_row_kernel(bs: int, mb: int, ellw: int, nb: int, rpi: int):
+    """SpMV execute kernel over TRANSPOSED pre-split blocks: per block
+    row the product is yᵢᵀ = Σⱼ x_{colsᵢⱼ}ᵀ·Aᵢⱼᵀ — ONE
+    (1, ellw·bs) @ (ellw·bs, bs) MXU dot per bf16 plane pair, with the
+    gathered x row assembled from a COMPACT resident x tile (256 KB vs
+    the 8.4 MB broadcast planes of the previous formulation) and the
+    stacked-Aᵀ operand a free leading-dim collapse of the DMA buffer.
+    Mosaic requires sublane loads at provably 8-aligned offsets, so the
+    x tile interleaves the planes at 8-sublane granularity: block j
+    occupies sublanes 8j..8j+7 with rows 0-3 = x-hi (replicated) and
+    rows 4-7 = x-lo — ONE ``pl.multiple_of(8j, 8)`` load per ell slot
+    fetches BOTH planes, and each (8, ellw·bs) @ (ellw·bs, bs) dot
+    yields hi·A in row 0 and lo·A in row 4 simultaneously (the 3-pass
+    hi/lo product is 2 dots + 3 static row slices). The row output
+    lands in a tiny double-buffered (rpi, bs) store (no diagonal mask /
+    colsum dot), and the freed VMEM admits ``rpi`` = 2 block-rows per
+    pipeline iteration at the bench shape — the iteration-fixed-cost
+    lever NOTES_r4 #4 could not afford."""
+    nit = mb // rpi
+
+    def kernel(cols_ref, ah_hbm, al_hbm, xc_hbm, o_hbm,
+               xc, abuf_h, abuf_l, obuf, xsem, asem, osem):
+        def a_load(slot, it):
+            return [pltpu.make_async_copy(h.at[pl.ds(it * rpi, rpi)],
+                                          buf.at[slot], asem.at[slot, p])
+                    for p, (h, buf) in enumerate(((ah_hbm, abuf_h),
+                                                  (al_hbm, abuf_l)))]
+
+        def o_store(slot, it):
+            return pltpu.make_async_copy(
+                obuf.at[slot], o_hbm.at[pl.ds(it * rpi, rpi)],
+                osem.at[slot])
+
+        pltpu.make_async_copy(xc_hbm, xc, xsem).start()
+        for dma in a_load(0, 0):
+            dma.start()
+        pltpu.make_async_copy(xc_hbm, xc, xsem).wait()
+
+        def i_body(it, _):
+            slot = jax.lax.rem(it, 2)
+            nxt = jax.lax.rem(it + 1, 2)
+
+            @pl.when(it + 1 < nit)
+            def _():
+                for dma in a_load(nxt, it + 1):
+                    dma.start()
+
+            for dma in a_load(slot, it):
+                dma.wait()
+
+            @pl.when(it >= 2)
+            def _():
+                o_store(slot, it - 2).wait()
+
+            for s in range(rpi):
+                at_h = abuf_h[slot, s].reshape(ellw * bs, bs)
+                at_l = abuf_l[slot, s].reshape(ellw * bs, bs)
+                xrow = jnp.concatenate(
+                    [xc[pl.ds(pl.multiple_of(
+                        cols_ref[it * rpi + s, j] * 8, 8), 8), :]
+                     for j in range(ellw)], axis=1)
+                acc_h = jnp.dot(xrow, at_h,
+                                preferred_element_type=jnp.float32)
+                acc_l = jnp.dot(xrow, at_l,
+                                preferred_element_type=jnp.float32)
+                # rows 0-3 carry x-hi, rows 4-7 x-lo (see docstring):
+                # y = hi·ah + lo·ah + hi·al; the lo·al term (acc_l row
+                # 4) is O(2^-32) and dropped as in every 3-pass split
+                obuf[slot, pl.ds(s, 1)] = (acc_h[0:1] + acc_h[4:5]
+                                           + acc_l[0:1])
+            o_store(slot, it).start()
+            return ()
+
+        jax.lax.fori_loop(0, nit, i_body, ())
+        for it in range(max(0, nit - 2), nit):
+            o_store(it % 2, it).wait()
+
+    return kernel
+
+
 class SpmvPlan:
     """cuSPARSE SpMV descriptor lifecycle for Blocked-ELL: the analysis
     phase splits A (and nothing else) into bf16 hi/lo planes — same total
     bytes as f32 — so every execute() streams A once and runs single-pass
     MXU products (≙ cusparseSpMV's create/analyze/execute split,
-    cuSPARSE/spmv_csr/spmv_csr_example.c lifecycle)."""
+    cuSPARSE/spmv_csr/spmv_csr_example.c lifecycle). When the column
+    dimension tiles exactly (n % bs == 0) the planes are stored with
+    each block TRANSPOSED for the row-form kernel (see
+    ``_bell_row_kernel``); the broadcast-x kernel remains for ragged n."""
 
     def __init__(self, a: BlockedELL):
         check(a.blocksize % 8 == 0, "blocksize must be a multiple of 8")
@@ -270,8 +354,13 @@ class SpmvPlan:
         self.shape = a.shape
         self.cols = jnp.maximum(a.cols, 0).astype(jnp.int32)
         d = jnp.asarray(a.data, jnp.float32)
-        self.ah = d.astype(jnp.bfloat16)
-        self.al = (d - self.ah.astype(jnp.float32)).astype(jnp.bfloat16)
+        # full-lane blocks only: lane-concat of <128-wide (padded)
+        # pieces is a documented Mosaic hazard (NOTES_r2)
+        self.rowform = (self.shape[1] % self.bs == 0
+                        and self.bs % 128 == 0)
+        if self.rowform:
+            d = jnp.swapaxes(d, -1, -2)
+        self.ah, self.al = bf16_split(d)
 
     @classmethod
     def from_parts(cls, cols, ah, al, shape, bs):
@@ -283,16 +372,18 @@ class SpmvPlan:
         p.mb, p.ellw = cols.shape
         p.shape = shape
         p.cols, p.ah, p.al = cols, ah, al
+        p.rowform = shape[1] % bs == 0 and bs % 128 == 0
         return p
 
     def execute(self, x, alpha=1.0):
         m, n = self.shape
+        if self.rowform:
+            return self._execute_rowform(x, alpha)
         # split on the (n,) VECTOR, then broadcast: the x-prep is the only
         # per-call XLA work and must stay far below the 268 MB A-stream
         # (an earlier zeros+set+f32-plane version cost ~0.5 ms/call)
         x32 = jnp.asarray(x, jnp.float32)
-        xh1 = x32.astype(jnp.bfloat16)
-        xl1 = (x32 - xh1.astype(jnp.float32)).astype(jnp.bfloat16)
+        xh1, xl1 = bf16_split(x32)
         # (measured r4: an MXU k=1 rank-1 broadcast was SLOWER — 154 vs
         # 171 GB/s fed-back — XLA's broadcast_in_dim stays)
         xh = jnp.broadcast_to(xh1[:, None], (n, 128))
@@ -334,3 +425,47 @@ class SpmvPlan:
         if compact:
             return alpha * out.reshape(-1)[:m]
         return alpha * out[:, 0]
+
+    def _execute_rowform(self, x, alpha=1.0):
+        m, n = self.shape
+        nb = n // self.bs
+        x32 = jnp.asarray(x, jnp.float32)
+        xh1, xl1 = bf16_split(x32)
+        # interleaved resident tile (see _bell_row_kernel): block j at
+        # sublanes 8j..8j+7, rows 0-3 hi / 4-7 lo — the only per-call
+        # x prep is the bf16 split + a 256 KB broadcast (vs 8.4 MB
+        # broadcast planes previously)
+        xc = jnp.concatenate(
+            [jnp.broadcast_to(xh1.reshape(nb, 1, self.bs),
+                              (nb, 4, self.bs)),
+             jnp.broadcast_to(xl1.reshape(nb, 1, self.bs),
+                              (nb, 4, self.bs))],
+            axis=1).reshape(nb * 8, self.bs)
+        rpi = 1
+        for cand in (8, 4, 2):
+            abuf_bytes = 8 * cand * self.ellw * self.bs * self.bs
+            if self.mb % cand == 0 and abuf_bytes <= (12 << 20):
+                rpi = cand
+                break
+        out = pl.pallas_call(
+            _bell_row_kernel(self.bs, self.mb, self.ellw, nb, rpi),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec(memory_space=pl.ANY)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((self.mb, self.bs),
+                                           jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((nb * 8, self.bs), jnp.bfloat16),
+                pltpu.VMEM((2, rpi, self.ellw, self.bs, self.bs),
+                           jnp.bfloat16),
+                pltpu.VMEM((2, rpi, self.ellw, self.bs, self.bs),
+                           jnp.bfloat16),
+                pltpu.VMEM((2, rpi, self.bs), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret_mode(),
+        )(self.cols, self.ah, self.al, xc)
+        return alpha * out.reshape(-1)[:m]
