@@ -607,7 +607,10 @@ def test_dss_threading_and_comm_layer(rng):
 
 def test_gdeflate_pages(rng):
     """GDeflate pages (≙ nvCOMP gdeflate_cpu_compression): 64 KB bound
-    enforced, payload is a standard raw RFC 1951 stream."""
+    enforced; pages carry the real 32-substream interleave (native LZ77 +
+    shared canonical Huffman, token k on sub-stream k mod 32), compress
+    comparably to zlib on LZ-friendly data, and the round-3
+    single-substream degenerate form stays readable."""
     import zlib
 
     from tpumathlib.comp import gdeflate
@@ -615,10 +618,23 @@ def test_gdeflate_pages(rng):
 
     data = bytes(rng.integers(0, 16, 50000, dtype=np.uint8))
     page = gdeflate.compress(data)
-    assert page[0] == 1
-    # interoperates with any RFC 1951 inflater
-    assert zlib.decompressobj(-15).decompress(page[1:]) == data
+    assert page[0] == 32        # sub-stream count
     assert gdeflate.decompress(page, len(data)) == data
+    # LZ-friendly payload: ratio within 2x of zlib level-6
+    rep = (b"abcdefgh" * 4000)[:30000] + bytes(data[:20000])
+    pg = gdeflate.compress(rep)
+    assert gdeflate.decompress(pg, len(rep)) == rep
+    assert len(pg) < 2 * len(zlib.compress(rep, 6)) + 512
+    # incompressible + exhaustive small sizes
+    rnd = bytes(rng.integers(0, 256, 65536, dtype=np.uint8))
+    assert gdeflate.decompress(gdeflate.compress(rnd), len(rnd)) == rnd
+    for n in (0, 1, 2, 3, 7, 258):
+        d = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        assert gdeflate.decompress(gdeflate.compress(d), n) == d
+    # legacy single-substream form (header 0x01, raw RFC 1951 payload)
+    co = zlib.compressobj(9, zlib.DEFLATED, -15)
+    legacy = b"\x01" + co.compress(data) + co.flush()
+    assert gdeflate.decompress(legacy, len(data)) == data
     with pytest.raises(TpuMathError):
         gdeflate.compress(bytes(70000))
 

@@ -65,8 +65,9 @@ def _codec_fns(codec: str):
 
         return (_snappy.compress, lambda b, n: _snappy.decompress(b, n))
     if codec == "gdeflate":
-        # paged deflate (single-substream GDeflate degenerate form;
-        # comp/gdeflate.py documents the bitstream relationship)
+        # paged deflate with the real 32-substream GDeflate interleave
+        # (native LZ77 + shared canonical Huffman; comp/gdeflate.py
+        # documents the bitstream relationship)
         from tpumathlib.comp import gdeflate as _gd
 
         return (_gd.compress, _gd.decompress)

@@ -78,6 +78,12 @@ def _declare(l):
                                   np.ctypeslib.ndpointer(np.uint8), c.c_int64,
                                   c.c_int]
     l.rans_decompress.restype = c.c_int64
+    l.gdef_compress.argtypes = [np.ctypeslib.ndpointer(np.uint8), c.c_int64,
+                                np.ctypeslib.ndpointer(np.uint8), c.c_int64]
+    l.gdef_compress.restype = c.c_int64
+    l.gdef_decompress.argtypes = [np.ctypeslib.ndpointer(np.uint8), c.c_int64,
+                                  np.ctypeslib.ndpointer(np.uint8), c.c_int64]
+    l.gdef_decompress.restype = c.c_int64
     l.spchol_ll.argtypes = [c.c_int64,
                             np.ctypeslib.ndpointer(np.int64),
                             np.ctypeslib.ndpointer(np.int64),
