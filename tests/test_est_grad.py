@@ -193,6 +193,39 @@ def test_sad_guess():
     assert it_sad < it_core
 
 
+def test_sad_guess_basis_general():
+    """Basis-general SAD (≙ sad_guess_atom.py solving each atom in the
+    run's own basis): the per-atom blocks line up with the molecular
+    spherical-AO dimension and trace to Z/2 against each atomic overlap."""
+    from tpumathlib.apps.basis import basis_shells, sph_transform
+    from tpumathlib.apps.est import overlap
+    from tpumathlib.apps.sad import atomic_half_density, sad_half_density
+
+    for sym, z in (("O", 8.0), ("H", 1.0)):
+        d_a = atomic_half_density(sym, "def2-svp")
+        amol = Molecule([sym], np.zeros((1, 3)))
+        sh = basis_shells(amol, "def2-svp")
+        c_t = sph_transform(sh)
+        s_a = overlap(sh)
+        if c_t is not None:
+            s_a = c_t @ s_a @ c_t.T
+        assert d_a.shape == s_a.shape
+        np.testing.assert_allclose(np.sum(d_a * s_a), z / 2.0, atol=1e-6)
+
+    mol = Molecule(["O", "H", "H"], np.array([
+        [0.0, 0.0, 0.2217],
+        [0.0, 1.4309, -0.8867],
+        [0.0, -1.4309, -0.8867]]))
+    d = sad_half_density(mol, "def2-svp")
+    sh = basis_shells(mol, "def2-svp")
+    c_t = sph_transform(sh)
+    s = overlap(sh)
+    if c_t is not None:
+        s = c_t @ s @ c_t.T
+    assert d.shape == s.shape          # spherical-AO dimension match
+    np.testing.assert_allclose(np.trace(d @ s), mol.nelec / 2.0, atol=0.2)
+
+
 def test_rhf_d_polarized_basis():
     """d shells through the full SCF stack (the general-l integral path):
     a d-polarized H2 basis lowers the variational energy and the total is

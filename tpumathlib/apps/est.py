@@ -411,8 +411,9 @@ def rhf(mol: Molecule, max_iters: int = 80, conv: float = 1e-9,
     if guess == "sad":
         from tpumathlib.apps.sad import sad_half_density
 
-        d = sad_half_density(mol)
-        if d.shape != s.shape:      # SAD table is minimal-basis sized
+        # basis-general: atoms are solved in the run's own basis
+        d = sad_half_density(mol, basis)
+        if d.shape != s.shape:      # custom `shells` override: no table
             d, c, eps = density(hcore)
         else:
             _, c, eps = density(hcore)

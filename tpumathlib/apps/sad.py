@@ -22,16 +22,33 @@ from tpumathlib.apps.scf import Molecule, _Z
 
 
 @functools.lru_cache(maxsize=None)
-def atomic_half_density(symbol: str) -> np.ndarray:
+def atomic_half_density(symbol: str, basis: str | None = None) -> np.ndarray:
     """Spherically-averaged α-spin atomic density (nbf_atom², host f64):
-    d = C·diag(n)·Cᵀ with Σn = Z/2, degenerate levels equally filled."""
+    d = C·diag(n)·Cᵀ with Σn = Z/2, degenerate levels equally filled.
+    ``basis`` names any packaged/parsed set (e.g. "def2-svp"): the
+    atomic problem is solved in that basis (spherical transform applied)
+    so the assembled guess matches the molecular AO dimension — the
+    basis-general form of the reference's per-element SAD table
+    (sad_guess_atom.py solves in the run's own basis)."""
     from tpumathlib.apps import est
 
     mol = Molecule([symbol], np.zeros((1, 3)))
-    shells = est.sto3g_shells(mol)
+    if basis is None:
+        shells = est.sto3g_shells(mol)
+        c_t = None
+    else:
+        from tpumathlib.apps.basis import basis_shells, sph_transform
+
+        shells = basis_shells(mol, basis)
+        c_t = sph_transform(shells)
     s = est.overlap(shells)
     hcore = est.kinetic(shells) + est.nuclear(shells, mol)
     eri = est.eri_tensor(shells)
+    if c_t is not None:
+        s = c_t @ s @ c_t.T
+        hcore = c_t @ hcore @ c_t.T
+        eri = np.einsum("im,jn,mnls->ijls", c_t, c_t, eri)
+        eri = np.einsum("kl,hs,ijls->ijkh", c_t, c_t, eri)
     n = s.shape[0]
     half = _Z[symbol] / 2.0
     linv = np.linalg.inv(np.linalg.cholesky(s))
@@ -71,12 +88,13 @@ def atomic_half_density(symbol: str) -> np.ndarray:
     return d
 
 
-def sad_half_density(mol: Molecule) -> np.ndarray:
+def sad_half_density(mol: Molecule, basis: str | None = None) -> np.ndarray:
     """Block-diagonal α-density guess over the molecule's AO ordering
-    (≙ SADGuess.compute_Cocc's assembled density)."""
-    from tpumathlib.apps import est
-
-    blocks = [atomic_half_density(s) for s in mol.symbols]
+    (≙ SADGuess.compute_Cocc's assembled density). ``basis`` selects the
+    per-atom solve basis; shells are emitted atom-by-atom by
+    basis_shells, so the atomic blocks line up with the molecular AO
+    (and spherical-AO) ordering."""
+    blocks = [atomic_half_density(s, basis) for s in mol.symbols]
     nbfs = [b.shape[0] for b in blocks]
     n = sum(nbfs)
     out = np.zeros((n, n))
