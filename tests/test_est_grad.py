@@ -226,6 +226,18 @@ def test_sad_guess_basis_general():
     np.testing.assert_allclose(np.trace(d @ s), mol.nelec / 2.0, atol=0.2)
 
 
+def test_uhf_sad_guess():
+    """guess="sad" through the UHF driver (spin-rescaled block guess):
+    same converged energy as the core guess on an open-shell radical."""
+    from tpumathlib.apps.xc import uhf
+
+    mol = Molecule(["O", "H"], np.array([[0.0, 0.0, 0.0],
+                                         [0.0, 0.0, 1.8324]]))
+    e_core, _, _, _ = uhf(mol, spin=1)
+    e_sad, _, _, _ = uhf(mol, spin=1, guess="sad")
+    np.testing.assert_allclose(e_sad, e_core, atol=1e-7)
+
+
 def test_rhf_d_polarized_basis():
     """d shells through the full SCF stack (the general-l integral path):
     a d-polarized H2 basis lowers the variational energy and the total is

@@ -375,7 +375,7 @@ def uhf(mol: Molecule, spin: int = 0, max_iters: int = 120,
         conv: float = 1e-9, density_fit: bool = False,
         xc: str | None = None, grid_kw: dict | None = None,
         shells=None, basis: str | None = None,
-        aux_basis: str | None = None):
+        aux_basis: str | None = None, guess: str = "core"):
     """Unrestricted HF (xc=None) or unrestricted Kohn–Sham (xc="svwn" /
     "pbe": J + V_xc, no exact exchange) with DIIS.
 
@@ -385,6 +385,9 @@ def uhf(mol: Molecule, spin: int = 0, max_iters: int = 120,
     ``basis``/``aux_basis`` name packaged production sets (e.g.
     "def2-svp" / "def2-universal-jkfit", apps/basis.py) — spherical
     shells are projected through basis.sph_transform everywhere.
+    guess="sad" seeds both spins from the superposition-of-atomic-
+    densities block guess solved in the run's own basis, with traces
+    rescaled to nα/nβ (≙ cuest_scf/sad_guess.py applied to UHF).
     """
     from tpumathlib.apps.basis import basis_shells, sph_transform
 
@@ -438,6 +441,14 @@ def uhf(mol: Molecule, spin: int = 0, max_iters: int = 120,
     da, ca, epsa = density(hcore, na)
     db, cb, epsb = density(hcore, nb) if nb else (np.zeros_like(da),
                                                   ca, epsa)
+    if guess == "sad":
+        from tpumathlib.apps.sad import sad_half_density
+
+        d_half = sad_half_density(mol, basis)
+        if d_half.shape == s.shape:    # table covers this basis/shells
+            half = mol.nelec / 2.0
+            da = d_half * (na / half)
+            db = d_half * (nb / half) if nb else db
     # break α/β symmetry for open shells (uhf.py does the same via guess
     # mixing); without it, symmetric guesses stay spin-restricted
     e_old, e = 0.0, 0.0
