@@ -547,3 +547,55 @@ def test_j2k_quality_layers(rng):
     b2 = j2k_encode_codestream(img, levels=3, layers=2)
     np.testing.assert_array_equal(
         np.asarray(Image.open(io.BytesIO(b2))), img)
+
+
+def test_jpeg_native_entropy_exact(rng, monkeypatch):
+    """The native C++ entropy engine (native/src/jpeg_entropy.cpp) is
+    byte-exact against the pure-Python reference path on encode, and
+    coefficient-exact on decode — including restart-marker streams
+    (≙ nvJPEG's dedicated entropy engines vs its CPU backend)."""
+    import io
+
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    from tpumathlib import native
+    from tpumathlib.image import jpeg
+
+    try:
+        native.lib()
+    except Exception:
+        pytest.skip("native runtime unavailable")
+
+    img = rng.integers(0, 256, (80, 64, 3), dtype=np.uint8)
+    img = (img.astype(np.float32) + np.roll(img, 1, 0)
+           + np.roll(img, 1, 1)).astype(np.uint8)
+
+    def python_only(fn, *a, **k):
+        monkeypatch.setattr(jpeg, "_native_lib", lambda: None)
+        try:
+            return fn(*a, **k)
+        finally:
+            monkeypatch.undo()
+
+    for sub in ("444", "420"):
+        blob_n = jpeg.jfif_encode(img, quality=85, subsampling=sub)
+        blob_p = python_only(jpeg.jfif_encode, img, quality=85,
+                             subsampling=sub)
+        assert blob_n == blob_p          # byte-exact entropy stream
+        out_n = jpeg.jfif_decode(blob_n, backend="host")
+        out_p = python_only(jpeg.jfif_decode, blob_n, backend="host")
+        np.testing.assert_array_equal(out_n, out_p)
+
+    # externally-encoded stream WITH restart markers: native RST handling
+    buf = io.BytesIO()
+    try:
+        Image.fromarray(img).save(buf, "JPEG", quality=80, subsampling=2,
+                                  restart_marker_blocks=4)
+    except (TypeError, OSError):
+        pytest.skip("Pillow without restart_marker_blocks")
+    blob = buf.getvalue()
+    assert b"\xff\xdd" in blob           # DRI present
+    out_n = jpeg.jfif_decode(blob, backend="host")
+    out_p = python_only(jpeg.jfif_decode, blob, backend="host")
+    np.testing.assert_array_equal(out_n, out_p)

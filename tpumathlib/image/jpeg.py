@@ -241,6 +241,109 @@ _JFIF_ZZ = np.array([
     np.int32)
 
 
+def _entropy_decode_native(blob, i, n_mcu, restart, comps, scan_comps,
+                           huff):
+    """Whole-scan Huffman decode in native C++ (stuffed bytes + restart
+    markers handled in-engine) → (n_mcu, blocks_per_mcu, 64) zigzag
+    coefficients, or None when the native runtime is unavailable or the
+    stream trips the engine (caller falls back to the Python reference)."""
+    lib = _native_lib()   # module-level, resolved at call time
+    if lib is None:
+        return None
+    mcu_comp, mcu_dctab, mcu_actab = [], [], []
+    for comp, td, ta in scan_comps:
+        ci = next(k for k, c in enumerate(comps) if c["id"] == comp["id"])
+        for _ in range(comp["v"] * comp["h"]):
+            mcu_comp.append(ci)
+            mcu_dctab.append(td)
+            mcu_actab.append(ta)
+    bpm = len(mcu_comp)
+    mincode = np.zeros((8, 17), np.int32)
+    maxcode = np.full((8, 17), -1, np.int32)
+    valptr = np.zeros((8, 17), np.int32)
+    symbols = np.zeros((8, 256), np.uint8)
+    for (tc, th), tbl in huff.items():
+        idx = tc * 4 + th
+        mn, mx, vp, syms = tbl
+        mincode[idx] = mn
+        maxcode[idx] = mx
+        valptr[idx] = vp
+        symbols[idx, :len(syms)] = syms
+    data = np.frombuffer(blob, np.uint8)[i:].copy()
+    out = np.zeros((n_mcu * bpm, 64), np.int32)
+    rc = lib.jpeg_scan_decode(
+        data, len(data), n_mcu, restart,
+        np.asarray(mcu_comp, np.uint8), np.asarray(mcu_dctab, np.uint8),
+        np.asarray(mcu_actab, np.uint8), bpm,
+        mincode, maxcode, valptr, symbols, out)
+    if rc != 0:
+        return None
+    return out.reshape(n_mcu, bpm, 64)
+
+
+def _entropy_decode_python(blob, i, n_mcu, restart, comps, scan_comps,
+                           huff, coeffs, mcux):
+    """Pure-Python scan decode (the reference path the native engine is
+    byte-exact against): de-stuff + split restart intervals, then the
+    per-symbol bit loop, writing into the per-component grids."""
+    intervals = []
+    cur = bytearray()
+    j = i
+    while j < len(blob) - 1:
+        b = blob[j]
+        if b == 0xFF:
+            nxt = blob[j + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                j += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn: close the interval, byte-align
+                intervals.append(bytes(cur))
+                cur = bytearray()
+                j += 2
+                continue
+            break  # EOI or next marker
+        cur.append(b)
+        j += 1
+    intervals.append(bytes(cur))
+
+    pred = {c["id"]: 0 for c in comps}
+    br = _BitReader(intervals[0])
+    interval_idx = 0
+    for mcu in range(n_mcu):
+        if restart and mcu and mcu % restart == 0:
+            interval_idx += 1
+            br = _BitReader(intervals[interval_idx])
+            for c in comps:
+                pred[c["id"]] = 0
+        my, mx = divmod(mcu, mcux)
+        for comp, td, ta in scan_comps:
+            cid = comp["id"]
+            ch, cv = comp["h"], comp["v"]
+            for by in range(cv):
+                for bx in range(ch):
+                    blk = np.zeros(64, np.int32)
+                    s = _huff_decode(br, huff[(0, td)])
+                    diff = _extend(br.read(s), s) if s else 0
+                    pred[cid] += diff
+                    blk[0] = pred[cid]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(br, huff[(1, ta)])
+                        r, sz = rs >> 4, rs & 15
+                        if rs == 0x00:
+                            break
+                        if rs == 0xF0:
+                            k += 16
+                            continue
+                        k += r
+                        blk[k] = _extend(br.read(sz), sz)
+                        k += 1
+                    row = my * cv + by
+                    col = mx * ch + bx
+                    coeffs[cid][row * (mcux * ch) + col] = blk
+
+
 def jfif_decode(blob: bytes, roi: tuple | None = None,
                 backend: str = "hybrid") -> np.ndarray:
     """Decode a real baseline-DCT JFIF .jpg (SOF0, 8-bit, grayscale or
@@ -315,30 +418,6 @@ def jfif_decode(blob: bytes, roi: tuple | None = None,
         i += seg_len
     assert scan_comps is not None, "no SOS marker"
 
-    # entropy-coded data: de-stuff 0xFF00 and split on RST markers in ONE
-    # pass (a de-stuffed 0xFF followed by a data byte in 0xD0-0xD7 must not
-    # be mistaken for a restart marker)
-    intervals = []
-    cur = bytearray()
-    j = i
-    while j < len(blob) - 1:
-        b = blob[j]
-        if b == 0xFF:
-            nxt = blob[j + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                j += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn: close the interval, byte-align
-                intervals.append(bytes(cur))
-                cur = bytearray()
-                j += 2
-                continue
-            break  # EOI or next marker
-        cur.append(b)
-        j += 1
-    intervals.append(bytes(cur))
-
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
@@ -347,42 +426,25 @@ def jfif_decode(blob: bytes, roi: tuple | None = None,
 
     coeffs = {c["id"]: np.zeros((mcuy * c["v"] * mcux * c["h"], 64),
                                 np.int32) for c in comps}
-    pred = {c["id"]: 0 for c in comps}
     n_mcu = mcux * mcuy
-    br = _BitReader(intervals[0])
-    interval_idx = 0
-    for mcu in range(n_mcu):
-        if restart and mcu and mcu % restart == 0:
-            interval_idx += 1
-            br = _BitReader(intervals[interval_idx])
-            for c in comps:
-                pred[c["id"]] = 0
-        my, mx = divmod(mcu, mcux)
-        for comp, td, ta in scan_comps:
-            cid = comp["id"]
-            ch, cv = comp["h"], comp["v"]
+    scan = _entropy_decode_native(blob, i, n_mcu, restart, comps,
+                                  scan_comps, huff)
+    if scan is not None:
+        # scatter scan-ordered blocks into the per-component coefficient
+        # grids (vectorized over MCUs)
+        mcus = np.arange(n_mcu)
+        my, mx = np.divmod(mcus, mcux)
+        j = 0
+        for comp, _td, _ta in scan_comps:
+            cid, ch, cv = comp["id"], comp["h"], comp["v"]
             for by in range(cv):
                 for bx in range(ch):
-                    blk = np.zeros(64, np.int32)
-                    s = _huff_decode(br, huff[(0, td)])
-                    diff = _extend(br.read(s), s) if s else 0
-                    pred[cid] += diff
-                    blk[0] = pred[cid]
-                    k = 1
-                    while k < 64:
-                        rs = _huff_decode(br, huff[(1, ta)])
-                        r, sz = rs >> 4, rs & 15
-                        if rs == 0x00:
-                            break
-                        if rs == 0xF0:
-                            k += 16
-                            continue
-                        k += r
-                        blk[k] = _extend(br.read(sz), sz)
-                        k += 1
-                    row = my * cv + by
-                    col = mx * ch + bx
-                    coeffs[cid][row * (mcux * ch) + col] = blk
+                    dest = (my * cv + by) * (mcux * ch) + mx * ch + bx
+                    coeffs[cid][dest] = scan[:, j]
+                    j += 1
+    else:
+        _entropy_decode_python(blob, i, n_mcu, restart, comps, scan_comps,
+                               huff, coeffs, mcux)
 
     # pixel pipeline: dequant + IDCT + plane assembly + upsample. With an
     # ROI only the covered blocks enter the (device) IDCT stage.
@@ -439,7 +501,10 @@ def jfif_decode(blob: bytes, roi: tuple | None = None,
 # pooling, 8×8 DCT matmul sandwich, quantization, zigzag); the host runs
 # the entropy stage with per-image OPTIMIZED Huffman tables built by the
 # JPEG Annex K.2 algorithm (written in DHT markers, like jpeg_write's
-# optimize_coding mode).
+# optimize_coding mode). The entropy stage itself is native C++
+# (native/src/jpeg_entropy.cpp — ≙ nvJPEG's dedicated host/engine
+# entropy path vs NVJPEG_BACKEND_CPU_ONLY), byte-exact against the
+# in-module Python reference it falls back to.
 
 _QTABLE_CHROMA = np.array([
     [17, 18, 24, 47, 99, 99, 99, 99],
@@ -598,6 +663,75 @@ def _block_symbols(blk, prev_dc):
     return syms, dc
 
 
+def _native_lib():
+    """The C++ entropy engine, or None when the runtime doesn't build.
+    Only library-unavailable errors select the Python fallback; genuine
+    native failures propagate (same contract as sparse/spgemm.py)."""
+    try:
+        from tpumathlib import native
+
+        return native.lib()
+    except (OSError, AttributeError, ImportError, FileNotFoundError):
+        return None
+
+
+def _entropy_encode(scan, comp_ids, tab_ids, ntab: int):
+    """Optimized-table Huffman coding of the scan-ordered blocks →
+    (entropy bytes, DHT specs). Two passes — symbol frequency count,
+    then emission with the Annex-K.2 tables — run in native C++
+    (native/src/jpeg_entropy.cpp) when available, per-block Python
+    otherwise; the output stream is byte-exact either way."""
+    lib = _native_lib()
+    n = scan.shape[0]
+    fdc = np.zeros((2, 256), np.int64)
+    fac = np.zeros((2, 256), np.int64)
+    sym_seq = None
+    if lib is not None:
+        lib.jpeg_symbol_freq(scan, comp_ids, tab_ids, n, fdc, fac)
+    else:
+        pred = [0, 0, 0, 0]
+        sym_seq = []
+        for i in range(n):
+            ci = int(comp_ids[i])
+            t = int(tab_ids[i])
+            syms, pred[ci] = _block_symbols(scan[i], pred[ci])
+            sym_seq.append((t, syms))
+            for is_dc, sym, _, _ in syms:
+                (fdc if is_dc else fac)[t][sym] += 1
+    dht = []
+    enc = {}
+    for t in range(ntab):
+        bits_d, val_d = _huff_spec_from_freq(fdc[t])
+        bits_a, val_a = _huff_spec_from_freq(fac[t])
+        enc[("dc", t)] = _huff_encode_map(bits_d, val_d)
+        enc[("ac", t)] = _huff_encode_map(bits_a, val_a)
+        dht.append((0x00 | t, bits_d, val_d))
+        dht.append((0x10 | t, bits_a, val_a))
+    if lib is not None:
+        dc_codes = np.zeros((2, 256), np.uint32)
+        ac_codes = np.zeros((2, 256), np.uint32)
+        for t in range(ntab):
+            for sym, (code, ln) in enc[("dc", t)].items():
+                dc_codes[t, sym] = (ln << 16) | code
+            for sym, (code, ln) in enc[("ac", t)].items():
+                ac_codes[t, sym] = (ln << 16) | code
+        cap = scan.size * 8 + 4096
+        out = np.empty(cap, np.uint8)
+        nb = lib.jpeg_scan_encode(scan, comp_ids, tab_ids, n,
+                                  dc_codes, ac_codes, out, cap)
+        if nb < 0:
+            raise RuntimeError("jpeg_scan_encode: missing code/overflow")
+        return out[:nb].tobytes(), dht
+    bwr = _BitWriter()
+    for t, syms in sym_seq:
+        for is_dc, sym, extra, elen in syms:
+            code, ln = enc[("dc" if is_dc else "ac", t)][sym]
+            bwr.put(code, ln)
+            if elen:
+                bwr.put(extra, elen)
+    return bwr.flush(), dht
+
+
 def jfif_encode(image, quality: int = 75, subsampling: str = "444") -> bytes:
     """Encode uint8 (H, W) gray or (H, W, 3) RGB into a REAL baseline JFIF
     stream (opens in libjpeg/Pillow). subsampling: "444" | "420".
@@ -638,60 +772,28 @@ def jfif_encode(image, quality: int = 75, subsampling: str = "444") -> bytes:
         qsel = [0, 1, 1]
 
     ncomp = len(planes)
-    # MCU-interleaved block order + symbol stream per table class
-    seq = []                                      # (comp, sym-list) in order
-    prev = [0] * ncomp
+    # MCU-interleaved scan order as ONE array + per-block comp/table ids
+    # (vectorized — the entropy stage consumes scan-ordered blocks)
+    planes_np = [np.ascontiguousarray(p, np.int32) for p in planes]
     if ncomp == 1 or subsampling == "444":
-        nbh, nbw = h // 8, w // 8
-        for r in range(nbh):
-            for c in range(nbw):
-                for comp in range(ncomp):
-                    blk = planes[comp][r * nbw + c]
-                    syms, prev[comp] = _block_symbols(blk, prev[comp])
-                    seq.append((comp, syms))
+        scan = np.stack(planes_np, axis=1).reshape(-1, 64)
+        comp_ids = np.tile(np.arange(ncomp, dtype=np.uint8),
+                           planes_np[0].shape[0])
+        tab_ids = np.minimum(comp_ids, 1).astype(np.uint8)
     else:
         mh, mw = h // 16, w // 16
-        ybw = w // 8
-        cbw = w // 16
-        for r in range(mh):
-            for c in range(mw):
-                for (dy, dx_) in ((0, 0), (0, 1), (1, 0), (1, 1)):
-                    blk = planes[0][(2 * r + dy) * ybw + 2 * c + dx_]
-                    syms, prev[0] = _block_symbols(blk, prev[0])
-                    seq.append((0, syms))
-                for comp in (1, 2):
-                    blk = planes[comp][r * cbw + c]
-                    syms, prev[comp] = _block_symbols(blk, prev[comp])
-                    seq.append((comp, syms))
-
-    # frequency counting per table class (0 = luma, 1 = chroma)
-    fdc = [np.zeros(256), np.zeros(256)]
-    fac = [np.zeros(256), np.zeros(256)]
-    for comp, syms in seq:
-        t = 0 if comp == 0 else 1
-        for is_dc, sym, _, _ in syms:
-            (fdc if is_dc else fac)[t][sym] += 1
+        ybw, cbw = w // 8, w // 16
+        m = np.arange(mh * mw)
+        r, c = np.divmod(m, mw)
+        scan = np.empty((mh * mw * 6, 64), np.int32)
+        for j, (dy, dx_) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            scan[j::6] = planes_np[0][(2 * r + dy) * ybw + 2 * c + dx_]
+        scan[4::6] = planes_np[1][r * cbw + c]
+        scan[5::6] = planes_np[2][r * cbw + c]
+        comp_ids = np.tile(np.array([0, 0, 0, 0, 1, 2], np.uint8), mh * mw)
+        tab_ids = np.tile(np.array([0, 0, 0, 0, 1, 1], np.uint8), mh * mw)
     ntab = 1 if ncomp == 1 else 2
-    dht = []
-    enc = {}
-    for t in range(ntab):
-        bits_d, val_d = _huff_spec_from_freq(fdc[t])
-        bits_a, val_a = _huff_spec_from_freq(fac[t])
-        enc[("dc", t)] = _huff_encode_map(bits_d, val_d)
-        enc[("ac", t)] = _huff_encode_map(bits_a, val_a)
-        dht.append((0x00 | t, bits_d, val_d))
-        dht.append((0x10 | t, bits_a, val_a))
-
-    # entropy-coded data
-    bwr = _BitWriter()
-    for comp, syms in seq:
-        t = 0 if comp == 0 else 1
-        for is_dc, sym, extra, elen in syms:
-            code, ln = enc[("dc" if is_dc else "ac", t)][sym]
-            bwr.put(code, ln)
-            if elen:
-                bwr.put(extra, elen)
-    data = bwr.flush()
+    data, dht = _entropy_encode(scan, comp_ids, tab_ids, ntab)
 
     # markers
     out = bytearray(b"\xff\xd8")                  # SOI

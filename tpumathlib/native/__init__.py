@@ -148,6 +148,34 @@ def _declare(l):
                                   np.ctypeslib.ndpointer(np.uint8)] + [
         np.ctypeslib.ndpointer(np.int64)] * 5
     l.spgemm_symbolic.restype = c.c_int64
+    l.jpeg_symbol_freq.argtypes = [np.ctypeslib.ndpointer(np.int32),
+                                   np.ctypeslib.ndpointer(np.uint8),
+                                   np.ctypeslib.ndpointer(np.uint8),
+                                   c.c_int64,
+                                   np.ctypeslib.ndpointer(np.int64),
+                                   np.ctypeslib.ndpointer(np.int64)]
+    l.jpeg_symbol_freq.restype = None
+    l.jpeg_scan_encode.argtypes = [np.ctypeslib.ndpointer(np.int32),
+                                   np.ctypeslib.ndpointer(np.uint8),
+                                   np.ctypeslib.ndpointer(np.uint8),
+                                   c.c_int64,
+                                   np.ctypeslib.ndpointer(np.uint32),
+                                   np.ctypeslib.ndpointer(np.uint32),
+                                   np.ctypeslib.ndpointer(np.uint8),
+                                   c.c_int64]
+    l.jpeg_scan_encode.restype = c.c_int64
+    l.jpeg_scan_decode.argtypes = [np.ctypeslib.ndpointer(np.uint8),
+                                   c.c_int64, c.c_int64, c.c_int64,
+                                   np.ctypeslib.ndpointer(np.uint8),
+                                   np.ctypeslib.ndpointer(np.uint8),
+                                   np.ctypeslib.ndpointer(np.uint8),
+                                   c.c_int64,
+                                   np.ctypeslib.ndpointer(np.int32),
+                                   np.ctypeslib.ndpointer(np.int32),
+                                   np.ctypeslib.ndpointer(np.int32),
+                                   np.ctypeslib.ndpointer(np.uint8),
+                                   np.ctypeslib.ndpointer(np.int32)]
+    l.jpeg_scan_decode.restype = c.c_int64
 
 
 # ---------------- Python wrappers ----------------
