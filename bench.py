@@ -282,8 +282,10 @@ def bench_comp(hbm_target):
 def bench_image():
     """Image-codec throughput lines (≙ nvJPEG's images/sec reporting
     samples). Stage split is documented in tpumathlib.benchmarks: entropy
-    coding runs on host (sequential by nature), the pixel pipeline on
-    device. vs_baseline compares against a 50 MP/s CPU-backend-class bar
+    coding runs in native C++ on host (sequential by nature; JPEG via
+    native/src/jpeg_entropy.cpp, J2K EBCOT still NumPy), the pixel
+    pipeline in one fused device dispatch.
+    vs_baseline compares against a 50 MP/s CPU-backend-class bar
     (NVJPEG_BACKEND_CPU_ONLY-grade) — the honest scale for a host entropy
     stage; nvJPEG's hardware decoder is ~10x beyond that."""
     from tpumathlib.benchmarks import bench_j2k, bench_jpeg

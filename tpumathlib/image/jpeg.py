@@ -241,6 +241,33 @@ _JFIF_ZZ = np.array([
     np.int32)
 
 
+_JFIF_INV = np.argsort(_JFIF_ZZ).astype(np.int32)   # zigzag → natural
+
+
+@functools.partial(jax.jit, static_argnames=("meta",))
+def _decode_pixel_fused(sels, qs, meta):
+    """Whole decode pixel pipeline in ONE device dispatch: per-plane
+    dequant + IDCT + block assembly + nearest upsample, then the color
+    transform and uint8 rounding. meta = (rh, rw, geoms) with geoms a
+    tuple of per-plane (rby, rbx, sy, sx, oy, ox) static ints."""
+    rh, rw, geoms = meta
+    inv = jnp.asarray(_JFIF_INV)
+    planes = []
+    for sel, q, (rby, rbx, sy, sx, oy, ox) in zip(sels, qs, geoms):
+        co = sel[:, inv].astype(jnp.float32).reshape(-1, 8, 8)
+        blocks = idct8x8(co * q) + 128.0
+        plane = blocks.reshape(rby, rbx, 8, 8).transpose(0, 2, 1, 3)
+        plane = plane.reshape(rby * 8, rbx * 8)
+        if sy > 1:
+            plane = jnp.repeat(plane, sy, 0)
+        if sx > 1:
+            plane = jnp.repeat(plane, sx, 1)
+        planes.append(plane[oy:oy + rh, ox:ox + rw])
+    out = (planes[0] if len(planes) == 1
+           else ycbcr_to_rgb(jnp.stack(planes, axis=-1)))
+    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+
+
 def _entropy_decode_native(blob, i, n_mcu, restart, comps, scan_comps,
                            huff):
     """Whole-scan Huffman decode in native C++ (stuffed bytes + restart
@@ -457,7 +484,7 @@ def jfif_decode(blob: bytes, roi: tuple | None = None,
         rh = min(rh, h - ry)
     inv = np.zeros(64, np.int32)
     inv[zz] = np.arange(64)
-    planes = []
+    sels, qs, geoms = [], [], []
     for comp in comps:
         cid = comp["id"]
         ch, cv = comp["h"], comp["v"]
@@ -468,23 +495,28 @@ def jfif_decode(blob: bytes, roi: tuple | None = None,
         bx0 = (rx // sx) // 8
         bx1 = -(-((rx + rw) // sx + ((rx + rw) % sx > 0)) // 8)
         by1, bx1 = min(by1, nby), min(bx1, nbx)
-        q = qt[comp["tq"]][inv].reshape(8, 8).astype(np.float32)
+        qs.append(qt[comp["tq"]][inv].reshape(8, 8).astype(np.float32))
         sel = coeffs[cid].reshape(nby, nbx, 64)[by0:by1, bx0:bx1]
-        co = sel.reshape(-1, 64)[:, inv].reshape(-1, 8, 8).astype(np.float32)
-        if backend == "hybrid":
-            blocks = np.asarray(idct8x8(jnp.asarray(co)
-                                        * jnp.asarray(q))) + 128.0
-        else:  # host reference pixel stage
-            d = _dct_matrix()
-            blocks = np.einsum("ji,njk,kl->nil", d, co * q, d) + 128.0
-        rby, rbx = by1 - by0, bx1 - bx0
+        sels.append(np.ascontiguousarray(sel.reshape(-1, 64)))
+        # crop offset of this block window in pixels (ROI)
+        geoms.append((by1 - by0, bx1 - bx0, sy, sx,
+                      ry - by0 * 8 * sy, rx - bx0 * 8 * sx))
+    if backend == "hybrid":
+        # ONE device dispatch for dequant + IDCT + assembly + upsample +
+        # color transform across all planes (ROI and full share this
+        # function, so roi-vs-full-crop stays bit-identical)
+        return np.asarray(_decode_pixel_fused(
+            tuple(jnp.asarray(s) for s in sels),
+            tuple(jnp.asarray(q) for q in qs),
+            (rh, rw, tuple(geoms))))
+    planes = []                       # host reference pixel stage
+    for sel, q, (rby, rbx, sy, sx, oy, ox) in zip(sels, qs, geoms):
+        co = sel[:, inv].reshape(-1, 8, 8).astype(np.float32)
+        d = _dct_matrix()
+        blocks = np.einsum("ji,njk,kl->nil", d, co * q, d) + 128.0
         plane = blocks.reshape(rby, rbx, 8, 8).transpose(0, 2, 1, 3)
         plane = plane.reshape(rby * 8, rbx * 8)
-        # upsample to full resolution (nearest, per JFIF sampling factors)
         plane = np.repeat(np.repeat(plane, sy, 0), sx, 1)
-        # crop to the exact ROI (offset of this block window in pixels)
-        oy = ry - by0 * 8 * sy
-        ox = rx - bx0 * 8 * sx
         planes.append(plane[oy:oy + rh, ox:ox + rw])
     if len(planes) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
@@ -539,6 +571,22 @@ def _encode_blocks_jfif(img, qtab):
 @jax.jit
 def _pool2x2(p):
     return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) * 0.25
+
+
+@functools.partial(jax.jit, static_argnames=("subsampling",))
+def _encode_pixel_rgb(img, qlum, qchr, subsampling: str):
+    """Whole RGB pixel pipeline in ONE device dispatch (color transform,
+    optional 4:2:0 pooling, DCT, quantization, zigzag for all three
+    planes) — the ~35 ms tunnel dispatch latency dominates per-stage
+    calls at single-image sizes."""
+    ycc = rgb_to_ycbcr(img)
+    y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+    if subsampling == "420":
+        cb = _pool2x2(cb)
+        cr = _pool2x2(cr)
+    return (_encode_blocks_jfif(y, qlum),
+            _encode_blocks_jfif(cb, qchr),
+            _encode_blocks_jfif(cr, qchr))
 
 
 def _huff_spec_from_freq(freq: np.ndarray):
@@ -757,18 +805,11 @@ def jfif_encode(image, quality: int = 75, subsampling: str = "444") -> bytes:
         samp = [(1, 1)]
         qsel = [0]
     else:
-        ycc = np.asarray(rgb_to_ycbcr(jnp.asarray(img, jnp.float32)))
-        y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
-        if subsampling == "420":
-            cb = np.asarray(_pool2x2(jnp.asarray(cb)))
-            cr = np.asarray(_pool2x2(jnp.asarray(cr)))
-            samp = [(2, 2), (1, 1), (1, 1)]
-        else:
-            samp = [(1, 1), (1, 1), (1, 1)]
-        planes = [np.asarray(_encode_blocks_jfif(
-            jnp.asarray(p, jnp.float32),
-            jnp.asarray(qlum if i == 0 else qchr)))
-            for i, p in enumerate((y, cb, cr))]
+        planes = [np.asarray(p) for p in _encode_pixel_rgb(
+            jnp.asarray(img, jnp.float32), jnp.asarray(qlum),
+            jnp.asarray(qchr), subsampling)]
+        samp = ([(2, 2), (1, 1), (1, 1)] if subsampling == "420"
+                else [(1, 1), (1, 1), (1, 1)])
         qsel = [0, 1, 1]
 
     ncomp = len(planes)
