@@ -186,3 +186,31 @@ def test_cuest_api_handles():
         assert res.converged
         g = GradientPlan(ctx, HH, "rhf").compute()
         np.testing.assert_allclose(g.sum(0), 0.0, atol=1e-8)
+
+
+def test_rhf_ecp_gradient_fd():
+    """Full ECP-SCF nuclear gradient (Pulay + U-term + core-screened
+    V_ne/V_NN) against central differences of the rhf_ecp total energy
+    (≙ ecp_gradients/run.py carried through the full SCF gradient)."""
+    from tpumathlib.apps.deriv import rhf_ecp_gradient
+
+    mol = Molecule(["O", "H", "H"], np.array([
+        [0.0, 0.0, 0.2217],
+        [0.0, 1.4309, -0.8867],
+        [0.0, -1.4309, -0.8867]]))
+    ecp = {0: ECPAtom(2, ECPShell(1, np.array([2]), np.array([10.0]),
+                                  np.array([-3.0])),
+                      [ECPShell(0, np.array([2]), np.array([8.0]),
+                                np.array([20.0]))])}
+    kw = dict(max_iters=500, conv=1e-12)
+    g = rhf_ecp_gradient(mol, ecp, scf=rhf_ecp(mol, ecp, **kw))
+    h = 1e-3
+    for ia, ax in ((0, 2), (1, 1)):
+        cp = mol.coords.copy()
+        cp[ia, ax] += h
+        cm = mol.coords.copy()
+        cm[ia, ax] -= h
+        ep = rhf_ecp(Molecule(mol.symbols, cp), ecp, **kw)[0]
+        em = rhf_ecp(Molecule(mol.symbols, cm), ecp, **kw)[0]
+        np.testing.assert_allclose(g[ia, ax], (ep - em) / (2 * h),
+                                   atol=5e-5)

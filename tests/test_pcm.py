@@ -90,3 +90,25 @@ def test_pcm_gradient_fd():
         cm[a, ax] -= h
         fd = (e_at(cp) - e_at(cm)) / (2 * h)
         np.testing.assert_allclose(g[a, ax], fd, atol=5e-7)
+
+
+def test_rhf_pcm_gradient_fd():
+    """Full solvated-SCF nuclear gradient (Pulay + coupled dielectric
+    terms) against central differences of the rhf_pcm total energy
+    (≙ 6_pcm/pcm_gradients/run.py carried through the full SCF
+    gradient)."""
+    from tpumathlib.apps.deriv import rhf_pcm_gradient
+
+    kw = dict(max_iters=500, conv=1e-12)
+    g = rhf_pcm_gradient(H2O, epsilon=80.0,
+                         scf=rhf_pcm(H2O, 80.0, **kw))
+    h = 1e-3
+    for ia, ax in ((0, 2), (1, 1)):
+        cp = H2O.coords.copy()
+        cp[ia, ax] += h
+        cm = H2O.coords.copy()
+        cm[ia, ax] -= h
+        ep = rhf_pcm(Molecule(H2O.symbols, cp), 80.0, **kw)[0]
+        em = rhf_pcm(Molecule(H2O.symbols, cm), 80.0, **kw)[0]
+        np.testing.assert_allclose(g[ia, ax], (ep - em) / (2 * h),
+                                   atol=2e-6)

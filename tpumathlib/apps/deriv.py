@@ -609,6 +609,93 @@ def rhf_gradient(mol: Molecule, shells=None, scf=None) -> np.ndarray:
     return grad
 
 
+def rhf_ecp_gradient(mol: Molecule, ecp_atoms: dict, scf=None) -> np.ndarray:
+    """Analytic nuclear gradient of the valence-only ECP-RHF energy
+    (natom, 3): the full Pulay assembly of rhf_gradient plus the three
+    ECP channels — the ∂⟨μ|U_ECP|ν⟩ operator term (differentiable
+    quadrature, apps/ecp.py), the core-screened nuclear attraction
+    (+n_core·∂⟨μ|1/|r−R_ECP||ν⟩ with its operator-center term), and the
+    screened V_NN. ≙ cuEST 5_effective_core_potentials/ecp_gradients/
+    run.py:1 carried through the full SCF gradient.
+    """
+    from tpumathlib.apps import est
+    from tpumathlib.apps.ecp import ecp_gradient, rhf_ecp
+
+    shells = est.sto3g_shells(mol)
+    if scf is None:
+        scf = rhf_ecp(mol, ecp_atoms)
+    _, c, eps = scf
+    zeff = {ia: ecp.nelectron for ia, ecp in ecp_atoms.items()}
+    nocc = (mol.nelec - sum(zeff.values())) // 2
+    cocc = c[:, :nocc]
+    p = 2.0 * cocc @ cocc.T
+    w = 2.0 * (cocc * eps[:nocc][None, :]) @ cocc.T
+    coords = np.asarray(mol.coords, float)
+
+    hx = grad_kinetic(shells, mol) + grad_nuclear(shells, mol)
+    sx = grad_overlap(shells, mol)
+    gx = grad_eri(shells, mol)
+    grad = np.einsum("mn,axmn->ax", p, hx)
+    grad += 0.5 * np.einsum("mn,ls,axmnls->ax", p, p, gx)
+    grad -= 0.25 * np.einsum("ml,ns,axmnls->ax", p, p, gx)
+    grad -= np.einsum("mn,axmn->ax", w, sx)
+    # core screening of the nuclear attraction at each ECP center
+    ecp_ias = sorted(zeff)
+    if ecp_ias:
+        datom, dcen = grad_potential_integrals(shells, coords[ecp_ias],
+                                               mol)
+        for g, ia in enumerate(ecp_ias):
+            nc = zeff[ia]
+            grad += nc * np.einsum("mn,axmn->ax", p, datom[:, :, g])
+            grad[ia] += nc * np.einsum("mn,xmn->x", p, dcen[g])
+    # the ECP operator term tr(P ∂U)
+    grad += ecp_gradient(mol, p, ecp_atoms, shells)
+    # screened nuclear repulsion
+    zs = np.array([_Z[s] for s in mol.symbols], float)
+    for ia, nc in zeff.items():
+        zs[ia] -= nc
+    for i in range(len(zs)):
+        for j in range(len(zs)):
+            if i != j:
+                d = coords[i] - coords[j]
+                grad[i] += -zs[i] * zs[j] * d / np.linalg.norm(d) ** 3
+    return grad
+
+
+def rhf_pcm_gradient(mol: Molecule, epsilon: float = 80.0, scf=None,
+                     plan=None) -> np.ndarray:
+    """Analytic nuclear gradient of the solvated (PCM) RHF energy
+    (natom, 3): the full Pulay assembly plus the dielectric geometry
+    derivative at the coupled converged state. The surface-charge
+    response needs no explicit term — E is stationary in q at the
+    solved charges and in P at the SCF fixed point of the v_pcm-
+    augmented Fock, so fixed-(P, q) partial derivatives are the total
+    derivative (the same variational identity pcm_gradient documents).
+    ≙ cuEST 6_pcm/pcm_gradients/run.py:1 carried through the full SCF
+    gradient."""
+    from tpumathlib.apps.pcm import PCMPlan, pcm_gradient, rhf_pcm
+
+    plan = plan if plan is not None else PCMPlan(mol, epsilon=epsilon)
+    shells = plan.shells
+    if scf is None:
+        scf = rhf_pcm(mol, epsilon=epsilon, plan=plan)
+    _, c, eps, _ = scf
+    nocc = mol.nelec // 2
+    cocc = c[:, :nocc]
+    p = 2.0 * cocc @ cocc.T
+    w = 2.0 * (cocc * eps[:nocc][None, :]) @ cocc.T
+    hx = grad_kinetic(shells, mol) + grad_nuclear(shells, mol)
+    sx = grad_overlap(shells, mol)
+    gx = grad_eri(shells, mol)
+    grad = np.einsum("mn,axmn->ax", p, hx)
+    grad += 0.5 * np.einsum("mn,ls,axmnls->ax", p, p, gx)
+    grad -= 0.25 * np.einsum("ml,ns,axmnls->ax", p, p, gx)
+    grad -= np.einsum("mn,axmn->ax", w, sx)
+    grad += grad_nuclear_repulsion(mol)
+    grad += pcm_gradient(mol, p, plan=plan, epsilon=epsilon)
+    return grad
+
+
 def uhf_gradient(mol: Molecule, spin: int = 0, shells=None,
                  uhf_out=None) -> np.ndarray:
     """Analytic UHF nuclear gradient (natom, 3).
