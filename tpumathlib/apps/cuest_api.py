@@ -258,7 +258,8 @@ class PCMIntPlanHandle:
 
 class GradientPlan:
     """SCF nuclear-gradient plan (≙ the cuest_scf gradient machinery:
-    Pulay forces + energy-weighted density). kind: 'rhf' | 'uhf' | 'uks'."""
+    Pulay forces + energy-weighted density).
+    kind: 'rhf' | 'uhf' | 'uks' | 'rhf_ecp' | 'rhf_pcm'."""
 
     def __init__(self, ctx: Context, mol: Molecule, kind: str = "rhf",
                  **kw):
@@ -279,4 +280,8 @@ class GradientPlan:
             return deriv.uhf_gradient(self.mol, **self.kw)
         if self.kind == "uks":
             return uks_gradient(self.mol, **self.kw)
+        if self.kind == "rhf_ecp":
+            return deriv.rhf_ecp_gradient(self.mol, **self.kw)
+        if self.kind == "rhf_pcm":
+            return deriv.rhf_pcm_gradient(self.mol, **self.kw)
         raise ValueError(f"unknown gradient kind {self.kind!r}")
