@@ -273,17 +273,26 @@ def bench_jpeg(h=512, w=512) -> dict:
     for _ in range(reps):
         out = jfif_decode(blob)
     td = (time.perf_counter() - t0) / reps
+    # multi-instance batch (≙ nvJPEGEncMultipleInstances): threads overlap
+    # the native entropy stage with other images' device dispatches
+    from tpumathlib.image.jpeg import jfif_encode_batch
+
+    imgs = [np.roll(img, k, 1) for k in range(8)]
+    t0 = time.perf_counter()
+    jfif_encode_batch(imgs, quality=85, subsampling="420", nthreads=4)
+    tb = (time.perf_counter() - t0) / len(imgs)
     mp = h * w / 1e6
     return {"bench": "jpeg", "size": f"{h}x{w}x3",
             "encode_mps": mp / te, "decode_mps": mp / td,
+            "encode_batch8_mps": mp / tb,
             "stage_split": "native C++ entropy + device pixel pipeline",
             "bytes": len(blob)}
 
 
 def bench_j2k(h=256, w=256) -> dict:
     """nvJPEG2000-style decode/encode MP/s (≙ nvJPEG2000-Decoder's
-    throughput report). EBCOT Tier-1 is host bit-plane coding (the
-    documented stage split); wavelet synthesis is vectorized NumPy."""
+    throughput report). EBCOT Tier-1 runs in native C++
+    (native/src/ebcot.cpp); wavelet synthesis is vectorized NumPy."""
     from tpumathlib.image.j2k_codestream import j2k_decode_codestream
     from tpumathlib.image.j2k_encoder import j2k_encode_codestream
 
