@@ -599,3 +599,50 @@ def test_jpeg_native_entropy_exact(rng, monkeypatch):
     out_n = jpeg.jfif_decode(blob, backend="host")
     out_p = python_only(jpeg.jfif_decode, blob, backend="host")
     np.testing.assert_array_equal(out_n, out_p)
+
+
+def test_j2k_native_ebcot_exact(rng):
+    """The native C++ EBCOT Tier-1 engine (native/src/ebcot.cpp) is
+    byte-exact against the pure-Python reference coder on encode (data,
+    numbps, npasses AND per-pass truncation lengths — the quality-layer
+    split points) and coefficient-exact on decode, across bands, odd
+    shapes, sparse/zero blocks (≙ nvJPEG2000's entropy engines vs its
+    CPU backend)."""
+    import pytest as _pytest
+
+    from tpumathlib import native
+    from tpumathlib.image import j2k_codestream as jcs
+    from tpumathlib.image import j2k_encoder as jce
+
+    try:
+        native.lib()
+    except Exception:
+        _pytest.skip("native runtime unavailable")
+
+    cases = []
+    for band in range(4):
+        blk = (rng.standard_normal((33, 17)) * 60).astype(np.int32)
+        cases.append((blk, band))
+    sparse = (rng.standard_normal((64, 64)) * 400).astype(np.int32)
+    sparse[rng.random((64, 64)) < 0.9] = 0
+    cases += [(sparse, 3), (np.zeros((8, 8), np.int32), 0),
+              (np.ones((1, 5), np.int32) * -7, 2),
+              ((rng.standard_normal((5, 1)) * 9).astype(np.int32), 1)]
+    for blk, band in cases:
+        d_p, nb_p, np_p, pl_p = jce._encode_codeblock_py(blk, band)
+        d_n, nb_n, np_n, pl_n = jce.encode_codeblock(blk, band)
+        assert d_n == d_p and (nb_n, np_n, pl_n) == (nb_p, np_p, pl_p)
+        if nb_p:
+            h, w = blk.shape
+            out_p = jcs._decode_codeblock_py(d_p, w, h, nb_p, np_p, band)
+            out_n = jcs.decode_codeblock(d_p, w, h, nb_p, np_p, band)
+            np.testing.assert_array_equal(out_n, out_p)
+            np.testing.assert_array_equal(out_n, blk)
+    # truncated decode (a quality-layer prefix) must also agree
+    blk, band = cases[0]
+    d_p, nb_p, np_p, pl_p = jce._encode_codeblock_py(blk, band)
+    for cut in range(1, np_p, 2):
+        pre = d_p[:pl_p[cut - 1]]
+        out_p = jcs._decode_codeblock_py(pre, 17, 33, nb_p, cut, band)
+        out_n = jcs.decode_codeblock(pre, 17, 33, nb_p, cut, band)
+        np.testing.assert_array_equal(out_n, out_p)

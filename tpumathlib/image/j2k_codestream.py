@@ -199,6 +199,16 @@ class TagTree:
 
 # ---------------- Tier-1: EBCOT code-block decoding ----------------
 
+def _native_lib():
+    """The C++ runtime, or None if unavailable (missing toolchain only);
+    genuine native failures propagate (same contract as image/jpeg.py)."""
+    try:
+        from tpumathlib import native
+        return native.lib()
+    except (OSError, AttributeError, ImportError):
+        return None
+
+
 def _zc_context(h, v, d, band):
     if band == 1:          # HL: swap h and v roles
         h, v = v, h
@@ -235,7 +245,23 @@ def decode_codeblock(data: bytes, w: int, h: int, numbps: int,
 
     Pass sequence: cleanup at the MSB plane, then (sig-prop, refine,
     cleanup) per lower plane (D.4). Default options: single MQ codeword
-    segment, non-causal contexts."""
+    segment, non-causal contexts. Runs in native C++
+    (native/src/ebcot.cpp, ~100x) when available; the Python path below
+    is the retained byte-exact reference the regression tests pin."""
+    lib = _native_lib()
+    if lib is not None:
+        buf = np.frombuffer(bytes(data), np.uint8) if data \
+            else np.zeros(0, np.uint8)
+        out = np.zeros((h, w), np.int32)
+        rc = lib.ebcot_decode_cb(np.ascontiguousarray(buf), len(buf),
+                                 w, h, numbps, npasses, band, out)
+        check(rc == 0, f"ebcot_decode_cb rc={rc}")
+        return out
+    return _decode_codeblock_py(data, w, h, numbps, npasses, band)
+
+
+def _decode_codeblock_py(data: bytes, w: int, h: int, numbps: int,
+                         npasses: int, band: int) -> np.ndarray:
     mq = MQDecoder(data)
     sig = np.zeros((h + 2, w + 2), bool)      # 1-padded borders
     sgn = np.zeros((h + 2, w + 2), np.int8)

@@ -133,7 +133,40 @@ def encode_codeblock(coefs: np.ndarray, band: int):
     Returns (data, numbps, npasses, pass_lengths) — the exact mirror of
     decode_codeblock's pass sequence (cleanup at the MSB plane, then
     SPP/MRP/CUP per lower plane); pass_lengths[p] is a safe truncation
-    byte count through pass p (the quality-layer split points)."""
+    byte count through pass p (the quality-layer split points).
+    Runs in native C++ (native/src/ebcot.cpp) when available; the
+    Python path below is the retained byte-exact reference."""
+    from tpumathlib.image.j2k_codestream import _native_lib
+    lib = _native_lib()
+    if lib is not None:
+        import ctypes
+        h, w = coefs.shape
+        arr = np.ascontiguousarray(coefs, np.int32)
+        numbps0 = int(np.abs(arr.astype(np.int64)).max()).bit_length()
+        maxp = max(1 + 3 * max(numbps0 - 1, 0), 1)
+        # MQ output ≤ ~2 bytes per decision; ≤ 2·h·w decisions per pass
+        cap = 4 * maxp * h * w + 1024
+        out = getattr(_enc_tls, "buf", None)
+        if out is None or out.size < cap:
+            out = _enc_tls.buf = np.empty(cap, np.uint8)
+        plens = np.empty(maxp, np.int64)
+        nb = ctypes.c_int()
+        npas = ctypes.c_int()
+        n = lib.ebcot_encode_cb(arr, w, h, band, out, out.size,
+                                ctypes.byref(nb), ctypes.byref(npas),
+                                plens, maxp)
+        assert n >= 0, "ebcot_encode_cb buffer overflow"
+        return (out[:n].tobytes(), nb.value, npas.value,
+                [int(x) for x in plens[:npas.value]])
+    return _encode_codeblock_py(coefs, band)
+
+
+import threading as _threading
+
+_enc_tls = _threading.local()
+
+
+def _encode_codeblock_py(coefs: np.ndarray, band: int):
     h, w = coefs.shape
     mag_all = np.abs(coefs.astype(np.int64))
     numbps = int(mag_all.max()).bit_length()

@@ -176,6 +176,16 @@ def _declare(l):
                                    np.ctypeslib.ndpointer(np.uint8),
                                    np.ctypeslib.ndpointer(np.int32)]
     l.jpeg_scan_decode.restype = c.c_int64
+    l.ebcot_decode_cb.argtypes = [np.ctypeslib.ndpointer(np.uint8), c.c_int64,
+                                  c.c_int, c.c_int, c.c_int, c.c_int, c.c_int,
+                                  np.ctypeslib.ndpointer(np.int32)]
+    l.ebcot_decode_cb.restype = c.c_int
+    l.ebcot_encode_cb.argtypes = [np.ctypeslib.ndpointer(np.int32),
+                                  c.c_int, c.c_int, c.c_int,
+                                  np.ctypeslib.ndpointer(np.uint8), c.c_int64,
+                                  c.POINTER(c.c_int), c.POINTER(c.c_int),
+                                  np.ctypeslib.ndpointer(np.int64), c.c_int]
+    l.ebcot_encode_cb.restype = c.c_int64
 
 
 # ---------------- Python wrappers ----------------

@@ -1,0 +1,534 @@
+// EBCOT Tier-1 entropy engine (MQ coder + context modeling), C++ host side.
+//
+// Exact mirror of the Python reference paths in
+// tpumathlib/image/j2k_codestream.py (decode_codeblock / MQDecoder) and
+// tpumathlib/image/j2k_encoder.py (encode_codeblock / MQEncoder) — the
+// regression tests pin byte-identical streams and identical coefficients
+// against those retained references. This is the serial bit-sequential
+// tier of the JPEG2000 pipeline (≙ the entropy stage inside nvJPEG2000,
+// /root/reference/nvJPEG2000/nvJPEG2000-Decoder/nvjpeg2000DecodeSample.cpp);
+// the wavelet/color stages run on device (image/j2k.py).
+//
+// ISO/IEC 15444-1: Annex C (MQ coder), Annex D (coefficient bit modeling).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct QeRow { uint16_t qe; uint8_t nmps, nlps, sw; };
+
+// Table C.2
+static const QeRow QE[47] = {
+    {0x5601, 1, 1, 1},  {0x3401, 2, 6, 0},   {0x1801, 3, 9, 0},
+    {0x0AC1, 4, 12, 0}, {0x0521, 5, 29, 0},  {0x0221, 38, 33, 0},
+    {0x5601, 7, 6, 1},  {0x5401, 8, 14, 0},  {0x4801, 9, 14, 0},
+    {0x3801, 10, 14, 0},{0x3001, 11, 17, 0}, {0x2401, 12, 18, 0},
+    {0x1C01, 13, 20, 0},{0x1601, 29, 21, 0}, {0x5601, 15, 14, 1},
+    {0x5401, 16, 14, 0},{0x5101, 17, 15, 0}, {0x4801, 18, 16, 0},
+    {0x3801, 19, 17, 0},{0x3401, 20, 18, 0}, {0x3001, 21, 19, 0},
+    {0x2801, 22, 19, 0},{0x2401, 23, 20, 0}, {0x2201, 24, 21, 0},
+    {0x1C01, 25, 22, 0},{0x1801, 26, 23, 0}, {0x1601, 27, 24, 0},
+    {0x1401, 28, 25, 0},{0x1201, 29, 26, 0}, {0x1101, 30, 27, 0},
+    {0x0AC1, 31, 28, 0},{0x09C1, 32, 29, 0}, {0x08A1, 33, 30, 0},
+    {0x0521, 34, 31, 0},{0x0441, 35, 32, 0}, {0x02A1, 36, 33, 0},
+    {0x0221, 37, 34, 0},{0x0141, 38, 35, 0}, {0x0111, 39, 36, 0},
+    {0x0085, 40, 37, 0},{0x0049, 41, 38, 0}, {0x0025, 42, 39, 0},
+    {0x0015, 43, 40, 0},{0x0009, 44, 41, 0}, {0x0005, 45, 42, 0},
+    {0x0001, 45, 43, 0},{0x5601, 46, 46, 0},
+};
+
+constexpr int N_CTX = 19;   // 0-8 ZC, 9-13 SC, 14-16 MR, 17 RLC, 18 UNI
+constexpr int CTX_RLC = 17;
+constexpr int CTX_UNI = 18;
+
+// Zero-coding context (Table D.1); band: 0 LL, 1 HL, 2 LH, 3 HH.
+static inline int zc_context(int h, int v, int d, int band) {
+  if (band == 1) { int t = h; h = v; v = t; }
+  if (band == 3) {
+    int hv = h + v;
+    if (d >= 3) return 8;
+    if (d == 2) return hv >= 1 ? 7 : 6;
+    if (d == 1) return hv >= 2 ? 5 : (hv == 1 ? 4 : 3);
+    return hv >= 2 ? 2 : (hv == 1 ? 1 : 0);
+  }
+  if (h == 2) return 8;
+  if (h == 1) {
+    if (v >= 1) return 7;
+    return d >= 1 ? 6 : 5;
+  }
+  if (v == 2) return 4;
+  if (v == 1) return 3;
+  return d >= 2 ? 2 : (d == 1 ? 1 : 0);
+}
+
+// Sign-coding context (Table D.3): index by (hc+1)*3 + (vc+1).
+static const uint8_t SC_CX[9]  = {13, 12, 11, 10, 9, 10, 11, 12, 13};
+static const uint8_t SC_XOR[9] = { 1,  1,  1,  1, 0,  0,  0,  0,  0};
+// NB: Python table is keyed (hc, vc); (−1,−1)→(13,1) … (1,1)→(13,0).
+// Index i = (hc+1)*3 + (vc+1): i=0 is (−1,−1), i=8 is (1,1).
+
+struct MQDec {
+  const uint8_t* data; int64_t len; int64_t bp;
+  uint32_t c, a; int ct;
+  uint8_t I[N_CTX], mps[N_CTX];
+
+  void bytein() {
+    if (bp < len && data[bp] == 0xFF) {
+      if (bp + 1 >= len || data[bp + 1] > 0x8F) { c += 0xFF00; ct = 8; }
+      else { bp += 1; c += (uint32_t)data[bp] << 9; ct = 7; }
+    } else {
+      bp += 1;
+      c += (uint32_t)(bp < len ? data[bp] : 0xFF) << 8;
+      ct = 8;
+    }
+  }
+
+  void init(const uint8_t* d, int64_t n) {
+    data = d; len = n; bp = 0;
+    uint32_t b0 = n ? d[0] : 0xFF;
+    c = b0 << 16;
+    bytein();
+    c <<= 7;
+    ct -= 7;
+    a = 0x8000;
+    std::memset(I, 0, sizeof I);
+    std::memset(mps, 0, sizeof mps);
+    I[0] = 4; I[CTX_RLC] = 3; I[CTX_UNI] = 46;
+  }
+
+  int decode(int cx) {
+    const QeRow& q = QE[I[cx]];
+    uint32_t qe = q.qe;
+    a -= qe;
+    int d;
+    if (((c >> 16) & 0xFFFF) < qe) {
+      if (a < qe) { d = mps[cx]; I[cx] = q.nmps; }
+      else {
+        d = 1 - mps[cx];
+        if (q.sw) mps[cx] ^= 1;
+        I[cx] = q.nlps;
+      }
+      a = qe;
+    } else {
+      c -= qe << 16;
+      if (a & 0x8000) return mps[cx];
+      if (a < qe) {
+        d = 1 - mps[cx];
+        if (q.sw) mps[cx] ^= 1;
+        I[cx] = q.nlps;
+      } else { d = mps[cx]; I[cx] = q.nmps; }
+    }
+    do {
+      if (ct == 0) bytein();
+      a = (a << 1) & 0xFFFF;
+      c <<= 1;
+      ct -= 1;
+    } while (!(a & 0x8000));
+    return d;
+  }
+};
+
+struct MQEnc {
+  uint32_t a; uint64_t c; int ct; int b;  // b = -1 means "no byte yet"
+  std::vector<uint8_t> out;
+  uint8_t I[N_CTX], mps[N_CTX];
+
+  void init() {
+    a = 0x8000; c = 0; ct = 12; b = -1;
+    out.clear();
+    std::memset(I, 0, sizeof I);
+    std::memset(mps, 0, sizeof mps);
+    I[0] = 4; I[CTX_RLC] = 3; I[CTX_UNI] = 46;
+  }
+
+  void byteout() {
+    if (b == 0xFF) {
+      out.push_back((uint8_t)b);
+      b = (int)(c >> 20);
+      c &= 0xFFFFF;
+      ct = 7;
+    } else if (c < 0x8000000) {
+      if (b >= 0) out.push_back((uint8_t)b);
+      b = (int)((c >> 19) & 0xFF);
+      c &= 0x7FFFF;
+      ct = 8;
+    } else {
+      b += 1;
+      if (b == 0xFF) {
+        c &= 0x7FFFFFF;
+        out.push_back((uint8_t)b);
+        b = (int)(c >> 20);
+        c &= 0xFFFFF;
+        ct = 7;
+      } else {
+        if (b >= 0) out.push_back((uint8_t)b);
+        b = (int)((c >> 19) & 0xFF);
+        c &= 0x7FFFF;
+        ct = 8;
+      }
+    }
+  }
+
+  void renorm() {
+    do {
+      a = (a << 1) & 0xFFFF;
+      c = (c << 1) & 0xFFFFFFFFull;
+      ct -= 1;
+      if (ct == 0) byteout();
+    } while (!(a & 0x8000));
+  }
+
+  void encode(int cx, int d) {
+    const QeRow& q = QE[I[cx]];
+    uint32_t qe = q.qe;
+    if (d == mps[cx]) {
+      a -= qe;
+      if ((a & 0x8000) == 0) {
+        if (a < qe) a = qe; else c += qe;
+        I[cx] = q.nmps;
+        renorm();
+      } else c += qe;
+    } else {
+      a -= qe;
+      if (a < qe) c += qe; else a = qe;
+      if (q.sw) mps[cx] ^= 1;
+      I[cx] = q.nlps;
+      renorm();
+    }
+  }
+
+  void flush() {
+    uint64_t tempc = c + a;
+    c |= 0xFFFF;
+    if (c >= tempc) c -= 0x8000;
+    c = (c << ct) & 0xFFFFFFFFull;
+    byteout();
+    c = (c << ct) & 0xFFFFFFFFull;
+    byteout();
+    if (b != 0xFF && b >= 0) out.push_back((uint8_t)b);
+    while (!out.empty() && out.back() == 0xFF) out.pop_back();
+  }
+};
+
+// Shared per-block coding state (padded (h+2) x (w+2) planes).
+struct CbState {
+  int w, h, W;  // W = w + 2 (padded row stride)
+  std::vector<uint8_t> sig, sgn, visited, refined;
+  void init(int w_, int h_) {
+    w = w_; h = h_; W = w_ + 2;
+    size_t n = (size_t)(h + 2) * W;
+    sig.assign(n, 0); sgn.assign(n, 0);
+    visited.assign(n, 0); refined.assign(n, 0);
+  }
+  inline size_t at(int yy, int xx) const { return (size_t)yy * W + xx; }
+  inline void neigh(int yy, int xx, int* hh, int* vv, int* dd) const {
+    const uint8_t* s = sig.data();
+    size_t i = at(yy, xx);
+    *hh = s[i - 1] + s[i + 1];
+    *vv = s[i - W] + s[i + W];
+    *dd = s[i - W - 1] + s[i - W + 1] + s[i + W - 1] + s[i + W + 1];
+  }
+  // (cx, xorbit) for the sign-coding primitive at padded (yy, xx)
+  inline void sign_ctx(int yy, int xx, int* cx, int* xorbit) const {
+    const uint8_t* s = sig.data();
+    const uint8_t* g = sgn.data();
+    size_t i = at(yy, xx);
+    int hc = (int)s[i - 1] * (1 - 2 * (int)g[i - 1])
+           + (int)s[i + 1] * (1 - 2 * (int)g[i + 1]);
+    int vc = (int)s[i - W] * (1 - 2 * (int)g[i - W])
+           + (int)s[i + W] * (1 - 2 * (int)g[i + W]);
+    hc = hc < -1 ? -1 : (hc > 1 ? 1 : hc);
+    vc = vc < -1 ? -1 : (vc > 1 ? 1 : vc);
+    int idx = (hc + 1) * 3 + (vc + 1);
+    *cx = SC_CX[idx];
+    *xorbit = SC_XOR[idx];
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Decode one code-block: data[len] MQ stream, (w, h) block, numbps planes,
+// npasses coding passes, band in {0,1,2,3}. out is h*w int32 row-major.
+// Returns 0 on success.
+int ebcot_decode_cb(const uint8_t* data, int64_t len, int w, int h,
+                    int numbps, int npasses, int band, int32_t* out) {
+  if (w <= 0 || h <= 0) return -1;
+  MQDec mq; mq.init(data, len);
+  CbState st; st.init(w, h);
+  std::vector<int64_t> mag((size_t)h * w, 0);
+  const int W = st.W;
+
+  auto decode_sign = [&](int yy, int xx) -> int {
+    int cx, xorbit;
+    st.sign_ctx(yy, xx, &cx, &xorbit);
+    return mq.decode(cx) ^ xorbit;
+  };
+
+  auto spp = [&](int p) {
+    for (int y0 = 0; y0 < h; y0 += 4) {
+      int ylim = y0 + 4 < h ? y0 + 4 : h;
+      for (int x = 0; x < w; x++) {
+        for (int y = y0; y < ylim; y++) {
+          int yy = y + 1, xx = x + 1;
+          if (st.sig[st.at(yy, xx)]) continue;
+          int hh, vv, dd;
+          st.neigh(yy, xx, &hh, &vv, &dd);
+          if (hh + vv + dd == 0) continue;
+          st.visited[st.at(yy, xx)] = 1;
+          if (mq.decode(zc_context(hh, vv, dd, band))) {
+            st.sig[st.at(yy, xx)] = 1;
+            st.sgn[st.at(yy, xx)] = (uint8_t)decode_sign(yy, xx);
+            mag[(size_t)y * w + x] |= (int64_t)1 << p;
+          }
+        }
+      }
+    }
+  };
+
+  auto mrp = [&](int p) {
+    for (int y0 = 0; y0 < h; y0 += 4) {
+      int ylim = y0 + 4 < h ? y0 + 4 : h;
+      for (int x = 0; x < w; x++) {
+        for (int y = y0; y < ylim; y++) {
+          int yy = y + 1, xx = x + 1;
+          size_t i = st.at(yy, xx);
+          if (!st.sig[i] || st.visited[i]) continue;
+          int cx;
+          if (st.refined[i]) cx = 16;
+          else {
+            int hh, vv, dd;
+            st.neigh(yy, xx, &hh, &vv, &dd);
+            cx = (hh + vv + dd) ? 15 : 14;
+          }
+          if (mq.decode(cx)) mag[(size_t)y * w + x] |= (int64_t)1 << p;
+          st.refined[i] = 1;
+          st.visited[i] = 1;
+        }
+      }
+    }
+  };
+
+  auto cup = [&](int p) {
+    for (int y0 = 0; y0 < h; y0 += 4) {
+      for (int x = 0; x < w; x++) {
+        int y = y0;
+        if (y0 + 4 <= h) {
+          // run-length mode precondition: full 4-row column, nothing
+          // visited or significant in it, no significant neighbor in the
+          // surrounding 6x3 window (padded coords sig[y0..y0+5][x..x+2])
+          bool rl = true;
+          for (int i = 0; i < 4 && rl; i++) {
+            size_t idx = st.at(y0 + 1 + i, x + 1);
+            if (st.visited[idx] || st.sig[idx]) rl = false;
+          }
+          if (rl) {
+            for (int yy = y0; yy <= y0 + 5 && rl; yy++)
+              for (int xx = x; xx <= x + 2; xx++)
+                if (st.sig[(size_t)yy * W + xx]) { rl = false; break; }
+          }
+          if (rl) {
+            if (!mq.decode(CTX_RLC)) continue;
+            int r = (mq.decode(CTX_UNI) << 1) | mq.decode(CTX_UNI);
+            y = y0 + r;
+            int yy = y + 1, xx = x + 1;
+            st.sig[st.at(yy, xx)] = 1;
+            st.sgn[st.at(yy, xx)] = (uint8_t)decode_sign(yy, xx);
+            mag[(size_t)y * w + x] |= (int64_t)1 << p;
+            y += 1;
+          }
+        }
+        int ylim = y0 + 4 < h ? y0 + 4 : h;
+        for (; y < ylim; y++) {
+          int yy = y + 1, xx = x + 1;
+          size_t i = st.at(yy, xx);
+          if (st.visited[i] || st.sig[i]) continue;
+          int hh, vv, dd;
+          st.neigh(yy, xx, &hh, &vv, &dd);
+          if (mq.decode(zc_context(hh, vv, dd, band))) {
+            st.sig[i] = 1;
+            st.sgn[i] = (uint8_t)decode_sign(yy, xx);
+            mag[(size_t)y * w + x] |= (int64_t)1 << p;
+          }
+        }
+      }
+    }
+    std::fill(st.visited.begin(), st.visited.end(), 0);
+  };
+
+  int p = numbps - 1;
+  int done = 0;
+  if (done < npasses && p >= 0) { cup(p); done++; p--; }
+  while (done < npasses && p >= 0) {
+    spp(p); done++;
+    if (done < npasses) { mrp(p); done++; }
+    if (done < npasses) { cup(p); done++; }
+    p--;
+  }
+  for (int y = 0; y < h; y++)
+    for (int x = 0; x < w; x++) {
+      int s = 1 - 2 * (int)st.sgn[st.at(y + 1, x + 1)];
+      out[(size_t)y * w + x] = (int32_t)(mag[(size_t)y * w + x] * s);
+    }
+  return 0;
+}
+
+// Encode one code-block losslessly. coefs is h*w int32 row-major.
+// out: caller buffer of capacity cap; plens_out: capacity cap_passes.
+// On success returns the data length and fills numbps/npasses/plens
+// (per-pass safe truncation byte counts). Returns -1 if a buffer is
+// too small.
+int64_t ebcot_encode_cb(const int32_t* coefs, int w, int h, int band,
+                        uint8_t* out, int64_t cap,
+                        int* numbps_out, int* npasses_out,
+                        int64_t* plens_out, int cap_passes) {
+  if (w <= 0 || h <= 0) return -1;
+  int64_t maxmag = 0;
+  std::vector<int64_t> mag((size_t)h * w);
+  std::vector<uint8_t> neg((size_t)h * w);
+  for (size_t i = 0; i < (size_t)h * w; i++) {
+    int64_t v = coefs[i];
+    neg[i] = v < 0;
+    int64_t m = v < 0 ? -v : v;
+    mag[i] = m;
+    if (m > maxmag) maxmag = m;
+  }
+  int numbps = 0;
+  while ((maxmag >> numbps) != 0) numbps++;
+  *numbps_out = numbps;
+  if (numbps == 0) { *npasses_out = 0; return 0; }
+  int npasses = 1 + 3 * (numbps - 1);
+  *npasses_out = npasses;
+  if (npasses > cap_passes) return -1;
+
+  MQEnc mq; mq.init();
+  CbState st; st.init(w, h);
+  const int W = st.W;
+
+  auto encode_sign = [&](int yy, int xx) {
+    int cx, xorbit;
+    st.sign_ctx(yy, xx, &cx, &xorbit);
+    mq.encode(cx, (int)st.sgn[st.at(yy, xx)] ^ xorbit);
+  };
+
+  auto become_sig = [&](int y, int x, int yy, int xx) {
+    st.sig[st.at(yy, xx)] = 1;
+    st.sgn[st.at(yy, xx)] = neg[(size_t)y * w + x];
+    encode_sign(yy, xx);
+  };
+
+  auto spp = [&](int p) {
+    for (int y0 = 0; y0 < h; y0 += 4) {
+      int ylim = y0 + 4 < h ? y0 + 4 : h;
+      for (int x = 0; x < w; x++) {
+        for (int y = y0; y < ylim; y++) {
+          int yy = y + 1, xx = x + 1;
+          if (st.sig[st.at(yy, xx)]) continue;
+          int hh, vv, dd;
+          st.neigh(yy, xx, &hh, &vv, &dd);
+          if (hh + vv + dd == 0) continue;
+          st.visited[st.at(yy, xx)] = 1;
+          int bit = (int)((mag[(size_t)y * w + x] >> p) & 1);
+          mq.encode(zc_context(hh, vv, dd, band), bit);
+          if (bit) become_sig(y, x, yy, xx);
+        }
+      }
+    }
+  };
+
+  auto mrp = [&](int p) {
+    for (int y0 = 0; y0 < h; y0 += 4) {
+      int ylim = y0 + 4 < h ? y0 + 4 : h;
+      for (int x = 0; x < w; x++) {
+        for (int y = y0; y < ylim; y++) {
+          int yy = y + 1, xx = x + 1;
+          size_t i = st.at(yy, xx);
+          if (!st.sig[i] || st.visited[i]) continue;
+          int cx;
+          if (st.refined[i]) cx = 16;
+          else {
+            int hh, vv, dd;
+            st.neigh(yy, xx, &hh, &vv, &dd);
+            cx = (hh + vv + dd) ? 15 : 14;
+          }
+          mq.encode(cx, (int)((mag[(size_t)y * w + x] >> p) & 1));
+          st.refined[i] = 1;
+          st.visited[i] = 1;
+        }
+      }
+    }
+  };
+
+  auto cup = [&](int p) {
+    for (int y0 = 0; y0 < h; y0 += 4) {
+      for (int x = 0; x < w; x++) {
+        int y = y0;
+        if (y0 + 4 <= h) {
+          bool rl = true;
+          for (int i = 0; i < 4 && rl; i++) {
+            size_t idx = st.at(y0 + 1 + i, x + 1);
+            if (st.visited[idx] || st.sig[idx]) rl = false;
+          }
+          if (rl) {
+            for (int yy = y0; yy <= y0 + 5 && rl; yy++)
+              for (int xx = x; xx <= x + 2; xx++)
+                if (st.sig[(size_t)yy * W + xx]) { rl = false; break; }
+          }
+          if (rl) {
+            int bits4[4], any = 0, r = 0;
+            for (int i = 0; i < 4; i++) {
+              bits4[i] = (int)((mag[(size_t)(y0 + i) * w + x] >> p) & 1);
+              any |= bits4[i];
+            }
+            if (!any) { mq.encode(CTX_RLC, 0); continue; }
+            mq.encode(CTX_RLC, 1);
+            while (!bits4[r]) r++;
+            mq.encode(CTX_UNI, (r >> 1) & 1);
+            mq.encode(CTX_UNI, r & 1);
+            y = y0 + r;
+            become_sig(y, x, y + 1, x + 1);
+            y += 1;
+          }
+        }
+        int ylim = y0 + 4 < h ? y0 + 4 : h;
+        for (; y < ylim; y++) {
+          int yy = y + 1, xx = x + 1;
+          size_t i = st.at(yy, xx);
+          if (st.visited[i] || st.sig[i]) continue;
+          int hh, vv, dd;
+          st.neigh(yy, xx, &hh, &vv, &dd);
+          int bit = (int)((mag[(size_t)y * w + x] >> p) & 1);
+          mq.encode(zc_context(hh, vv, dd, band), bit);
+          if (bit) become_sig(y, x, yy, xx);
+        }
+      }
+    }
+    std::fill(st.visited.begin(), st.visited.end(), 0);
+  };
+
+  // pass sequence + per-pass truncation marks (bytes so far + 4 covers
+  // the MQ registers' unflushed state; clamped to the flushed length)
+  std::vector<int64_t> plens;
+  plens.reserve(npasses);
+  int p = numbps - 1;
+  cup(p);
+  plens.push_back((int64_t)mq.out.size() + 4);
+  for (p = numbps - 2; p >= 0; p--) {
+    spp(p); plens.push_back((int64_t)mq.out.size() + 4);
+    mrp(p); plens.push_back((int64_t)mq.out.size() + 4);
+    cup(p); plens.push_back((int64_t)mq.out.size() + 4);
+  }
+  mq.flush();
+  int64_t n = (int64_t)mq.out.size();
+  if (n > cap) return -1;
+  std::memcpy(out, mq.out.data(), (size_t)n);
+  for (size_t i = 0; i < plens.size(); i++)
+    plens_out[i] = plens[i] < n ? plens[i] : n;
+  plens_out[plens.size() - 1] = n;
+  return n;
+}
+
+}  // extern "C"
