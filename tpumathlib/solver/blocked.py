@@ -44,6 +44,27 @@ overlapped with independent work. XLA's 3.2 TFLOP/s sits within ~2x of
 that architectural ceiling, which is why ``solver.dense.xpotrf`` keeps
 the XLA lowering as default and this module is the documented,
 opt-in engine (``solver.potrf_blocked``).
+
+GETRF (partial-pivoted LU) CARRIES THE SAME WALL PLUS PIVOTING — the
+round-3 verdict's "measure before investing" experiment, run end of
+round 4 on chip (kernel: fori-loop LU column steps on a (512,128) VMEM
+tile, column extraction/row swap as mask-selects since value-space
+dynamic_slice has no Mosaic lowering):
+
+- dependent column step without pivoting: 2.67 us (the dynamic-index
+  spelling; the potrf panel's fully unrolled static form is 0.6 us);
+- adding the pivot search (masked |col| max + index reduce) and the
+  mask-select row swap: 3.12 us/column → ~0.45 us/column of pivot
+  overhead at m=512, growing with the sublane-tile count at m=4096;
+- XLA's stock lu_factor at n=4096: 18.7 ms amortized (2.45 TFLOP/s).
+
+Floor estimate for an own-engine blocked getrf: the potrf-shaped panel
+floor (~7.6 ms measured) + ~2-4 ms of pivot reduces over 4096 columns
++ a per-panel trailing row-permute (a gather/retile pass XLA's own
+lowering also pays) lands at 10-20 ms ~ XLA parity, with none of the
+headroom the 20-TFLOP/s bar would need. ``solver.dense.xgetrf``
+therefore keeps the XLA lowering; the batched small-n LU win lives in
+``dx/solver.py`` (getrf_kernel, 5.33x XLA on chip).
 """
 
 from __future__ import annotations

@@ -165,7 +165,36 @@ def xtrtri(a, uplo: str = "L", diag: str = "N"):
 def xsyevd(a, uplo: str = "L", vectors: bool = True):
     """Symmetric/Hermitian eigendecomposition (values ascending).
 
-    Returns (w, v, info); v=None when vectors=False (jobz=N)."""
+    Returns (w, v, info); v=None when vectors=False (jobz=N).
+
+    LARGE-N FLOOR ANALYSIS (the solver/blocked.py exercise applied to
+    syevd; every number measured on this v5e+tunnel, round 4): XLA's
+    QDWH-eig lowering runs n=2048 f32 in 129-136 ms (0.084x the bench's
+    25%-of-peak bar). Every alternative formulation is bounded by the
+    same dependent-op constants (~33 us per dependent in-kernel MXU
+    matmul, ~51 us per dependent XLA-level dot, 246 us per pallas
+    launch — NOTES_r4):
+
+    - Two-stage SBR (full→band on device, band solve on host) is dead on
+      THIS host: LAPACK ssbev/ssbevd at n=2048, b=128 costs 2.1 s
+      values-only and 8.4-9.1 s with vectors on the 1-core box (ssterf
+      alone is 91 ms), two orders over the 50 ms target; a device bulge
+      chase is a length-n chain of dependent small reflector
+      applications, i.e. the same latency wall as blocked potrf.
+    - Direct tridiagonalization needs 2n dependent reflector
+      applications: 2.2048 x (>=33 us) ~ 135 ms before the trailing
+      updates — at/above the current number by itself.
+    - Re-implementing QDWH-eig on the suite's 33-TFLOP/s split-GEMM
+      engine does not help either: its chol/QR stages are themselves
+      latency-bound (measured amortized dependent chains: chol n=2048
+      6.8 ms, qr 18.8 ms), so ~6 polar iterations x ~8 ms at the top
+      level plus the log-depth recursion on halves reproduces ~130 ms.
+
+    Conclusion: XLA parity IS the architectural ceiling for one-chip
+    large-n syevd here; the device win this suite ships instead is the
+    batched/tridiagonal tier (dx/solver.py syevd_kernel 1.36x XLA,
+    solver/stebz.py bisection+twisted-factorization engine, and
+    solver/tridiag_eig.py method='bisect')."""
     from tpumathlib.blas.level2 import herm_full, sym_full
 
     full = (herm_full if jnp.issubdtype(a.dtype, jnp.complexfloating) else sym_full)
