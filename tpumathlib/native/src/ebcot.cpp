@@ -9,6 +9,12 @@
 // /root/reference/nvJPEG2000/nvJPEG2000-Decoder/nvjpeg2000DecodeSample.cpp);
 // the wavelet/color stages run on device (image/j2k.py).
 //
+// Context modeling uses packed per-cell flag words (significance +
+// visited/refined + the 8 neighbors' significance and the 4 h/v
+// neighbors' signs) with LUTs for the ZC and SC contexts, so each cell
+// visit is one load + table lookup instead of eight neighbor loads —
+// the state is updated incrementally when a cell becomes significant.
+//
 // ISO/IEC 15444-1: Annex C (MQ coder), Annex D (coefficient bit modeling).
 
 #include <cstdint>
@@ -43,8 +49,18 @@ constexpr int N_CTX = 19;   // 0-8 ZC, 9-13 SC, 14-16 MR, 17 RLC, 18 UNI
 constexpr int CTX_RLC = 17;
 constexpr int CTX_UNI = 18;
 
+// Per-cell flag word layout
+constexpr uint32_t F_SIG = 1, F_VIS = 2, F_REF = 4, F_SGN = 8;
+// neighbor significance bits (bits 4..11): W E N S NW NE SW SE
+constexpr int NB_W = 4, NB_E = 5, NB_N = 6, NB_S = 7,
+              NB_NW = 8, NB_NE = 9, NB_SW = 10, NB_SE = 11;
+// neighbor sign bits (bits 12..15): set iff that neighbor is
+// significant AND negative
+constexpr int SB_W = 12, SB_E = 13, SB_N = 14, SB_S = 15;
+constexpr uint32_t NEIGH_MASK = 0xFFu << 4;
+
 // Zero-coding context (Table D.1); band: 0 LL, 1 HL, 2 LH, 3 HH.
-static inline int zc_context(int h, int v, int d, int band) {
+static int zc_context(int h, int v, int d, int band) {
   if (band == 1) { int t = h; h = v; v = t; }
   if (band == 3) {
     int hv = h + v;
@@ -63,11 +79,41 @@ static inline int zc_context(int h, int v, int d, int band) {
   return d >= 2 ? 2 : (d == 1 ? 1 : 0);
 }
 
-// Sign-coding context (Table D.3): index by (hc+1)*3 + (vc+1).
+// Sign-coding (Table D.3): by (hc+1)*3 + (vc+1)
 static const uint8_t SC_CX[9]  = {13, 12, 11, 10, 9, 10, 11, 12, 13};
 static const uint8_t SC_XOR[9] = { 1,  1,  1,  1, 0,  0,  0,  0,  0};
-// NB: Python table is keyed (hc, vc); (−1,−1)→(13,1) … (1,1)→(13,0).
-// Index i = (hc+1)*3 + (vc+1): i=0 is (−1,−1), i=8 is (1,1).
+
+struct Luts {
+  uint8_t zc[4][256];   // index = (f >> 4) & 0xFF
+  uint8_t sc[256];      // cx | xorbit<<5; index = sig4 | sgn4<<4
+  Luts() {
+    for (int band = 0; band < 4; band++)
+      for (int m = 0; m < 256; m++) {
+        int hh = ((m >> (NB_W - 4)) & 1) + ((m >> (NB_E - 4)) & 1);
+        int vv = ((m >> (NB_N - 4)) & 1) + ((m >> (NB_S - 4)) & 1);
+        int dd = ((m >> (NB_NW - 4)) & 1) + ((m >> (NB_NE - 4)) & 1)
+               + ((m >> (NB_SW - 4)) & 1) + ((m >> (NB_SE - 4)) & 1);
+        zc[band][m] = (uint8_t)zc_context(hh, vv, dd, band);
+      }
+    for (int m = 0; m < 256; m++) {
+      int w_ = m & 1, e_ = (m >> 1) & 1, n_ = (m >> 2) & 1, s_ = (m >> 3) & 1;
+      int ws = (m >> 4) & 1, es = (m >> 5) & 1, ns = (m >> 6) & 1,
+          ss = (m >> 7) & 1;
+      int hc = w_ * (1 - 2 * ws) + e_ * (1 - 2 * es);
+      int vc = n_ * (1 - 2 * ns) + s_ * (1 - 2 * ss);
+      hc = hc < -1 ? -1 : (hc > 1 ? 1 : hc);
+      vc = vc < -1 ? -1 : (vc > 1 ? 1 : vc);
+      int idx = (hc + 1) * 3 + (vc + 1);
+      sc[m] = (uint8_t)(SC_CX[idx] | (SC_XOR[idx] << 5));
+    }
+  }
+};
+static const Luts LUT;
+
+static inline int sc_index(uint32_t f) {
+  // sig bits W,E,N,S live at 4..7; sign bits at 12..15
+  return (int)(((f >> 4) & 0xF) | ((f >> 8) & 0xF0));
+}
 
 struct MQDec {
   const uint8_t* data; int64_t len; int64_t bp;
@@ -120,12 +166,18 @@ struct MQDec {
         I[cx] = q.nlps;
       } else { d = mps[cx]; I[cx] = q.nmps; }
     }
+    // renormalize: all shifts until a's bit 15 is set, batched via CLZ
+    // (byte-equivalent to the per-bit reference loop)
+    int k = __builtin_clz(a | 1) - 16;  // |1: corrupt-stream a==0 safety
     do {
       if (ct == 0) bytein();
-      a = (a << 1) & 0xFFFF;
-      c <<= 1;
-      ct -= 1;
-    } while (!(a & 0x8000));
+      int s = k < ct ? k : ct;
+      a <<= s;
+      c <<= s;
+      ct -= s;
+      k -= s;
+    } while (k > 0);
+    a &= 0xFFFF;
     return d;
   }
 };
@@ -172,12 +224,18 @@ struct MQEnc {
   }
 
   void renorm() {
+    // batched CLZ form of the per-bit loop (byte-equivalent: shifts
+    // happen in ct-sized chunks with byteout exactly when ct reaches 0)
+    int k = __builtin_clz(a | 1) - 16;
     do {
-      a = (a << 1) & 0xFFFF;
-      c = (c << 1) & 0xFFFFFFFFull;
-      ct -= 1;
+      int s = k < ct ? k : ct;
+      a <<= s;
+      c = (c << s) & 0xFFFFFFFFull;
+      ct -= s;
+      k -= s;
       if (ct == 0) byteout();
-    } while (!(a & 0x8000));
+    } while (k > 0);
+    a &= 0xFFFF;
   }
 
   void encode(int cx, int d) {
@@ -212,38 +270,34 @@ struct MQEnc {
   }
 };
 
-// Shared per-block coding state (padded (h+2) x (w+2) planes).
-struct CbState {
-  int w, h, W;  // W = w + 2 (padded row stride)
-  std::vector<uint8_t> sig, sgn, visited, refined;
+// Padded (h+2) x (w+2) packed flag plane.
+struct Flags {
+  int w, h, W;
+  std::vector<uint32_t> f;
   void init(int w_, int h_) {
     w = w_; h = h_; W = w_ + 2;
-    size_t n = (size_t)(h + 2) * W;
-    sig.assign(n, 0); sgn.assign(n, 0);
-    visited.assign(n, 0); refined.assign(n, 0);
+    f.assign((size_t)(h + 2) * W, 0);
   }
   inline size_t at(int yy, int xx) const { return (size_t)yy * W + xx; }
-  inline void neigh(int yy, int xx, int* hh, int* vv, int* dd) const {
-    const uint8_t* s = sig.data();
-    size_t i = at(yy, xx);
-    *hh = s[i - 1] + s[i + 1];
-    *vv = s[i - W] + s[i + W];
-    *dd = s[i - W - 1] + s[i - W + 1] + s[i + W - 1] + s[i + W + 1];
+  // mark padded cell i significant with sign `neg`, updating neighbors
+  inline void set_sig(size_t i, int neg) {
+    uint32_t* p = f.data();
+    p[i] |= F_SIG | (neg ? F_SGN : 0);
+    uint32_t hs = neg ? (1u << SB_E) : 0;   // I am my west nb's EAST
+    p[i - 1] |= (1u << NB_E) | hs;
+    hs = neg ? (1u << SB_W) : 0;
+    p[i + 1] |= (1u << NB_W) | hs;
+    hs = neg ? (1u << SB_S) : 0;            // I am my north nb's SOUTH
+    p[i - W] |= (1u << NB_S) | hs;
+    hs = neg ? (1u << SB_N) : 0;
+    p[i + W] |= (1u << NB_N) | hs;
+    p[i - W - 1] |= 1u << NB_SE;
+    p[i - W + 1] |= 1u << NB_SW;
+    p[i + W - 1] |= 1u << NB_NE;
+    p[i + W + 1] |= 1u << NB_NW;
   }
-  // (cx, xorbit) for the sign-coding primitive at padded (yy, xx)
-  inline void sign_ctx(int yy, int xx, int* cx, int* xorbit) const {
-    const uint8_t* s = sig.data();
-    const uint8_t* g = sgn.data();
-    size_t i = at(yy, xx);
-    int hc = (int)s[i - 1] * (1 - 2 * (int)g[i - 1])
-           + (int)s[i + 1] * (1 - 2 * (int)g[i + 1]);
-    int vc = (int)s[i - W] * (1 - 2 * (int)g[i - W])
-           + (int)s[i + W] * (1 - 2 * (int)g[i + W]);
-    hc = hc < -1 ? -1 : (hc > 1 ? 1 : hc);
-    vc = vc < -1 ? -1 : (vc > 1 ? 1 : vc);
-    int idx = (hc + 1) * 3 + (vc + 1);
-    *cx = SC_CX[idx];
-    *xorbit = SC_XOR[idx];
+  void clear_visited() {
+    for (auto& x : f) x &= ~F_VIS;
   }
 };
 
@@ -258,32 +312,31 @@ int ebcot_decode_cb(const uint8_t* data, int64_t len, int w, int h,
                     int numbps, int npasses, int band, int32_t* out) {
   if (w <= 0 || h <= 0) return -1;
   MQDec mq; mq.init(data, len);
-  CbState st; st.init(w, h);
+  Flags st; st.init(w, h);
   std::vector<int64_t> mag((size_t)h * w, 0);
   const int W = st.W;
+  uint32_t* F = st.f.data();
+  const uint8_t* ZC = LUT.zc[band];
 
-  auto decode_sign = [&](int yy, int xx) -> int {
-    int cx, xorbit;
-    st.sign_ctx(yy, xx, &cx, &xorbit);
-    return mq.decode(cx) ^ xorbit;
+  auto decode_sig = [&](size_t i, int64_t* cell, int p) {
+    // cell becomes significant: decode sign, update flags + magnitude
+    uint8_t sc = LUT.sc[sc_index(F[i])];
+    int neg = mq.decode(sc & 0x1F) ^ (sc >> 5);
+    st.set_sig(i, neg);
+    *cell |= (int64_t)1 << p;
   };
 
   auto spp = [&](int p) {
     for (int y0 = 0; y0 < h; y0 += 4) {
       int ylim = y0 + 4 < h ? y0 + 4 : h;
       for (int x = 0; x < w; x++) {
-        for (int y = y0; y < ylim; y++) {
-          int yy = y + 1, xx = x + 1;
-          if (st.sig[st.at(yy, xx)]) continue;
-          int hh, vv, dd;
-          st.neigh(yy, xx, &hh, &vv, &dd);
-          if (hh + vv + dd == 0) continue;
-          st.visited[st.at(yy, xx)] = 1;
-          if (mq.decode(zc_context(hh, vv, dd, band))) {
-            st.sig[st.at(yy, xx)] = 1;
-            st.sgn[st.at(yy, xx)] = (uint8_t)decode_sign(yy, xx);
-            mag[(size_t)y * w + x] |= (int64_t)1 << p;
-          }
+        size_t i0 = st.at(y0 + 1, x + 1);
+        int64_t* m0 = &mag[(size_t)y0 * w + x];
+        for (int y = y0; y < ylim; y++, i0 += W, m0 += w) {
+          uint32_t f = F[i0];
+          if ((f & F_SIG) || !(f & NEIGH_MASK)) continue;
+          F[i0] = f | F_VIS;
+          if (mq.decode(ZC[(f >> 4) & 0xFF])) decode_sig(i0, m0, p);
         }
       }
     }
@@ -293,20 +346,14 @@ int ebcot_decode_cb(const uint8_t* data, int64_t len, int w, int h,
     for (int y0 = 0; y0 < h; y0 += 4) {
       int ylim = y0 + 4 < h ? y0 + 4 : h;
       for (int x = 0; x < w; x++) {
-        for (int y = y0; y < ylim; y++) {
-          int yy = y + 1, xx = x + 1;
-          size_t i = st.at(yy, xx);
-          if (!st.sig[i] || st.visited[i]) continue;
-          int cx;
-          if (st.refined[i]) cx = 16;
-          else {
-            int hh, vv, dd;
-            st.neigh(yy, xx, &hh, &vv, &dd);
-            cx = (hh + vv + dd) ? 15 : 14;
-          }
-          if (mq.decode(cx)) mag[(size_t)y * w + x] |= (int64_t)1 << p;
-          st.refined[i] = 1;
-          st.visited[i] = 1;
+        size_t i0 = st.at(y0 + 1, x + 1);
+        int64_t* m0 = &mag[(size_t)y0 * w + x];
+        for (int y = y0; y < ylim; y++, i0 += W, m0 += w) {
+          uint32_t f = F[i0];
+          if (!(f & F_SIG) || (f & F_VIS)) continue;
+          int cx = (f & F_REF) ? 16 : ((f & NEIGH_MASK) ? 15 : 14);
+          if (mq.decode(cx)) *m0 |= (int64_t)1 << p;
+          F[i0] = f | F_REF | F_VIS;
         }
       }
     }
@@ -316,47 +363,32 @@ int ebcot_decode_cb(const uint8_t* data, int64_t len, int w, int h,
     for (int y0 = 0; y0 < h; y0 += 4) {
       for (int x = 0; x < w; x++) {
         int y = y0;
+        size_t i0 = st.at(y0 + 1, x + 1);
         if (y0 + 4 <= h) {
-          // run-length mode precondition: full 4-row column, nothing
-          // visited or significant in it, no significant neighbor in the
-          // surrounding 6x3 window (padded coords sig[y0..y0+5][x..x+2])
-          bool rl = true;
-          for (int i = 0; i < 4 && rl; i++) {
-            size_t idx = st.at(y0 + 1 + i, x + 1);
-            if (st.visited[idx] || st.sig[idx]) rl = false;
-          }
-          if (rl) {
-            for (int yy = y0; yy <= y0 + 5 && rl; yy++)
-              for (int xx = x; xx <= x + 2; xx++)
-                if (st.sig[(size_t)yy * W + xx]) { rl = false; break; }
-          }
-          if (rl) {
+          // run-length mode iff the whole 4-cell column is non-visited,
+          // non-significant, with NO significant neighbor anywhere (the
+          // union of the 4 cells' 3x3 windows == the 6x3 window)
+          uint32_t agg = F[i0] | F[i0 + W] | F[i0 + 2 * W] | F[i0 + 3 * W];
+          if (!(agg & (F_SIG | F_VIS | NEIGH_MASK))) {
             if (!mq.decode(CTX_RLC)) continue;
             int r = (mq.decode(CTX_UNI) << 1) | mq.decode(CTX_UNI);
             y = y0 + r;
-            int yy = y + 1, xx = x + 1;
-            st.sig[st.at(yy, xx)] = 1;
-            st.sgn[st.at(yy, xx)] = (uint8_t)decode_sign(yy, xx);
-            mag[(size_t)y * w + x] |= (int64_t)1 << p;
+            size_t i = i0 + (size_t)r * W;
+            decode_sig(i, &mag[(size_t)y * w + x], p);
             y += 1;
           }
         }
         int ylim = y0 + 4 < h ? y0 + 4 : h;
-        for (; y < ylim; y++) {
-          int yy = y + 1, xx = x + 1;
-          size_t i = st.at(yy, xx);
-          if (st.visited[i] || st.sig[i]) continue;
-          int hh, vv, dd;
-          st.neigh(yy, xx, &hh, &vv, &dd);
-          if (mq.decode(zc_context(hh, vv, dd, band))) {
-            st.sig[i] = 1;
-            st.sgn[i] = (uint8_t)decode_sign(yy, xx);
-            mag[(size_t)y * w + x] |= (int64_t)1 << p;
-          }
+        size_t i = st.at(y + 1, x + 1);
+        int64_t* m0 = &mag[(size_t)y * w + x];
+        for (; y < ylim; y++, i += W, m0 += w) {
+          uint32_t f = F[i];
+          if (f & (F_VIS | F_SIG)) continue;
+          if (mq.decode(ZC[(f >> 4) & 0xFF])) decode_sig(i, m0, p);
         }
       }
     }
-    std::fill(st.visited.begin(), st.visited.end(), 0);
+    st.clear_visited();
   };
 
   int p = numbps - 1;
@@ -370,7 +402,7 @@ int ebcot_decode_cb(const uint8_t* data, int64_t len, int w, int h,
   }
   for (int y = 0; y < h; y++)
     for (int x = 0; x < w; x++) {
-      int s = 1 - 2 * (int)st.sgn[st.at(y + 1, x + 1)];
+      int s = (F[st.at(y + 1, x + 1)] & F_SGN) ? -1 : 1;
       out[(size_t)y * w + x] = (int32_t)(mag[(size_t)y * w + x] * s);
     }
   return 0;
@@ -405,35 +437,30 @@ int64_t ebcot_encode_cb(const int32_t* coefs, int w, int h, int band,
   if (npasses > cap_passes) return -1;
 
   MQEnc mq; mq.init();
-  CbState st; st.init(w, h);
+  Flags st; st.init(w, h);
   const int W = st.W;
+  uint32_t* F = st.f.data();
+  const uint8_t* ZC = LUT.zc[band];
 
-  auto encode_sign = [&](int yy, int xx) {
-    int cx, xorbit;
-    st.sign_ctx(yy, xx, &cx, &xorbit);
-    mq.encode(cx, (int)st.sgn[st.at(yy, xx)] ^ xorbit);
-  };
-
-  auto become_sig = [&](int y, int x, int yy, int xx) {
-    st.sig[st.at(yy, xx)] = 1;
-    st.sgn[st.at(yy, xx)] = neg[(size_t)y * w + x];
-    encode_sign(yy, xx);
+  auto encode_sig = [&](size_t i, int isneg) {
+    uint8_t sc = LUT.sc[sc_index(F[i])];
+    mq.encode(sc & 0x1F, isneg ^ (sc >> 5));
+    st.set_sig(i, isneg);
   };
 
   auto spp = [&](int p) {
     for (int y0 = 0; y0 < h; y0 += 4) {
       int ylim = y0 + 4 < h ? y0 + 4 : h;
       for (int x = 0; x < w; x++) {
-        for (int y = y0; y < ylim; y++) {
-          int yy = y + 1, xx = x + 1;
-          if (st.sig[st.at(yy, xx)]) continue;
-          int hh, vv, dd;
-          st.neigh(yy, xx, &hh, &vv, &dd);
-          if (hh + vv + dd == 0) continue;
-          st.visited[st.at(yy, xx)] = 1;
-          int bit = (int)((mag[(size_t)y * w + x] >> p) & 1);
-          mq.encode(zc_context(hh, vv, dd, band), bit);
-          if (bit) become_sig(y, x, yy, xx);
+        size_t i0 = st.at(y0 + 1, x + 1);
+        size_t c0 = (size_t)y0 * w + x;
+        for (int y = y0; y < ylim; y++, i0 += W, c0 += w) {
+          uint32_t f = F[i0];
+          if ((f & F_SIG) || !(f & NEIGH_MASK)) continue;
+          F[i0] = f | F_VIS;
+          int bit = (int)((mag[c0] >> p) & 1);
+          mq.encode(ZC[(f >> 4) & 0xFF], bit);
+          if (bit) encode_sig(i0, neg[c0]);
         }
       }
     }
@@ -443,20 +470,14 @@ int64_t ebcot_encode_cb(const int32_t* coefs, int w, int h, int band,
     for (int y0 = 0; y0 < h; y0 += 4) {
       int ylim = y0 + 4 < h ? y0 + 4 : h;
       for (int x = 0; x < w; x++) {
-        for (int y = y0; y < ylim; y++) {
-          int yy = y + 1, xx = x + 1;
-          size_t i = st.at(yy, xx);
-          if (!st.sig[i] || st.visited[i]) continue;
-          int cx;
-          if (st.refined[i]) cx = 16;
-          else {
-            int hh, vv, dd;
-            st.neigh(yy, xx, &hh, &vv, &dd);
-            cx = (hh + vv + dd) ? 15 : 14;
-          }
-          mq.encode(cx, (int)((mag[(size_t)y * w + x] >> p) & 1));
-          st.refined[i] = 1;
-          st.visited[i] = 1;
+        size_t i0 = st.at(y0 + 1, x + 1);
+        size_t c0 = (size_t)y0 * w + x;
+        for (int y = y0; y < ylim; y++, i0 += W, c0 += w) {
+          uint32_t f = F[i0];
+          if (!(f & F_SIG) || (f & F_VIS)) continue;
+          int cx = (f & F_REF) ? 16 : ((f & NEIGH_MASK) ? 15 : 14);
+          mq.encode(cx, (int)((mag[c0] >> p) & 1));
+          F[i0] = f | F_REF | F_VIS;
         }
       }
     }
@@ -466,18 +487,10 @@ int64_t ebcot_encode_cb(const int32_t* coefs, int w, int h, int band,
     for (int y0 = 0; y0 < h; y0 += 4) {
       for (int x = 0; x < w; x++) {
         int y = y0;
+        size_t i0 = st.at(y0 + 1, x + 1);
         if (y0 + 4 <= h) {
-          bool rl = true;
-          for (int i = 0; i < 4 && rl; i++) {
-            size_t idx = st.at(y0 + 1 + i, x + 1);
-            if (st.visited[idx] || st.sig[idx]) rl = false;
-          }
-          if (rl) {
-            for (int yy = y0; yy <= y0 + 5 && rl; yy++)
-              for (int xx = x; xx <= x + 2; xx++)
-                if (st.sig[(size_t)yy * W + xx]) { rl = false; break; }
-          }
-          if (rl) {
+          uint32_t agg = F[i0] | F[i0 + W] | F[i0 + 2 * W] | F[i0 + 3 * W];
+          if (!(agg & (F_SIG | F_VIS | NEIGH_MASK))) {
             int bits4[4], any = 0, r = 0;
             for (int i = 0; i < 4; i++) {
               bits4[i] = (int)((mag[(size_t)(y0 + i) * w + x] >> p) & 1);
@@ -489,24 +502,23 @@ int64_t ebcot_encode_cb(const int32_t* coefs, int w, int h, int band,
             mq.encode(CTX_UNI, (r >> 1) & 1);
             mq.encode(CTX_UNI, r & 1);
             y = y0 + r;
-            become_sig(y, x, y + 1, x + 1);
+            encode_sig(i0 + (size_t)r * W, neg[(size_t)y * w + x]);
             y += 1;
           }
         }
         int ylim = y0 + 4 < h ? y0 + 4 : h;
-        for (; y < ylim; y++) {
-          int yy = y + 1, xx = x + 1;
-          size_t i = st.at(yy, xx);
-          if (st.visited[i] || st.sig[i]) continue;
-          int hh, vv, dd;
-          st.neigh(yy, xx, &hh, &vv, &dd);
-          int bit = (int)((mag[(size_t)y * w + x] >> p) & 1);
-          mq.encode(zc_context(hh, vv, dd, band), bit);
-          if (bit) become_sig(y, x, yy, xx);
+        size_t i = st.at(y + 1, x + 1);
+        size_t c0 = (size_t)y * w + x;
+        for (; y < ylim; y++, i += W, c0 += w) {
+          uint32_t f = F[i];
+          if (f & (F_VIS | F_SIG)) continue;
+          int bit = (int)((mag[c0] >> p) & 1);
+          mq.encode(ZC[(f >> 4) & 0xFF], bit);
+          if (bit) encode_sig(i, neg[c0]);
         }
       }
     }
-    std::fill(st.visited.begin(), st.visited.end(), 0);
+    st.clear_visited();
   };
 
   // pass sequence + per-pass truncation marks (bytes so far + 4 covers
