@@ -337,3 +337,32 @@ def test_rfft_slab_planar(grid1, rng):
     z = irfft_slab_planar(yr, yi, grid1, nz=8)
     nn = float(np.prod(shape))
     assert np.linalg.norm(np.asarray(z) - nn * x) / (nn * np.linalg.norm(x)) < 1e-4
+
+
+def test_plan_precision_bf16(rng):
+    """precision="bf16" plans (≙ cuFFT half-precision C2C/R2C plans,
+    cufftXtMakePlanMany with CUDA_C_16F): half the HBM plane bytes on the
+    planar engines at the documented ~5e-3 rel-L2; f32 stays default."""
+    from tpumathlib.fft.plan import FftType, plan_many
+
+    x = rng.normal(size=(8, 512)).astype(np.float32)
+    pr = plan_many((512,), FftType.R2C, precision="bf16")
+    pc = plan_many((512,), FftType.C2R, precision="bf16")
+    yr, yi = pr._fwd_planar(jnp.asarray(x))
+    ref = np.fft.rfft(x)
+    got = np.asarray(yr, np.float64) + 1j * np.asarray(yi, np.float64)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 2e-2
+    back = np.asarray(pc._inv_planar(yr, yi), np.float64) / 512
+    assert np.linalg.norm(back - x) / np.linalg.norm(x) < 2e-2
+    # C2C planar path honors it too
+    pcx = plan_many((512,), FftType.C2C, precision="bf16")
+    ar = jnp.asarray(x)
+    ai = jnp.asarray(rng.normal(size=(8, 512)).astype(np.float32))
+    zr, zi = pcx._fwd_planar(ar, ai)
+    refc = np.fft.fft(np.asarray(ar) + 1j * np.asarray(ai))
+    gotc = np.asarray(zr, np.float64) + 1j * np.asarray(zi, np.float64)
+    assert np.linalg.norm(gotc - refc) / np.linalg.norm(refc) < 2e-2
+    # unknown precision rejected
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        plan_many((512,), FftType.C2C, precision="fp8")

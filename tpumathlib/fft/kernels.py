@@ -293,30 +293,37 @@ def mxu_irfft(y, n: int):
 # cuFFT exec (cuFFT/1d_c2c/1d_c2c_example.cpp:50-69) and cuFFTMp's local
 # transforms (cuFFTMp/samples/c2c/cufftmp_c2c.cu:69-96).
 
-def fft_axis_planar(xr, xi, inverse: bool = False):
-    """Planar C2C over the LAST axis; routes to the fastest engine."""
+def fft_axis_planar(xr, xi, inverse: bool = False, half: bool = False):
+    """Planar C2C over the LAST axis; routes to the fastest engine.
+
+    ``half=True`` selects the bf16-plane fast mode of the Stockham engine
+    (HALF the HBM stream bytes; butterflies stay f32; ~4e-3 rel-L2 —
+    ≙ cuFFT half-precision C2C plans). Non-pow2 shapes ignore it."""
     from tpumathlib.fft.stockham import dif_fft
 
     n = xr.shape[-1]
     if n >= 256 and (n & (n - 1)) == 0:
-        return dif_fft(xr, xi, inverse=inverse)
+        return dif_fft(xr, xi, inverse=inverse, halfplanes=half)
     return _fft_planar(xr, xi, inverse)
 
 
-def fftn_planar(xr, xi, naxes: int, inverse: bool = False):
+def fftn_planar(xr, xi, naxes: int, inverse: bool = False,
+                half: bool = False):
     """Planar C2C over the trailing ``naxes`` axes."""
     for ax in range(-1, -naxes - 1, -1):
         xr_m = jnp.moveaxis(xr, ax, -1)
         xi_m = jnp.moveaxis(xi, ax, -1)
-        yr, yi = fft_axis_planar(xr_m, xi_m, inverse)
+        yr, yi = fft_axis_planar(xr_m, xi_m, inverse, half=half)
         xr = jnp.moveaxis(yr, -1, ax)
         xi = jnp.moveaxis(yi, -1, ax)
     return xr, xi
 
 
-def rfft_planar(x):
+def rfft_planar(x, half: bool = False):
     """R2C over the last axis: real f32 → planar half spectrum
     (..., n//2+1). Unnormalized forward (cuFFT convention).
+    ``half=True`` runs the internal C2C on bf16 HBM planes (~4e-3
+    rel-L2, half the stream bytes); the untangle math stays f32.
 
     Even batches use the two-for-one packing: adjacent real rows ride one
     complex row (z = a + i·b, A = (Z + Z̄rev)/2, B = (Z − Z̄rev)/2i) —
@@ -331,23 +338,34 @@ def rfft_planar(x):
     h = n // 2 + 1
     if x.ndim >= 2 and x.shape[-2] % 2 == 0 and n >= 256 \
             and (n & (n - 1)) == 0:
-        a = x[..., 0::2, :]
-        b = x[..., 1::2, :]
-        zr, zi = fft_axis_planar(a, b)
+        # pair row i with row i + batch/2 (NOT adjacent rows): the
+        # pack/unpack are then free contiguous views + one tile-ALIGNED
+        # concat, where adjacent pairing costs a full (8,128)-tile
+        # interleave retile each way (measured 1.3 ms at 4096x4096 —
+        # the dominant cost of the r2c_c2r cycle before this change).
+        # The public row-order contract is unchanged.
+        bh = x.shape[-2] // 2
+        a = x[..., :bh, :]
+        b = x[..., bh:, :]
+        zr, zi = fft_axis_planar(a, b, half=half)
+        # half mode: planes stay bf16 through the copies (reverse/concat)
+        # so every HBM pass moves half bytes; the untangle arithmetic
+        # upcasts inside the fused elementwise kernel only
+        dt = zr.dtype
+        f32 = jnp.float32
         zr_rev = jnp.concatenate([zr[..., :1], zr[..., :0:-1]], -1)[..., :h]
         zi_rev = jnp.concatenate([zi[..., :1], zi[..., :0:-1]], -1)[..., :h]
         zr = zr[..., :h]
         zi = zi[..., :h]
-        ar = 0.5 * (zr + zr_rev)
-        ai = 0.5 * (zi - zi_rev)
-        br = 0.5 * (zi + zi_rev)
-        bi = 0.5 * (zr_rev - zr)
-        sh = x.shape[:-2] + (x.shape[-2], h)
-        yr = jnp.stack([ar, br], axis=-2).reshape(sh)
-        yi = jnp.stack([ai, bi], axis=-2).reshape(sh)
+        ar = (0.5 * (zr.astype(f32) + zr_rev.astype(f32))).astype(dt)
+        ai = (0.5 * (zi.astype(f32) - zi_rev.astype(f32))).astype(dt)
+        br = (0.5 * (zi.astype(f32) + zi_rev.astype(f32))).astype(dt)
+        bi = (0.5 * (zr_rev.astype(f32) - zr.astype(f32))).astype(dt)
+        yr = jnp.concatenate([ar, br], axis=-2)
+        yi = jnp.concatenate([ai, bi], axis=-2)
         return yr, yi
-    yr, yi = fft_axis_planar(x, jnp.zeros_like(x))
-    return yr[..., :h], yi[..., :h]
+    yr, yi = fft_axis_planar(x, jnp.zeros_like(x), half=half)
+    return yr[..., :h].astype(jnp.float32), yi[..., :h].astype(jnp.float32)
 
 
 def _hermitian_full(yr, yi, n: int):
@@ -358,9 +376,10 @@ def _hermitian_full(yr, yi, n: int):
             jnp.concatenate([yi[..., :n // 2 + 1], ti], axis=-1))
 
 
-def irfft_planar(yr, yi, n: int):
+def irfft_planar(yr, yi, n: int, half: bool = False):
     """C2R over the last axis: planar half spectrum (..., n//2+1) → real
-    (..., n). Unnormalized inverse (ifft(fft(x)) == N·x).
+    (..., n). Unnormalized inverse (ifft(fft(x)) == N·x). ``half=True``
+    runs the internal C2C on bf16 HBM planes (~4e-3 rel-L2 contract).
 
     Even batches use the two-for-one inverse: Z = A_full + i·B_full,
     z = IFFT(Z), a = Re z, b = Im z — one complex inverse carries two
@@ -369,33 +388,39 @@ def irfft_planar(yr, yi, n: int):
     ≙ cufftExecC2R (cuFFT/1d_c2r/1d_c2r_example.cpp) on device."""
     if yr.ndim >= 2 and yr.shape[-2] % 2 == 0 and n >= 256 \
             and (n & (n - 1)) == 0:
-        ar, ai = _hermitian_full(yr[..., 0::2, :], yi[..., 0::2, :], n)
-        br, bi = _hermitian_full(yr[..., 1::2, :], yi[..., 1::2, :], n)
-        zr, zi = fft_axis_planar(ar - bi, ai + br, inverse=True)
-        sh = yr.shape[:-2] + (yr.shape[-2], n)
-        return jnp.stack([zr, zi], axis=-2).reshape(sh)
+        # half-split pairing mirror of rfft_planar: free views in, one
+        # aligned concat out (no interleave retiles)
+        bh = yr.shape[-2] // 2
+        ar, ai = _hermitian_full(yr[..., :bh, :], yi[..., :bh, :], n)
+        br, bi = _hermitian_full(yr[..., bh:, :], yi[..., bh:, :], n)
+        dt = yr.dtype
+        f32 = jnp.float32
+        pr = (ar.astype(f32) - bi.astype(f32)).astype(dt)
+        pi = (ai.astype(f32) + br.astype(f32)).astype(dt)
+        zr, zi = fft_axis_planar(pr, pi, inverse=True, half=half)
+        return jnp.concatenate([zr, zi], axis=-2).astype(jnp.float32)
     fr, fi = _hermitian_full(yr, yi, n)
-    zr, _ = fft_axis_planar(fr, fi, inverse=True)
-    return zr
+    zr, _ = fft_axis_planar(fr, fi, inverse=True, half=half)
+    return zr.astype(jnp.float32)
 
 
-def rfftn_planar(x, naxes: int):
+def rfftn_planar(x, naxes: int, half: bool = False):
     """N-D R2C (trailing axes; last axis halved) — planar output."""
-    yr, yi = rfft_planar(x)
+    yr, yi = rfft_planar(x, half=half)
     if naxes > 1:
         yr2 = jnp.moveaxis(yr, -1, 0)
         yi2 = jnp.moveaxis(yi, -1, 0)
-        yr2, yi2 = fftn_planar(yr2, yi2, naxes - 1)
+        yr2, yi2 = fftn_planar(yr2, yi2, naxes - 1, half=half)
         yr, yi = jnp.moveaxis(yr2, 0, -1), jnp.moveaxis(yi2, 0, -1)
     return yr, yi
 
 
-def irfftn_planar(yr, yi, shape: tuple):
+def irfftn_planar(yr, yi, shape: tuple, half: bool = False):
     """N-D C2R inverse of rfftn_planar (unnormalized)."""
     naxes = len(shape)
     if naxes > 1:
         yr2 = jnp.moveaxis(yr, -1, 0)
         yi2 = jnp.moveaxis(yi, -1, 0)
-        yr2, yi2 = fftn_planar(yr2, yi2, naxes - 1, inverse=True)
+        yr2, yi2 = fftn_planar(yr2, yi2, naxes - 1, inverse=True, half=half)
         yr, yi = jnp.moveaxis(yr2, 0, -1), jnp.moveaxis(yi2, 0, -1)
-    return irfft_planar(yr, yi, shape[-1])
+    return irfft_planar(yr, yi, shape[-1], half=half)

@@ -47,6 +47,11 @@ class FftDescriptor:
     fft_type: FftType
     batch: int = 1
     norm: str | None = None     # None = cuFFT unnormalized; "ortho"|"backward"
+    # "f32" (default) or "bf16": the bf16-plane fast mode — HALF the HBM
+    # stream bytes on the planar engines at a documented ~4e-3 rel-L2
+    # (≙ cuFFT half-precision C2C/R2C plans via cufftXtMakePlanMany with
+    # CUDA_C_16F, cuFFTDx Precision<half>); butterflies accumulate in f32
+    precision: str = "f32"
 
 
 class FftPlan:
@@ -77,6 +82,7 @@ class FftPlan:
 
         naxes = len(desc.shape)
         inverse = direction == Direction.INVERSE
+        half = desc.precision == "bf16"
 
         def _norm_scale():
             # the planar engines are unnormalized in BOTH directions
@@ -99,7 +105,7 @@ class FftPlan:
                 check(direction == Direction.FORWARD, "R2C is forward-only")
                 if pre is not None:
                     x = pre(x)
-                yr, yi = kernels.rfftn_planar(x, naxes)
+                yr, yi = kernels.rfftn_planar(x, naxes, half=half)
                 s = _norm_scale()
                 if s != 1.0:
                     yr, yi = yr * s, yi * s
@@ -114,7 +120,7 @@ class FftPlan:
                 check(direction == Direction.INVERSE, "C2R is inverse-only")
                 if pre is not None:
                     xr, xi = pre((xr, xi))
-                y = kernels.irfftn_planar(xr, xi, desc.shape)
+                y = kernels.irfftn_planar(xr, xi, desc.shape, half=half)
                 s = _norm_scale()
                 if s != 1.0:
                     y = y * s
@@ -127,7 +133,7 @@ class FftPlan:
         def run(xr, xi):
             if pre is not None:
                 xr, xi = pre((xr, xi))
-            xr, xi = kernels.fftn_planar(xr, xi, naxes, inverse)
+            xr, xi = kernels.fftn_planar(xr, xi, naxes, inverse, half=half)
             s = _norm_scale()
             if s != 1.0:
                 xr, xi = xr * s, xi * s
@@ -196,8 +202,10 @@ class FftPlan:
         return self._inv(x)
 
 
-def _make_plan(shape, fft_type, batch=1, norm=None, pre=None, post=None) -> FftPlan:
-    desc = FftDescriptor(tuple(shape), fft_type, batch, norm)
+def _make_plan(shape, fft_type, batch=1, norm=None, pre=None, post=None,
+               precision="f32") -> FftPlan:
+    check(precision in ("f32", "bf16"), f"unknown precision {precision!r}")
+    desc = FftDescriptor(tuple(shape), fft_type, batch, norm, precision)
     if pre is None and post is None:
         return _plan_cache.get_or_build(
             (desc,), lambda: FftPlan(desc)
