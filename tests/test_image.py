@@ -370,6 +370,108 @@ def test_tiff_multi_image(tmp_path, rng):
     np.testing.assert_array_equal(np.asarray(pim), imgs[1])
 
 
+def test_tiff_encode_options(tmp_path, rng):
+    """nvTIFF-Encode-Options variant matrix
+    (/root/reference/nvTIFF/nvTIFF-Encode-Options/nvtiff_encode_options.cpp:139-209):
+    lzw/deflate/packbits roundtrip bit-exact, with/without the horizontal
+    predictor and striped geometry; Pillow (libtiff) decodes every stream
+    we emit and we decode every stream it emits (cross-conformance)."""
+    from PIL import Image
+
+    rgb = rng.integers(0, 255, (33, 47, 3), dtype=np.uint8)
+    gray = rng.integers(0, 255, (21, 30), dtype=np.uint8)
+    # smooth data so the predictor actually matters
+    smooth = (np.add.outer(np.arange(33), np.arange(47)) % 251
+              ).astype(np.uint8)
+    for comp in ("lzw", "deflate", "packbits"):
+        for img in (rgb, gray, smooth):
+            for pred in (False, True):
+                p = str(tmp_path / f"{comp}_{pred}.tif")
+                tiff_write(p, img, compression=comp, rows_per_strip=7,
+                           predictor=pred)
+                np.testing.assert_array_equal(tiff_read(p), img)
+                np.testing.assert_array_equal(np.asarray(Image.open(p)), img)
+        assert tiff_info(str(tmp_path / f"{comp}_False.tif"))[
+            "compression"] == {"lzw": 5, "deflate": 8, "packbits": 32773}[comp]
+    # decode libtiff-emitted streams for the codecs new this round
+    for pil_comp in ("packbits", "tiff_adobe_deflate"):
+        p = str(tmp_path / f"pil_{pil_comp}.tif")
+        Image.fromarray(rgb).save(p, compression=pil_comp)
+        np.testing.assert_array_equal(tiff_read(p), rgb)
+
+
+def test_tiff_tiled(tmp_path, rng):
+    """Tiled TIFF geometry (TileWidth/TileLength/TileOffsets, dims
+    multiples of 16 as nvTIFF requires): write/read roundtrip incl.
+    edge-partial tiles, region decode, Pillow interop both directions."""
+    from PIL import Image
+
+    img = rng.integers(0, 255, (70, 90, 3), dtype=np.uint8)
+    p = str(tmp_path / "tiled.tif")
+    tiff_write(p, img, tile=(32, 48), compression="lzw")
+    info = tiff_info(p)
+    assert info["tile"] == (32, 48)
+    np.testing.assert_array_equal(tiff_read(p), img)
+    np.testing.assert_array_equal(tiff_read(p, region=(20, 30, 40, 50)),
+                                  img[20:60, 30:80])
+    np.testing.assert_array_equal(np.asarray(Image.open(p)), img)
+    with pytest.raises(ValueError):
+        tiff_write(p, img, tile=(20, 48))
+    # libtiff-emitted tiled stream
+    p2 = str(tmp_path / "pil_tiled.tif")
+    Image.fromarray(img).save(p2, compression="tiff_lzw",
+                              tiffinfo={322: 64, 323: 48})
+    if tiff_info(p2).get("tile"):            # Pillow honored the request
+        np.testing.assert_array_equal(tiff_read(p2), img)
+
+
+def test_tiff_bigtiff(tmp_path, rng):
+    """BigTIFF container (version 43, 8-byte offsets ≙ NVTIFF_BIG_TIFF):
+    roundtrip + multi-image + Pillow reads it."""
+    from PIL import Image
+
+    imgs = [rng.integers(0, 255, (24, 31, 3), dtype=np.uint8),
+            rng.integers(0, 255, (17, 13), dtype=np.uint8)]
+    p = str(tmp_path / "big.tif")
+    tiff_write(p, imgs, bigtiff=True, compression="deflate")
+    import struct
+
+    with open(p, "rb") as f:
+        assert struct.unpack("<2sH", f.read(4))[1] == 43
+    assert tiff_info(p)["num_images"] == 2
+    for k in range(2):
+        np.testing.assert_array_equal(tiff_read(p, index=k), imgs[k])
+    pim = Image.open(p)
+    np.testing.assert_array_equal(np.asarray(pim), imgs[0])
+
+
+def test_tiff_jpeg_compression(tmp_path, rng):
+    """JPEG-in-TIFF (compression=7): our encoder writes full JFIF strips
+    through the suite's jfif_encode; decode handles both full streams and
+    JPEGTables-abbreviated strips (TIFF TechNote 2, as libtiff emits)."""
+    from PIL import Image
+
+    # smooth image so lossy JPEG stays close
+    y, x = np.mgrid[0:48, 0:64]
+    img = np.stack([(y * 2) % 256, (x * 2) % 256, ((x + y)) % 256],
+                   axis=-1).astype(np.uint8)
+    p = str(tmp_path / "jpeg.tif")
+    tiff_write(p, img, compression="jpeg", jpeg_quality=95,
+               rows_per_strip=16)
+    assert tiff_info(p)["compression"] == 7
+    got = tiff_read(p)
+    assert got.shape == img.shape
+    assert np.mean(np.abs(got.astype(int) - img.astype(int))) < 4.0
+    # Pillow/libjpeg decodes our strips
+    pil = np.asarray(Image.open(p))
+    assert np.mean(np.abs(pil.astype(int) - img.astype(int))) < 4.0
+    # libtiff-emitted JPEGTables-abbreviated stream
+    p2 = str(tmp_path / "pil_jpeg.tif")
+    Image.fromarray(img).save(p2, compression="jpeg", quality=95)
+    got2 = tiff_read(p2)
+    assert np.mean(np.abs(got2.astype(int) - img.astype(int))) < 4.0
+
+
 def test_j2k_real_codestream_decode(rng):
     """Conformant JPEG2000 decode of REAL openjpeg streams
     (≙ nvJPEG2000/nvJPEG2000-Decoder): MQ + EBCOT Tier-1/2 + reversible

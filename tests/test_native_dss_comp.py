@@ -471,6 +471,28 @@ def test_device_cascaded_roundtrip(rng):
         np.asarray(comp.device_cascaded_decompress(p2, m2)), v)
 
 
+def test_device_bitcomp_lossy(rng):
+    """Error-bounded lossy float compression (≙ nvCOMP Bitcomp Native API,
+    bitcomp_native_lossy.cu: smooth sine data, delta=1.0, verify max
+    reconstruction error <= delta/2 and that non-power-of-two deltas round
+    down like bitcompSetLossyDelta)."""
+    import jax.numpy as jnp
+
+    x = 100.0 * np.sin(np.arange(1 << 16, dtype=np.float32) * 0.001)
+    for delta in (1.0, 0.3):            # 0.3 rounds down to 0.25
+        payload, meta = comp.device_bitcomp_lossy_compress(
+            jnp.asarray(x), delta)
+        d2 = meta[2]
+        assert d2 == (1.0 if delta == 1.0 else 0.25)
+        out = np.asarray(comp.device_bitcomp_lossy_decompress(payload, meta))
+        assert np.max(np.abs(out - x)) <= d2 / 2 + 1e-6
+    # smooth data quantized at delta=1 packs well below 32 bits
+    payload, meta = comp.device_bitcomp_lossy_compress(jnp.asarray(x), 1.0)
+    assert comp.device_cascaded_ratio(meta[:2], payload) > 4.0
+    with pytest.raises(ValueError):
+        comp.device_bitcomp_lossy_compress(jnp.asarray(x), 0.0)
+
+
 def test_host_bitpack_vectorized(rng):
     """Vectorized packbits bitstream is byte-identical to the round-2
     serial format (container compatibility)."""

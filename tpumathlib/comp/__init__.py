@@ -20,6 +20,7 @@ transfers through the runtime; CRC32 covers the integrity-check use-case.
 from __future__ import annotations
 
 import dataclasses
+import math
 import struct
 import zlib
 from typing import Sequence
@@ -416,3 +417,33 @@ def device_cascaded_ratio(meta, payload) -> float:
     nwords = min(packed.shape[0] * packed.shape[1],
                  -(-(n * bits) // 32) + packed.shape[1])
     return (4.0 * n) / (4.0 * (nwords + leaders.shape[0]))
+
+
+# ---------------- error-bounded lossy float compression ----------------
+
+def device_bitcomp_lossy_compress(x, delta: float, bits: int | None = None):
+    """Error-bounded lossy compression of f32 device data (≙ the nvCOMP
+    Bitcomp *Native API*, /root/reference/nvCOMP/examples/
+    bitcomp_native_lossy.cu:56-108: lossy FP32 → signed integers with a
+    quantization delta, max reconstruction error ≤ delta/2).
+
+    Matches Bitcomp's contract: ``delta`` is rounded DOWN to the nearest
+    power of two; values are quantized to round(x/delta) signed int32 on
+    device, then bitpacked by the device cascaded engine (delta + zigzag +
+    bitpack — the smooth-data configuration, all HBM-resident). Returns
+    (payload, meta). Quantized magnitudes must fit int32
+    (|x| ≲ 2^31 · delta), as in Bitcomp's integer modes.
+    """
+    if not (delta > 0.0) or not math.isfinite(delta):
+        raise ValueError(f"delta must be a positive finite float: {delta}")
+    d2 = 2.0 ** math.floor(math.log2(delta))
+    q = jnp.round(x.astype(jnp.float32) * (1.0 / d2)).astype(jnp.int32)
+    payload, (n, bits) = device_cascaded_compress(q, bits=bits)
+    return payload, (n, bits, d2)
+
+
+def device_bitcomp_lossy_decompress(payload, meta):
+    """Decompress to f32 on device: x̂ = q · delta (error ≤ delta/2)."""
+    n, bits, d2 = meta
+    q = device_cascaded_decompress(payload, (n, bits))
+    return q.astype(jnp.float32) * d2

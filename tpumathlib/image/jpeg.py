@@ -248,9 +248,11 @@ _JFIF_INV = np.argsort(_JFIF_ZZ).astype(np.int32)   # zigzag → natural
 def _decode_pixel_fused(sels, qs, meta):
     """Whole decode pixel pipeline in ONE device dispatch: per-plane
     dequant + IDCT + block assembly + nearest upsample, then the color
-    transform and uint8 rounding. meta = (rh, rw, geoms) with geoms a
-    tuple of per-plane (rby, rbx, sy, sx, oy, ox) static ints."""
-    rh, rw, geoms = meta
+    transform and uint8 rounding. meta = (rh, rw, geoms, ycc) with geoms a
+    tuple of per-plane (rby, rbx, sy, sx, oy, ox) static ints and ycc
+    whether 3-component data is YCbCr (False = components already RGB,
+    the TIFF photometric=2 / Adobe transform=0 case)."""
+    rh, rw, geoms, ycc = meta
     inv = jnp.asarray(_JFIF_INV)
     planes = []
     for sel, q, (rby, rbx, sy, sx, oy, ox) in zip(sels, qs, geoms):
@@ -264,7 +266,8 @@ def _decode_pixel_fused(sels, qs, meta):
             plane = jnp.repeat(plane, sx, 1)
         planes.append(plane[oy:oy + rh, ox:ox + rw])
     out = (planes[0] if len(planes) == 1
-           else ycbcr_to_rgb(jnp.stack(planes, axis=-1)))
+           else ycbcr_to_rgb(jnp.stack(planes, axis=-1)) if ycc
+           else jnp.stack(planes, axis=-1))
     return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
 
 
@@ -372,7 +375,8 @@ def _entropy_decode_python(blob, i, n_mcu, restart, comps, scan_comps,
 
 
 def jfif_decode(blob: bytes, roi: tuple | None = None,
-                backend: str = "hybrid") -> np.ndarray:
+                backend: str = "hybrid",
+                color: str = "ycbcr") -> np.ndarray:
     """Decode a real baseline-DCT JFIF .jpg (SOF0, 8-bit, grayscale or
     YCbCr with any of the standard subsamplings, restart markers
     supported). Returns uint8 (H, W) or (H, W, 3).
@@ -383,9 +387,14 @@ def jfif_decode(blob: bytes, roi: tuple | None = None,
     but the device pixel pipeline (dequant + IDCT + upsample) runs ONLY on
     the ROI's blocks. backend selects the pixel-pipeline engine —
     "hybrid" (host entropy + device pixel stage, ≙ NVJPEG_BACKEND_GPU_HYBRID)
-    or "host" (pure-CPU reference, ≙ NVJPEG_BACKEND_CPU_ONLY)."""
+    or "host" (pure-CPU reference, ≙ NVJPEG_BACKEND_CPU_ONLY).
+    color: "ycbcr" (JFIF default) applies the YCbCr→RGB transform to
+    3-component scans; "rgb" treats the components as already RGB (the
+    TIFF photometric=2 / Adobe APP14 transform=0 convention, ≙ nvJPEG's
+    NVJPEG_OUTPUT_* vs stream-colorspace handling)."""
     assert blob[:2] == b"\xff\xd8", "not a JPEG (missing SOI)"
     assert backend in ("hybrid", "host"), backend
+    assert color in ("ycbcr", "rgb"), color
     qt = {}
     huff = {}
     comps = []
@@ -508,7 +517,7 @@ def jfif_decode(blob: bytes, roi: tuple | None = None,
         return np.asarray(_decode_pixel_fused(
             tuple(jnp.asarray(s) for s in sels),
             tuple(jnp.asarray(q) for q in qs),
-            (rh, rw, tuple(geoms))))
+            (rh, rw, tuple(geoms), color == "ycbcr")))
     planes = []                       # host reference pixel stage
     for sel, q, (rby, rbx, sy, sx, oy, ox) in zip(sels, qs, geoms):
         co = sel[:, inv].reshape(-1, 8, 8).astype(np.float32)
@@ -521,7 +530,8 @@ def jfif_decode(blob: bytes, roi: tuple | None = None,
     if len(planes) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     ycc = np.stack(planes, axis=-1)
-    rgb = np.asarray(ycbcr_to_rgb(jnp.asarray(ycc, jnp.float32)))
+    rgb = (np.asarray(ycbcr_to_rgb(jnp.asarray(ycc, jnp.float32)))
+           if color == "ycbcr" else ycc)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 

@@ -1,19 +1,31 @@
-"""Baseline TIFF codec + GeoTIFF tags (≙ nvTIFF decode / decode-encode /
-imageinfo / region-decode / nvTIFF-GeoTIFF-Decode-Encode samples).
+"""TIFF codec + GeoTIFF tags (≙ nvTIFF decode / decode-encode /
+imageinfo / region-decode / nvTIFF-GeoTIFF-Decode-Encode /
+nvTIFF-Encode-Options samples).
 
-Supports uncompressed (compression=1) and LZW (compression=5, incl. the
-horizontal-differencing predictor and TIFF's early-change width bumps)
-grayscale and RGB, 8-bit, single/multi strip, little-endian, MULTI-IMAGE
-files (chained IFDs — the nvTIFF multi-image info surface), and the
-GeoTIFF georeferencing tags (ModelPixelScale, ModelTiepoint,
-GeoKeyDirectory, GeoDoubleParams, GeoAsciiParams — ≙
-nvTIFF-GeoTIFF-Decode-Encode). JPEG-in-TIFF is out of scope (the
-reference's nvTIFF also supports a subset).
+Decode: uncompressed (1), LZW (5, incl. the horizontal-differencing
+predictor and TIFF's early-change width bumps), JPEG-in-TIFF (7, full or
+JPEGTables-abbreviated strips/tiles, via the suite's own JFIF decoder),
+Adobe/legacy Deflate (8/32946), PackBits (32773); grayscale and RGB,
+8-bit, single/multi strip, TILED images (TileWidth/TileLength/
+TileOffsets/TileByteCounts), little-endian classic AND BigTIFF (version
+43, 8-byte offsets), MULTI-IMAGE files (chained IFDs — the nvTIFF
+multi-image info surface), and the GeoTIFF georeferencing tags
+(ModelPixelScale, ModelTiepoint, GeoKeyDirectory, GeoDoubleParams,
+GeoAsciiParams — ≙ nvTIFF-GeoTIFF-Decode-Encode).
+
+Encode (≙ nvTIFF-Encode-Options/nvtiff_encode_options.cpp:139-209's
+variant matrix): compression none/lzw/deflate/packbits/jpeg (JPEG rides
+the suite's real JFIF encoder, quality + subsampling knobs ≙ the sample's
+nvtiffJpegEncodeOptions_t), striped with configurable rows_per_strip or
+TILED geometry (tile dims multiples of 16, as nvTIFF requires), classic
+or BigTIFF container (≙ NVTIFF_BIG_TIFF), horizontal-differencing
+predictor, custom/GeoTIFF tags, multi-page.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -26,6 +38,12 @@ _TAG_STRIP_OFFSETS = 273
 _TAG_SPP = 277
 _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_COUNTS = 279
+_TAG_PREDICTOR = 317
+_TAG_TILE_WIDTH = 322
+_TAG_TILE_LENGTH = 323
+_TAG_TILE_OFFSETS = 324
+_TAG_TILE_COUNTS = 325
+_TAG_JPEG_TABLES = 347
 # GeoTIFF tags (GeoTIFF 1.1 / OGC 19-008r4)
 TAG_MODEL_PIXEL_SCALE = 33550   # DOUBLE x3 (sx, sy, sz)
 TAG_MODEL_TIEPOINT = 33922      # DOUBLE x6k (i, j, k, x, y, z)
@@ -33,142 +51,80 @@ TAG_GEO_KEY_DIRECTORY = 34735   # SHORT x4n
 TAG_GEO_DOUBLE_PARAMS = 34736   # DOUBLE xn
 TAG_GEO_ASCII_PARAMS = 34737    # ASCII
 
-_TYPE_SIZE = {2: 1, 3: 2, 4: 4, 12: 8}
-_TYPE_FMT = {2: "s", 3: "H", 4: "I", 12: "d"}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 7: 1, 12: 8, 16: 8}
+_TYPE_FMT = {1: "B", 2: "s", 3: "H", 4: "I", 7: "s", 12: "d", 16: "Q"}
+
+COMPRESSIONS = {"none": 1, "lzw": 5, "jpeg": 7, "deflate": 8,
+                "packbits": 32773}
 
 
 def _pack_values(ttype: int, values) -> bytes:
     if ttype == 2:  # ascii, NUL-terminated
         b = values.encode() if isinstance(values, str) else bytes(values)
         return b if b.endswith(b"\0") else b + b"\0"
+    if ttype == 7:  # undefined (raw bytes)
+        return bytes(values)
     fmt = _TYPE_FMT[ttype]
     vals = list(np.atleast_1d(values).tolist())
     return struct.pack(f"<{len(vals)}{fmt}", *vals)
 
 
-def _build_ifd(img: np.ndarray, data_offset: int, ifd_offset: int,
-               extra_tags: dict | None):
-    """One IFD for ``img`` whose pixel data will live at data_offset.
-    Returns (ifd_bytes_without_next_ptr, overflow_bytes, total_ifd_len)."""
-    h, w = img.shape[:2]
-    spp = 1 if img.ndim == 2 else img.shape[2]
-    entries = {
-        _TAG_WIDTH: (3, [w]),
-        _TAG_HEIGHT: (3, [h]),
-        _TAG_BITS: (3, [8] * spp),
-        _TAG_COMPRESSION: (3, [1]),
-        _TAG_PHOTOMETRIC: (3, [1 if spp == 1 else 2]),
-        _TAG_STRIP_OFFSETS: (4, [data_offset]),
-        _TAG_SPP: (3, [spp]),
-        _TAG_ROWS_PER_STRIP: (3, [h]),
-        _TAG_STRIP_COUNTS: (4, [h * w * spp]),
-    }
-    for tid, (ttype, values) in (extra_tags or {}).items():
-        entries[tid] = (ttype, values)
-    ntags = len(entries)
-    ifd_len = 2 + ntags * 12 + 4
-    overflow_off = ifd_offset + ifd_len
-    overflow = bytearray()
-    body = struct.pack("<H", ntags)
-    for tid in sorted(entries):
-        ttype, values = entries[tid]
-        payload = _pack_values(ttype, values)
-        count = len(payload) // _TYPE_SIZE[ttype] if ttype != 2 \
-            else len(payload)
-        if len(payload) <= 4:
-            raw = payload.ljust(4, b"\0")
-        else:
-            raw = struct.pack("<I", overflow_off + len(overflow))
-            overflow += payload
-            if len(overflow) % 2:
-                overflow += b"\0"
-        body += struct.pack("<HHI", tid, ttype, count) + raw
-    return body, bytes(overflow), ifd_len
+# ---------------- segment codecs ----------------
 
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF LZW encoder (compression=5): MSB-first variable-width codes,
+    ClearCode=256/EOI=257, 'early change' width bumps (TIFF 6.0 §13),
+    table reset at code 4094."""
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
 
-def tiff_write(path: str, image, extra_tags: dict | None = None) -> None:
-    """Write uint8 gray (H,W) or RGB (H,W,3) — or a LIST of such images
-    (multi-image file, chained IFDs) — as uncompressed baseline TIFF.
-    ``extra_tags`` = {tag_id: (type, values)} (or a list per image)."""
-    images = image if isinstance(image, (list, tuple)) else [image]
-    extras = extra_tags if isinstance(extra_tags, (list, tuple)) \
-        else [extra_tags] * len(images)
-    out = bytearray(struct.pack("<2sHI", b"II", 42, 8))
-    pos = 8
-    for k, img in enumerate(images):
-        img = np.ascontiguousarray(img, np.uint8)
-        data = img.tobytes()
-        # layout per image: IFD | overflow | pixel data
-        body, overflow, ifd_len = _build_ifd(img, 0, pos, extras[k])
-        data_off = pos + ifd_len + len(overflow)
-        body, overflow, _ = _build_ifd(img, data_off, pos, extras[k])
-        next_ifd = data_off + len(data)
-        if next_ifd % 2:
-            data += b"\0"
-            next_ifd += 1
-        out += body
-        out += struct.pack("<I", next_ifd if k + 1 < len(images) else 0)
-        out += overflow
-        out += data
-        pos = next_ifd
-    with open(path, "wb") as f:
-        f.write(out)
+    def emit(code: int, width: int):
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
 
-
-def _read_one_ifd(buf: bytes, ifd_off: int):
-    (ntags,) = struct.unpack_from("<H", buf, ifd_off)
-    tags = {}
-    for i in range(ntags):
-        tid, ttype, count, raw = struct.unpack_from(
-            "<HHI4s", buf, ifd_off + 2 + i * 12)
-        size = _TYPE_SIZE.get(ttype, 1) * count
-        payload = raw[:size] if size <= 4 else \
-            buf[struct.unpack("<I", raw)[0]:][:size]
-        if ttype == 2:
-            val = payload.rstrip(b"\0").decode(errors="replace")
-        else:
-            fmt = _TYPE_FMT.get(ttype, "B")
-            vals = list(struct.unpack(f"<{count}{fmt}", payload))
-            val = vals[0] if count == 1 else vals
-        tags[tid] = val
-    (nxt,) = struct.unpack_from("<I", buf, ifd_off + 2 + ntags * 12)
-    return tags, nxt
-
-
-def _read_ifds(buf: bytes):
-    endian, magic, ifd_off = struct.unpack("<2sHI", buf[:8])
-    assert endian == b"II" and magic == 42, "unsupported TIFF (big-endian?)"
-    out = []
-    while ifd_off:
-        tags, ifd_off = _read_one_ifd(buf, ifd_off)
-        out.append(tags)
-    return out
-
-
-def tiff_info(path: str) -> dict:
-    """≙ nvtiffStreamGetFileInfo + the multi-image info sample: first
-    image's fields at the top level, ``num_images`` and per-image
-    ``images`` list alongside."""
-    with open(path, "rb") as f:
-        buf = f.read()
-    ifds = _read_ifds(buf)
-
-    def one(t):
-        return {
-            "width": t[_TAG_WIDTH],
-            "height": t[_TAG_HEIGHT],
-            "samples_per_pixel": t.get(_TAG_SPP, 1),
-            "compression": t.get(_TAG_COMPRESSION, 1),
-            "photometric": t.get(_TAG_PHOTOMETRIC, 1),
-        }
-
-    info = one(ifds[0])
-    info["num_images"] = len(ifds)
-    info["images"] = [one(t) for t in ifds]
-    return info
-
-
-_TAG_PREDICTOR = 317
+    table: dict[bytes, int] = {}
+    next_code = 258
+    width = 9
+    emit(256, width)                      # leading ClearCode
+    omega = b""
+    for b in bytes(data):
+        w2 = omega + bytes([b])
+        if len(w2) == 1 or w2 in table:
+            omega = w2
+            continue
+        emit(table[omega] if len(omega) > 1 else omega[0], width)
+        table[w2] = next_code
+        next_code += 1
+        omega = bytes([b])
+        # early-change width bump, mirrored off the decoder below: the
+        # encoder's table runs ONE entry ahead of the decoder mid-stream
+        # (the decoder appends nothing for the first post-clear code), so
+        # the decoder's `len >= (1<<w)-1` is `next_code == (1<<w)` here
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        elif next_code >= 4094:            # table full → reset
+            emit(omega[0], width)
+            emit(256, width)
+            table.clear()
+            next_code = 258
+            width = 9
+            omega = b""
+    if omega:
+        emit(table[omega] if len(omega) > 1 else omega[0], width)
+        # at flush the counts align (the final emission adds no entry):
+        # the decoder appends once more before reading EOI, so EOI must be
+        # written at the decoder's post-append width
+        if next_code >= (1 << width) - 1 and width < 12:
+            width += 1
+    emit(257, width)                      # EndOfInformation
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
 
 
 def _lzw_decode(data: bytes) -> bytes:
@@ -221,29 +177,365 @@ def _lzw_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits (compression=32773) RLE: runs of >=3 become (257-n, byte),
+    literals chunked at <=128."""
+    data = bytes(data)
+    out = bytearray()
+    i = 0
+    n = len(data)
+    lit_start = -1
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            if lit_start >= 0:
+                out.append(i - lit_start - 1)
+                out += data[lit_start:i]
+                lit_start = -1
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+        else:
+            if lit_start < 0:
+                lit_start = i
+            i += 1
+            if i - lit_start == 128:
+                out.append(127)
+                out += data[lit_start:i]
+                lit_start = -1
+    if lit_start >= 0:
+        out.append(n - lit_start - 1)
+        out += data[lit_start:n]
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        h = data[i]
+        i += 1
+        if h < 128:                           # h+1 literal bytes
+            out += data[i:i + h + 1]
+            i += h + 1
+        elif h > 128:                         # 257-h repeats of next byte
+            out += bytes([data[i]]) * (257 - h)
+            i += 1
+        # h == 128: no-op
+    return bytes(out)
+
+
+def _jpeg_tables_splice(tables: bytes, seg: bytes) -> bytes:
+    """Merge a JPEGTables (tag 347) abbreviated table stream with an
+    abbreviated strip/tile stream into one decodable JPEG (TIFF TechNote
+    2): SOI + table segments + the strip's segments."""
+    assert tables[:2] == b"\xff\xd8" and seg[:2] == b"\xff\xd8"
+    body = tables[2:]
+    if body[-2:] == b"\xff\xd9":
+        body = body[:-2]
+    return b"\xff\xd8" + body + seg[2:]
+
+
+def _predictor_encode(seg: np.ndarray) -> np.ndarray:
+    out = seg.copy()
+    out[:, 1:] = seg[:, 1:] - seg[:, :-1]    # uint8 wraparound per sample
+    return out
+
+
+def _encode_segment(seg: np.ndarray, comp: str, predictor: bool,
+                    jpeg_quality: int, jpeg_subsampling: str) -> bytes:
+    if comp == "jpeg":
+        from tpumathlib.image.jpeg import jfif_encode
+
+        return jfif_encode(seg, quality=jpeg_quality,
+                           subsampling=jpeg_subsampling)
+    if predictor and comp in ("lzw", "deflate"):
+        seg = _predictor_encode(seg)
+    raw = seg.tobytes()
+    if comp == "none":
+        return raw
+    if comp == "lzw":
+        return _lzw_encode(raw)
+    if comp == "deflate":
+        return zlib.compress(raw, 6)
+    if comp == "packbits":
+        return _packbits_encode(raw)
+    raise ValueError(f"unsupported compression {comp!r}")
+
+
+# ---------------- writer ----------------
+
+def _build_ifd(entries: dict, ifd_offset: int, bigtiff: bool):
+    """Pack one IFD at ifd_offset. Returns (body_without_next_ptr,
+    overflow_bytes, total_ifd_len)."""
+    esize, cap, cfmt = (20, 8, "Q") if bigtiff else (12, 4, "I")
+    ntags = len(entries)
+    ifd_len = (8 + ntags * esize + 8) if bigtiff else (2 + ntags * esize + 4)
+    overflow_off = ifd_offset + ifd_len
+    overflow = bytearray()
+    body = struct.pack("<Q" if bigtiff else "<H", ntags)
+    for tid in sorted(entries):
+        ttype, values = entries[tid]
+        payload = _pack_values(ttype, values)
+        count = len(payload) // _TYPE_SIZE[ttype] if ttype not in (2, 7) \
+            else len(payload)
+        if len(payload) <= cap:
+            raw = payload.ljust(cap, b"\0")
+        else:
+            raw = struct.pack(f"<{cfmt}", overflow_off + len(overflow))
+            overflow += payload
+            if len(overflow) % 2:
+                overflow += b"\0"
+        body += struct.pack(f"<HH{cfmt}", tid, ttype, count) + raw
+    return body, bytes(overflow), ifd_len
+
+
+def _image_segments(img: np.ndarray, rows_per_strip: int | None,
+                    tile: tuple | None):
+    """Split into strip or tile segment arrays + the geometry tags."""
+    h, w = img.shape[:2]
+    if tile is not None:
+        th, tw = tile
+        if th % 16 or tw % 16:
+            raise ValueError("tile dimensions must be multiples of 16")
+        pad_h = (-h) % th
+        pad_w = (-w) % tw
+        p = np.pad(img, ((0, pad_h), (0, pad_w)) + ((0, 0),) * (img.ndim - 2),
+                   mode="edge")
+        segs = [p[y:y + th, x:x + tw]
+                for y in range(0, p.shape[0], th)
+                for x in range(0, p.shape[1], tw)]
+        geom = {_TAG_TILE_WIDTH: (3, [tw]), _TAG_TILE_LENGTH: (3, [th])}
+        return segs, geom, (_TAG_TILE_OFFSETS, _TAG_TILE_COUNTS)
+    rps = rows_per_strip or h
+    segs = [img[y:y + rps] for y in range(0, h, rps)]
+    geom = {_TAG_ROWS_PER_STRIP: (3 if rps < 65536 else 4, [rps])}
+    return segs, geom, (_TAG_STRIP_OFFSETS, _TAG_STRIP_COUNTS)
+
+
+def tiff_write(path: str, image, extra_tags: dict | None = None, *,
+               compression: str = "none", rows_per_strip: int | None = None,
+               tile: tuple | None = None, bigtiff: bool = False,
+               predictor: bool = False, jpeg_quality: int = 85,
+               jpeg_subsampling: str = "444") -> None:
+    """Write uint8 gray (H,W) or RGB (H,W,3) — or a LIST of such images
+    (multi-image file, chained IFDs) — as TIFF.
+
+    ≙ nvTIFF-Encode-Options (nvtiff_encode_options.cpp:139-209):
+    ``compression`` in none/lzw/deflate/packbits/jpeg
+    (NVTIFF_COMPRESSION_*; jpeg takes quality + "444"/"420" subsampling ≙
+    nvtiffJpegEncodeOptions_t), ``rows_per_strip`` for striped geometry,
+    ``tile=(th, tw)`` (multiples of 16) for tiled geometry, ``bigtiff``
+    for the 64-bit container (≙ NVTIFF_BIG_TIFF), ``predictor`` for
+    horizontal differencing under lzw/deflate.
+    ``extra_tags`` = {tag_id: (type, values)} (or a list per image).
+    """
+    if compression not in COMPRESSIONS:
+        raise ValueError(f"compression must be one of {set(COMPRESSIONS)}")
+    images = image if isinstance(image, (list, tuple)) else [image]
+    extras = extra_tags if isinstance(extra_tags, (list, tuple)) \
+        else [extra_tags] * len(images)
+    if bigtiff:
+        out = bytearray(struct.pack("<2sHHHQ", b"II", 43, 8, 0, 16))
+        pos = 16
+        nfmt, ofmt, otype = "<Q", "Q", 16
+    else:
+        out = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+        pos = 8
+        nfmt, ofmt, otype = "<I", "I", 4
+    for k, img in enumerate(images):
+        img = np.ascontiguousarray(img, np.uint8)
+        h, w = img.shape[:2]
+        spp = 1 if img.ndim == 2 else img.shape[2]
+        segs, geom, (off_tag, cnt_tag) = _image_segments(
+            img, rows_per_strip, tile)
+        blobs = [_encode_segment(s, compression, predictor,
+                                 jpeg_quality, jpeg_subsampling)
+                 for s in segs]
+        photometric = 1 if spp == 1 else (6 if compression == "jpeg" else 2)
+        entries = {
+            _TAG_WIDTH: (3, [w]),
+            _TAG_HEIGHT: (3, [h]),
+            _TAG_BITS: (3, [8] * spp),
+            _TAG_COMPRESSION: (3, [COMPRESSIONS[compression]]),
+            _TAG_PHOTOMETRIC: (3, [photometric]),
+            _TAG_SPP: (3, [spp]),
+            off_tag: (otype, [0] * len(blobs)),
+            cnt_tag: (4, [len(b) for b in blobs]),
+            **geom,
+        }
+        if predictor and compression in ("lzw", "deflate"):
+            entries[_TAG_PREDICTOR] = (3, [2])
+        for tid, (ttype, values) in (extras[k] or {}).items():
+            entries[tid] = (ttype, values)
+        # two passes: measure IFD+overflow, then write with real offsets
+        body, overflow, ifd_len = _build_ifd(entries, pos, bigtiff)
+        data_off = pos + ifd_len + len(overflow)
+        offs = []
+        o = data_off
+        for b in blobs:
+            offs.append(o)
+            o += len(b) + (len(b) % 2)
+        entries[off_tag] = (otype, offs)
+        body, overflow, _ = _build_ifd(entries, pos, bigtiff)
+        next_ifd = o
+        out += body
+        out += struct.pack(nfmt, next_ifd if k + 1 < len(images) else 0)
+        out += overflow
+        for b in blobs:
+            out += b
+            if len(b) % 2:
+                out += b"\0"
+        pos = next_ifd
+    with open(path, "wb") as f:
+        f.write(out)
+
+
+# ---------------- reader ----------------
+
+def _read_one_ifd(buf: bytes, ifd_off: int, bigtiff: bool):
+    if bigtiff:
+        (ntags,) = struct.unpack_from("<Q", buf, ifd_off)
+        base, esize, cap, cfmt = ifd_off + 8, 20, 8, "Q"
+    else:
+        (ntags,) = struct.unpack_from("<H", buf, ifd_off)
+        base, esize, cap, cfmt = ifd_off + 2, 12, 4, "I"
+    tags = {}
+    for i in range(ntags):
+        tid, ttype, count = struct.unpack_from(f"<HH{cfmt}", buf,
+                                               base + i * esize)
+        raw = buf[base + i * esize + esize - cap:base + i * esize + esize]
+        size = _TYPE_SIZE.get(ttype, 1) * count
+        payload = raw[:size] if size <= cap else \
+            buf[struct.unpack(f"<{cfmt}", raw)[0]:][:size]
+        if ttype == 2:
+            val = payload.rstrip(b"\0").decode(errors="replace")
+        elif ttype == 7:
+            val = payload
+        else:
+            fmt = _TYPE_FMT.get(ttype, "B")
+            vals = list(struct.unpack(f"<{count}{fmt}", payload))
+            val = vals[0] if count == 1 else vals
+        tags[tid] = val
+    (nxt,) = struct.unpack_from(f"<{cfmt}", buf, base + ntags * esize)
+    return tags, nxt
+
+
+def _read_ifds(buf: bytes):
+    endian, magic = struct.unpack("<2sH", buf[:4])
+    assert endian == b"II", "unsupported TIFF (big-endian)"
+    if magic == 43:                          # BigTIFF
+        osize, pad, ifd_off = struct.unpack_from("<HHQ", buf, 4)
+        assert osize == 8 and pad == 0, "malformed BigTIFF header"
+        bigtiff = True
+    else:
+        assert magic == 42, f"not a TIFF (magic {magic})"
+        (ifd_off,) = struct.unpack_from("<I", buf, 4)
+        bigtiff = False
+    out = []
+    while ifd_off:
+        tags, ifd_off = _read_one_ifd(buf, ifd_off, bigtiff)
+        out.append(tags)
+    return out
+
+
+def tiff_info(path: str) -> dict:
+    """≙ nvtiffStreamGetFileInfo + the multi-image info sample: first
+    image's fields at the top level, ``num_images`` and per-image
+    ``images`` list alongside."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    ifds = _read_ifds(buf)
+
+    def one(t):
+        info = {
+            "width": t[_TAG_WIDTH],
+            "height": t[_TAG_HEIGHT],
+            "samples_per_pixel": t.get(_TAG_SPP, 1),
+            "compression": t.get(_TAG_COMPRESSION, 1),
+            "photometric": t.get(_TAG_PHOTOMETRIC, 1),
+        }
+        if _TAG_TILE_WIDTH in t:
+            info["tile"] = (t[_TAG_TILE_LENGTH], t[_TAG_TILE_WIDTH])
+        return info
+
+    info = one(ifds[0])
+    info["num_images"] = len(ifds)
+    info["images"] = [one(t) for t in ifds]
+    return info
+
+
+def _decode_segment(data: bytes, comp: int, tables: bytes | None,
+                    photometric: int):
+    """One strip/tile → raw bytes, or a decoded array for JPEG."""
+    if comp == 1:
+        return data
+    if comp == 5:
+        return _lzw_decode(data)
+    if comp in (8, 32946):
+        return zlib.decompress(data)
+    if comp == 32773:
+        return _packbits_decode(data)
+    if comp in (6, 7):
+        from tpumathlib.image.jpeg import jfif_decode
+
+        blob = _jpeg_tables_splice(tables, data) if tables else data
+        # photometric=2 → the JPEG components are stored as RGB (no
+        # YCbCr transform), as libtiff emits by default; 6 → YCbCr
+        return jfif_decode(blob,
+                           color="rgb" if photometric == 2 else "ycbcr")
+    raise AssertionError(f"unsupported TIFF compression {comp}")
+
+
 def _decode_ifd(buf: bytes, t: dict, region: tuple | None):
     comp = t.get(_TAG_COMPRESSION, 1)
-    assert comp in (1, 5), f"unsupported TIFF compression {comp}"
     w, h = t[_TAG_WIDTH], t[_TAG_HEIGHT]
     spp = t.get(_TAG_SPP, 1)
-    offsets = t[_TAG_STRIP_OFFSETS]
-    counts = t[_TAG_STRIP_COUNTS]
+    tiled = _TAG_TILE_OFFSETS in t
+    off_tag, cnt_tag = (_TAG_TILE_OFFSETS, _TAG_TILE_COUNTS) if tiled \
+        else (_TAG_STRIP_OFFSETS, _TAG_STRIP_COUNTS)
+    offsets = t[off_tag]
+    counts = t[cnt_tag]
     if isinstance(offsets, int):
         offsets = [offsets]
         counts = [counts]
-    strips = [buf[o:o + c] for o, c in zip(offsets, counts)]
-    if comp == 5:
-        strips = [_lzw_decode(s) for s in strips]
-    data = b"".join(strips)
-    img = np.frombuffer(data[:h * w * spp], np.uint8)
-    img = img.reshape(h, w, spp) if spp > 1 else img.reshape(h, w)
-    if comp == 5 and t.get(_TAG_PREDICTOR, 1) == 2:
+    tables = t.get(_TAG_JPEG_TABLES)
+    tables = bytes(tables) if tables is not None else None
+    parts = [_decode_segment(buf[o:o + c], comp, tables,
+                             t.get(_TAG_PHOTOMETRIC, 1))
+             for o, c in zip(offsets, counts)]
+    is_jpeg = comp in (6, 7)
+    if tiled:
+        th, tw = t[_TAG_TILE_LENGTH], t[_TAG_TILE_WIDTH]
+        across = -(-w // tw)
+        down = -(-h // th)
+        if is_jpeg:
+            tiles_arr = [np.atleast_3d(p)[:th, :tw] for p in parts]
+        else:
+            tiles_arr = [np.frombuffer(p[:th * tw * spp], np.uint8)
+                         .reshape(th, tw, spp) for p in parts]
+        rows = [np.concatenate(tiles_arr[r * across:(r + 1) * across], axis=1)
+                for r in range(down)]
+        img = np.concatenate(rows, axis=0)[:h, :w]
+        img = img[:, :, 0] if img.shape[2] == 1 else img
+    elif is_jpeg:
+        img = np.concatenate([np.atleast_3d(p)[:, :w] for p in parts],
+                             axis=0)[:h]
+        img = img[:, :, 0] if img.shape[2] == 1 else img
+    else:
+        data = b"".join(parts)
+        img = np.frombuffer(data[:h * w * spp], np.uint8)
+        img = img.reshape(h, w, spp) if spp > 1 else img.reshape(h, w)
+    if comp in (5, 8, 32946) and t.get(_TAG_PREDICTOR, 1) == 2:
         # horizontal differencing predictor: undo by row-wise cumsum
         img = np.cumsum(img.astype(np.uint32), axis=1).astype(np.uint8)
     if region is not None:
         y0, x0, rh, rw = region
         img = img[y0:y0 + rh, x0:x0 + rw]
-    return img.copy()
+    return np.ascontiguousarray(img)
 
 
 def tiff_read(path: str, region: tuple | None = None, index: int = 0):
