@@ -6,6 +6,8 @@
 - est: general-ℓ McMurchie–Davidson integrals, RHF, density fitting.
 - xc: molecular Becke grids, SVWN/PBE exchange–correlation with autodiff
   potentials, UHF/UKS/RKS drivers (≙ cuest 4_exchange_correlation, uhf.py).
+- distributed: mesh-sharded DF J/K (aux-dimension) + grid-sharded XC
+  (≙ cuEST basic_multigpu_usage, re-expressed as SPMD over one Mesh).
 - The CG / BiCGStab iterative solvers (≙ cuSPARSE/cg, bicgstab) live in
   tpumathlib.sparse.solvers.
 """

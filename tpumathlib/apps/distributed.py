@@ -1,0 +1,176 @@
+"""Distributed quantum-chemistry tier — mesh-sharded DF J/K and XC.
+
+Reference parity: cuEST's multi-device surface —
+``c_examples/examples/0_context/basic_multigpu_usage/main.c:36-110`` (one
+cuEST handle per GPU, pthreads) and ``basic_multistream_usage`` — plus the
+DF J/K and XC compute areas those handles feed
+(``3_density_fitting/core_df_jk/``, ``4_exchange_correlation/``). On TPU
+the handle-per-device model collapses into SPMD over one
+``jax.sharding.Mesh``: the two heavy SCF contractions are data-parallel
+along an enormous axis (the auxiliary fit dimension P for DF J/K; the
+quadrature points g for XC), so each device holds a slab of the big
+tensor, contracts it locally, and ONE psum per quantity rides ICI.
+
+Design (shard_map, explicit collectives):
+
+- ``DistributedDF``: B^{μν}_P sharded over P.
+  J: g_P = Σ_{μν} B_P^{μν} D_{μν} is per-P (no comm);
+     J = psum_P(Σ_{P local} B_P g_P).
+  K: K = psum_P(Σ_{P local} (B_P D) B_Pᵀ).
+  Both are a single psum of an (nao, nao) matrix per call.
+- ``DistributedXC``: AO values/gradients + weights sharded over grid
+  points; each device runs the same local functional-autodiff quadrature
+  (`apps.xc.xc_local_eval`), then (E_xc, V_a, V_b) are psum'd.
+
+Zero padding makes the sharded axes divisible: zero B panes and
+zero-weight/zero-AO grid points contribute exactly 0 to every sum.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+shard_map = jax.shard_map
+
+from tpumathlib.apps.est import DFTensors
+from tpumathlib.apps.xc import XCIntegrator, xc_local_eval
+
+
+def _default_mesh(mesh: Mesh | None) -> Mesh:
+    if mesh is not None:
+        return mesh
+    devs = jax.devices()
+    return Mesh(np.array(devs), ("aux",))
+
+
+def _pad_to(x: np.ndarray, axis: int, mult: int) -> np.ndarray:
+    pad = (-x.shape[axis]) % mult
+    if pad == 0:
+        return x
+    width = [(0, 0)] * x.ndim
+    width[axis] = (0, pad)
+    return np.pad(x, width)
+
+
+class DistributedDF:
+    """DF J/K with the fit tensor sharded over the auxiliary dimension.
+
+    Drop-in for ``DFTensors.coulomb/exchange`` (same math, same einsums),
+    but ``b`` lives distributed: (nao, nao, naux_local) per device. The
+    density is replicated (it is (nao, nao)-small); each J/K call does the
+    local MXU contractions plus one psum.
+    """
+
+    def __init__(self, df: DFTensors, mesh: Mesh | None = None,
+                 axis: str = "aux"):
+        self.mesh = _default_mesh(mesh)
+        self.axis = axis if mesh is not None else "aux"
+        ndev = self.mesh.shape[self.axis]
+        b = _pad_to(np.asarray(df.b_np, np.float32), 2, ndev)
+        self.b = jax.device_put(
+            jnp.asarray(b),
+            NamedSharding(self.mesh, P(None, None, self.axis)))
+        spec_b = P(None, None, self.axis)
+        spec_r = P(None, None)
+
+        @jax.jit
+        @functools.partial(
+            shard_map, mesh=self.mesh,
+            in_specs=(spec_b, spec_r), out_specs=spec_r)
+        def _coulomb(b_loc, d):
+            g = jnp.einsum("mnp,mn->p", b_loc, d)
+            j = jnp.einsum("mnp,p->mn", b_loc, g)
+            return jax.lax.psum(j, self.axis)
+
+        @jax.jit
+        @functools.partial(
+            shard_map, mesh=self.mesh,
+            in_specs=(spec_b, spec_r), out_specs=spec_r)
+        def _exchange(b_loc, d):
+            bd = jnp.einsum("mlp,ls->msp", b_loc, d)
+            k = jnp.einsum("msp,nsp->mn", bd, b_loc)
+            return jax.lax.psum(k, self.axis)
+
+        self._coulomb = _coulomb
+        self._exchange = _exchange
+
+    def coulomb(self, d):
+        """J_{μν} = Σ_P B_P^{μν} (Σ_{λσ} B_P^{λσ} D_{λσ}) — one psum."""
+        return self._coulomb(self.b, jnp.asarray(d, jnp.float32))
+
+    def exchange(self, d):
+        """K_{μν} = Σ_P Σ_{λσ} B_P^{μλ} D_{λσ} B_P^{νσ} — one psum."""
+        return self._exchange(self.b, jnp.asarray(d, jnp.float32))
+
+
+class DistributedXC:
+    """Grid-sharded XC quadrature: each device holds a slab of grid
+    points (AO values, GGA gradients, weights) and evaluates the same
+    functional + autodiff potential as ``XCIntegrator.evaluate``; the
+    scalar E_xc and (nao, nao) V matrices are psum'd.
+
+    Padding points carry zero weight AND zero AO values, so their ρ=0
+    rows are excluded by the quadrature mask and contribute nothing.
+    """
+
+    def __init__(self, integ: XCIntegrator, mesh: Mesh | None = None,
+                 axis: str = "aux"):
+        self.mesh = _default_mesh(mesh)
+        self.axis = axis if mesh is not None else "aux"
+        ndev = self.mesh.shape[self.axis]
+        self.kind, self.f = integ.kind, integ.f
+        ao = _pad_to(np.asarray(integ.ao_np, np.float32), 0, ndev)
+        w = _pad_to(np.asarray(integ.w_np, np.float32), 0, ndev)
+        shard = lambda a, spec: jax.device_put(
+            jnp.asarray(a), NamedSharding(self.mesh, spec))
+        self.ao = shard(ao, P(self.axis, None))
+        self.w = shard(w, P(self.axis))
+        if self.kind == "gga":
+            grad = _pad_to(np.asarray(integ.grad_np, np.float32), 1, ndev)
+            self.grad = shard(grad, P(None, self.axis, None))
+            in_specs = (P(self.axis, None), P(None, self.axis, None),
+                        P(self.axis), P(None, None), P(None, None))
+        else:
+            self.grad = None
+            in_specs = (P(self.axis, None), P(self.axis),
+                        P(None, None), P(None, None))
+        rep = P()
+
+        if self.kind == "gga":
+            @jax.jit
+            @functools.partial(shard_map, mesh=self.mesh,
+                               in_specs=in_specs,
+                               out_specs=(rep, P(None, None), P(None, None)))
+            def _eval(ao_l, grad_l, w_l, da, db):
+                exc, va, vb = xc_local_eval(self.kind, self.f, ao_l,
+                                            grad_l, w_l, da, db)
+                return (jax.lax.psum(exc, self.axis),
+                        jax.lax.psum(va, self.axis),
+                        jax.lax.psum(vb, self.axis))
+
+            self._eval = lambda da, db: _eval(self.ao, self.grad, self.w,
+                                              da, db)
+        else:
+            @jax.jit
+            @functools.partial(shard_map, mesh=self.mesh,
+                               in_specs=in_specs,
+                               out_specs=(rep, P(None, None), P(None, None)))
+            def _eval(ao_l, w_l, da, db):
+                exc, va, vb = xc_local_eval(self.kind, self.f, ao_l,
+                                            None, w_l, da, db)
+                return (jax.lax.psum(exc, self.axis),
+                        jax.lax.psum(va, self.axis),
+                        jax.lax.psum(vb, self.axis))
+
+            self._eval = lambda da, db: _eval(self.ao, self.w, da, db)
+
+    def evaluate(self, da, db):
+        """(E_xc, V_a, V_b), numerically matching the single-device
+        ``XCIntegrator.evaluate`` on the same grid."""
+        return self._eval(jnp.asarray(da, jnp.float32),
+                          jnp.asarray(db, jnp.float32))

@@ -261,6 +261,52 @@ _FUNCTIONALS = {
 
 # ---------------- XC integration on device ----------------
 
+def xc_local_eval(kind, f, ao, grad, w, da, db):
+    """One quadrature block → (E_xc, V_a, V_b). Pure in (ao, grad, w, da,
+    db), so it serves both the single-device `XCIntegrator.evaluate` and
+    the grid-sharded `apps.distributed` path (each device evaluates its
+    own grid points; the contributions are additive over points)."""
+    if kind == "lda":
+        dens = (jnp.einsum("gm,mn,gn->g", ao, da, ao),
+                jnp.einsum("gm,mn,gn->g", ao, db, ao))
+    else:
+        ra = jnp.einsum("gm,mn,gn->g", ao, da, ao)
+        rb = jnp.einsum("gm,mn,gn->g", ao, db, ao)
+        gra = 2.0 * jnp.einsum("xgm,mn,gn->xg", grad, da, ao)
+        grb = 2.0 * jnp.einsum("xgm,mn,gn->xg", grad, db, ao)
+        dens = (ra, rb,
+                jnp.einsum("xg,xg->g", gra, gra),
+                jnp.einsum("xg,xg->g", gra, grb),
+                jnp.einsum("xg,xg->g", grb, grb))
+
+    def etot(*d):
+        # double-where guard: clamp the functional's inputs BEFORE
+        # evaluating it so autodiff never sees the rho→0 singularities
+        # (0·∞ = NaN otherwise; the masked value path alone does not
+        # protect the gradient)
+        good = d[0] + d[1] > 1e-8
+        safe = tuple(jnp.where(good, x, 1.0) for x in d)
+        return jnp.sum(jnp.where(good, w * f(*safe, xp=jnp), 0.0))
+
+    exc = etot(*dens)
+    derivs = jax.grad(etot, argnums=tuple(range(len(dens))))(*dens)
+    vra, vrb = derivs[0], derivs[1]
+    va = jnp.einsum("g,gm,gn->mn", vra, ao, ao)
+    vb = jnp.einsum("g,gm,gn->mn", vrb, ao, ao)
+    if kind == "gga":
+        vsaa, vsab, vsbb = derivs[2], derivs[3], derivs[4]
+        gra = 2.0 * jnp.einsum("xgm,mn,gn->xg", grad, da, ao)
+        grb = 2.0 * jnp.einsum("xgm,mn,gn->xg", grad, db, ao)
+        # dE/dD_a via chain rule on σ terms: 2 vsaa ∇ρa + vsab ∇ρb
+        ta = 2.0 * vsaa[None] * gra + vsab[None] * grb
+        tb = 2.0 * vsbb[None] * grb + vsab[None] * gra
+        cross = jnp.einsum("xg,xgm,gn->mn", ta, grad, ao)
+        va = va + cross + cross.T
+        crossb = jnp.einsum("xg,xgm,gn->mn", tb, grad, ao)
+        vb = vb + crossb + crossb.T
+    return exc, va, vb
+
+
 class XCIntegrator:
     """Grid + AO matrices held on device; per-iteration density → (E_xc,
     V_a, V_b) as einsum contractions + autodiff functional derivatives
@@ -319,36 +365,8 @@ class XCIntegrator:
         """Device pass: E_xc and the V_xc matrices for both spins.
 
         V_σ[m,n] = ∫ [∂f/∂ρ_σ φm φn + GGA: 2∂f/∂σab-terms ∇(φmφn)·∇ρ]."""
-        ao, grad, w = self.ao, self.grad, self.w
-        dens = self._densities(ao, grad, da, db, jnp)
-
-        def etot(*d):
-            # double-where guard: clamp the functional's inputs BEFORE
-            # evaluating it so autodiff never sees the rho→0 singularities
-            # (0·∞ = NaN otherwise; the masked value path alone does not
-            # protect the gradient)
-            good = d[0] + d[1] > 1e-8
-            safe = tuple(jnp.where(good, x, 1.0) for x in d)
-            return jnp.sum(jnp.where(good, w * self.f(*safe, xp=jnp), 0.0))
-
-        exc = etot(*dens)
-        derivs = jax.grad(etot, argnums=tuple(range(len(dens))))(*dens)
-        vra, vrb = derivs[0], derivs[1]
-        va = jnp.einsum("g,gm,gn->mn", vra, ao, ao)
-        vb = jnp.einsum("g,gm,gn->mn", vrb, ao, ao)
-        if self.kind == "gga":
-            vsaa, vsab, vsbb = derivs[2], derivs[3], derivs[4]
-            ra, rb = dens[0], dens[1]
-            gra = 2.0 * jnp.einsum("xgm,mn,gn->xg", grad, da, ao)
-            grb = 2.0 * jnp.einsum("xgm,mn,gn->xg", grad, db, ao)
-            # dE/dD_a via chain rule on σ terms: 2 vsaa ∇ρa + vsab ∇ρb
-            ta = 2.0 * vsaa[None] * gra + vsab[None] * grb
-            tb = 2.0 * vsbb[None] * grb + vsab[None] * gra
-            cross = jnp.einsum("xg,xgm,gn->mn", ta, grad, ao)
-            va = va + cross + cross.T
-            crossb = jnp.einsum("xg,xgm,gn->mn", tb, grad, ao)
-            vb = vb + crossb + crossb.T
-        return exc, va, vb
+        return xc_local_eval(self.kind, self.f, self.ao, self.grad, self.w,
+                             da, db)
 
 
 # ---------------- SCF drivers: UHF / RKS / UKS ----------------
