@@ -370,6 +370,37 @@ def test_tiff_multi_image(tmp_path, rng):
     np.testing.assert_array_equal(np.asarray(pim), imgs[1])
 
 
+def test_jpeg_resize_watermark_pipeline(rng):
+    """Decode → resize → watermark → encode pipeline (≙ nvJPEG
+    Image-Resize-WaterMark decodeResizeEncodeOneImage): the output is a
+    valid JPEG at the target size whose pixels match a NumPy reference
+    of the same stages within JPEG loss."""
+    import io
+
+    from PIL import Image
+
+    from tpumathlib.image import jpeg_resize_watermark
+    from tpumathlib.image.jpeg import jfif_encode
+
+    y, x = np.mgrid[0:64, 0:80]
+    img = np.stack([(y * 3) % 256, (x * 3) % 256, (x + y) % 256],
+                   axis=-1).astype(np.uint8)
+    mark = np.full((16, 24, 3), 255, np.uint8)
+    blob = jfif_encode(img, quality=95)
+    out = jpeg_resize_watermark(blob, mark=mark, alpha=0.5, quality=95)
+    dec = np.asarray(Image.open(io.BytesIO(out)).convert("RGB"))
+    assert dec.shape == (32, 40, 3)          # sample's default: half size
+    # reference: PIL bilinear resize + blend
+    ref = np.asarray(Image.fromarray(img).resize((40, 32), Image.BILINEAR),
+                     dtype=np.float32)
+    ref[:16, :24] = 0.5 * ref[:16, :24] + 0.5 * 255.0
+    err = np.mean(np.abs(dec.astype(np.float32) - ref))
+    assert err < 8.0, err
+    # explicit target size, no watermark
+    out2 = jpeg_resize_watermark(blob, out_w=20, out_h=10)
+    assert np.asarray(Image.open(io.BytesIO(out2))).shape == (10, 20, 3)
+
+
 def test_tiff_encode_options(tmp_path, rng):
     """nvTIFF-Encode-Options variant matrix
     (/root/reference/nvTIFF/nvTIFF-Encode-Options/nvtiff_encode_options.cpp:139-209):

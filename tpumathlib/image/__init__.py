@@ -26,6 +26,7 @@ from tpumathlib.image.ops import (  # noqa: F401
     label_markers,
     label_markers_batched,
     label_compress,
+    jpeg_resize_watermark,
     resize_bilinear,
     watermark,
     watershed,

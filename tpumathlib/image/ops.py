@@ -295,3 +295,29 @@ def watermark(image, mark, alpha: float = 0.3):
     region = img[:mh, :mw]
     blended = (1 - alpha) * region + alpha * mark.astype(jnp.float32)
     return img.at[:mh, :mw].set(blended).astype(image.dtype)
+
+
+def jpeg_resize_watermark(blob: bytes, out_w: int = 0, out_h: int = 0,
+                          mark=None, alpha: float = 0.3,
+                          quality: int = 85) -> bytes:
+    """Full decode → bilinear resize → optional watermark → encode JPEG
+    pipeline (≙ nvJPEG/Image-Resize imageResize.cpp and
+    Image-Resize-WaterMark/imageResizeWatermark.cpp:39-240:
+    decodeResizeEncodeOneImage — nvjpegDecode + nppiResize_8u_C3R +
+    alpha composite + nvjpegEncodeImage with a resize quality knob).
+
+    ``out_w``/``out_h`` default to half the source dimensions, matching
+    the sample's ``resizeWidth == 0`` behavior. ``mark`` is an optional
+    uint8 watermark image blended into the top-left at ``alpha``. The
+    pixel stages (resize + blend) run as device ops between the codec's
+    own device pixel pipelines."""
+    from tpumathlib.image.jpeg import jfif_decode, jfif_encode
+
+    img = jfif_decode(blob)
+    h, w = img.shape[:2]
+    out_w = out_w or w // 2
+    out_h = out_h or h // 2
+    resized = resize_bilinear(jnp.asarray(img), out_h, out_w)
+    if mark is not None:
+        resized = watermark(resized, jnp.asarray(mark), alpha)
+    return jfif_encode(np.asarray(resized), quality=quality)
