@@ -25,6 +25,39 @@ def _spd(rng, n, density=0.25):
     return (a + a.T) / 2 + 0.5 * np.eye(n)
 
 
+def test_solver_high_precision(rng):
+    """≙ cuDSS/simple_high_precision: double-double refinement. On an
+    ill-conditioned SPD system (squared 1D Laplacian, κ ~ n⁴) the
+    fp64x2 iterate's exactly-evaluated residual must land orders below
+    the plain f64 direct solve's."""
+    from tpumathlib.dss import _dd_residual
+
+    n = 300
+    lap = (np.diag(np.full(n, 2.0)) - np.diag(np.ones(n - 1), 1)
+           - np.diag(np.ones(n - 1), -1))
+    a = lap @ lap                          # pentadiagonal SPD, κ ~ 8e8
+    csr = dense_to_csr(a)
+    x_true = np.cos(np.arange(n) * 0.1)
+    b = a @ x_true
+    s = Solver(csr, Config(matrix_type=MatrixType.SPD))
+    s.factorize()
+    indptr = np.asarray(csr.indptr, np.int64)
+    indices = np.asarray(csr.indices, np.int64)
+    vals = np.asarray(csr.data, np.float64)
+
+    x0 = s.solve(b)
+    r0 = np.abs(_dd_residual(indptr, indices, vals, x0,
+                             np.zeros_like(x0), b)).max()
+    xhi, xlo = s.solve_hp(b)
+    r1 = np.abs(_dd_residual(indptr, indices, vals, xhi, xlo, b)).max()
+    assert r1 < 1e-3 * max(r0, 1e-300), (r1, r0)
+    # forward error no worse than the unrefined solve
+    assert (np.abs(xhi + xlo - x_true).max()
+            <= np.abs(x0 - x_true).max() * (1 + 1e-9))
+    # the lo word is genuinely carrying information
+    assert np.abs(xlo).max() > 0
+
+
 # ---------------- native ----------------
 
 def test_native_lz4_roundtrip(rng):

@@ -19,6 +19,9 @@ Parity (cuDSS/simple/simple.cpp:183-232 and the 22 sample variants):
   get/set knobs                        → Config fields; Data diagnostics
                                           (lu_nnz, perm, inertia, diag)
   Schur complement                     → schur_complement()
+  high-precision (fp64x2) solve        → solve_hp(): double-double iterate
+                                          + EFT-residual refinement
+                                          (≙ simple_high_precision)
   MGMN distributed mode                → distributed row-partitioned input:
                                           gather → factor once → solve;
                                           comm rides the jax mesh (the
@@ -312,6 +315,41 @@ class Solver:
         r = np.abs(b - ax).max()
         return float(r / max(np.abs(b).max(), 1e-300))
 
+    def solve_hp(self, b, max_refine: int = 4):
+        """High-precision solve (≙ cuDSS/simple_high_precision/
+        simple_high_precision.cpp:76-160's cudss_fp64mp2_t flow): the
+        solution is maintained as an UNEVALUATED DOUBLE-DOUBLE pair
+        (x_hi, x_lo) and polished by iterative refinement whose residual
+        r = b − A·(x_hi + x_lo) is accumulated with error-free
+        transformations (two-prod products, exactly-rounded per-row sums
+        — the same compensated-arithmetic family as the sample's
+        high_precision_add/sub/mul). Returns (x_hi, x_lo); x_hi + x_lo
+        carries ~2×53-bit significance, and the dd-residual lands orders
+        below what a plain f64 direct solve leaves."""
+        check(self._solve_fns is not None, "factorize first",
+              err=ExecutionError)
+        b = np.asarray(b, np.float64)
+        check(b.ndim == 1, "solve_hp expects a single RHS",
+              err=ExecutionError)
+        xhi = self.solve(b)
+        xlo = np.zeros_like(xhi)
+        indptr = np.asarray(self.a.indptr, np.int64)
+        indices = np.asarray(self.a.indices, np.int64)
+        vals = np.asarray(self.a.data, np.float64)
+        best = np.inf
+        for _ in range(max_refine):
+            r = _dd_residual(indptr, indices, vals, xhi, xlo, b)
+            rn = float(np.abs(r).max())
+            if not rn < best:        # converged / stagnated (NaN-safe)
+                break
+            best = rn
+            d = self.solve(r)
+            # dd update x ← x + d (two_sum + renormalize)
+            s, e = _two_sum(xhi, d)
+            xlo = xlo + e
+            xhi, xlo = _two_sum(s, xlo)
+        return xhi, xlo
+
     def schur_complement(self, split: int) -> np.ndarray:
         """Schur complement S = A22 − A21 A11⁻¹ A12 for the 2×2 blocking at
         ``split`` (≙ cuDSS Schur sample)."""
@@ -331,6 +369,47 @@ class Solver:
         sub.factorize()
         y = np.stack([sub.solve(a12[:, j]) for j in range(a12.shape[1])], axis=1)
         return a22 - a21 @ y
+
+
+def _two_sum(a, b):
+    """Knuth two-sum: s + e == a + b exactly (vectorized)."""
+    s = a + b
+    ap = s - b
+    bp = s - ap
+    e = (a - ap) + (b - bp)
+    return s, e
+
+
+def _two_prod(a, b):
+    """Dekker two-product via 26-bit splitting: p + e == a*b exactly
+    (the FMA-free form; ≙ the sample's high_precision_mul)."""
+    p = a * b
+    split = 134217729.0  # 2^27 + 1
+    ah = a * split
+    ah = ah - (ah - a)
+    al = a - ah
+    bh = b * split
+    bh = bh - (bh - b)
+    bl = b - bh
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+def _dd_residual(indptr, indices, vals, xhi, xlo, b):
+    """r = b − A·(xhi + xlo) with every product error-free-transformed and
+    each row summed exactly (math.fsum), so the returned f64 vector is the
+    correctly-rounded residual of the double-double iterate."""
+    import math
+
+    n = len(indptr) - 1
+    p, e = _two_prod(vals, xhi[indices])
+    lo = vals * xlo[indices]
+    r = np.empty(n)
+    for i in range(n):
+        s = slice(indptr[i], indptr[i + 1])
+        r[i] = math.fsum([b[i]] + (-p[s]).tolist() + (-e[s]).tolist()
+                         + (-lo[s]).tolist())
+    return r
 
 
 def _dense_to_csr_np(a) -> CSR:
