@@ -456,6 +456,34 @@ def test_tiff_tiled(tmp_path, rng):
         np.testing.assert_array_equal(tiff_read(p2), img)
 
 
+def test_tiff_tiled_predictor_and_batched_regions(tmp_path, rng):
+    """Predictor=2 restarts at each tile (TIFF 6.0 §14) — regression for
+    the cross-tile cumsum bug — and batched region decode with segment
+    pushdown (≙ nvTIFF-Batched-Region-Decode nvtiffDecodeRange): every
+    region bit-exact vs the full-frame crop, single- and multi-threaded."""
+    from PIL import Image
+
+    from tpumathlib.image.tiff import tiff_read_regions
+
+    img = rng.integers(0, 255, (40, 96, 3), dtype=np.uint8)
+    p = str(tmp_path / "tp.tif")
+    tiff_write(p, img, compression="lzw", tile=(16, 32), predictor=True)
+    np.testing.assert_array_equal(tiff_read(p), img)
+    np.testing.assert_array_equal(np.asarray(Image.open(p)), img)
+    regs = [(0, 0, 40, 96), (5, 7, 20, 30), (17, 33, 16, 16),
+            (39, 95, 1, 1)]
+    for threads in (1, 3):
+        outs = tiff_read_regions(p, regs, threads=threads)
+        for (y, x, h, w), o in zip(regs, outs):
+            np.testing.assert_array_equal(o, img[y:y + h, x:x + w])
+    # striped pushdown too
+    p2 = str(tmp_path / "sp.tif")
+    tiff_write(p2, img, compression="deflate", rows_per_strip=7,
+               predictor=True)
+    for (y, x, h, w), o in zip(regs, tiff_read_regions(p2, regs)):
+        np.testing.assert_array_equal(o, img[y:y + h, x:x + w])
+
+
 def test_tiff_bigtiff(tmp_path, rng):
     """BigTIFF container (version 43, 8-byte offsets ≙ NVTIFF_BIG_TIFF):
     roundtrip + multi-image + Pillow reads it."""

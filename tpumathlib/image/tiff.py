@@ -490,7 +490,17 @@ def _decode_segment(data: bytes, comp: int, tables: bytes | None,
     raise AssertionError(f"unsupported TIFF compression {comp}")
 
 
+def _undo_predictor(arr: np.ndarray) -> np.ndarray:
+    """Undo horizontal differencing (predictor=2) within ONE segment —
+    the predictor restarts at every strip/tile boundary (TIFF 6.0 §14),
+    so it must never run across assembled tiles."""
+    return np.cumsum(arr.astype(np.uint32), axis=1).astype(np.uint8)
+
+
 def _decode_ifd(buf: bytes, t: dict, region: tuple | None):
+    """Decode one IFD, with REGION PUSHDOWN: only the strips/tiles that
+    intersect ``region`` are entropy-decoded (≙ nvtiffDecodeRange's
+    partial decode in nvTIFF-Batched-Region-Decode)."""
     comp = t.get(_TAG_COMPRESSION, 1)
     w, h = t[_TAG_WIDTH], t[_TAG_HEIGHT]
     spp = t.get(_TAG_SPP, 1)
@@ -504,37 +514,58 @@ def _decode_ifd(buf: bytes, t: dict, region: tuple | None):
         counts = [counts]
     tables = t.get(_TAG_JPEG_TABLES)
     tables = bytes(tables) if tables is not None else None
-    parts = [_decode_segment(buf[o:o + c], comp, tables,
-                             t.get(_TAG_PHOTOMETRIC, 1))
-             for o, c in zip(offsets, counts)]
+    photometric = t.get(_TAG_PHOTOMETRIC, 1)
+    predictor = comp in (5, 8, 32946) and t.get(_TAG_PREDICTOR, 1) == 2
     is_jpeg = comp in (6, 7)
+    if region is not None:
+        y0, x0, rh, rw = region
+        rh = min(rh, h - y0)
+        rw = min(rw, w - x0)
+    else:
+        y0 = x0 = 0
+        rh, rw = h, w
+
+    def seg(k):
+        p = _decode_segment(buf[offsets[k]:offsets[k] + counts[k]], comp,
+                            tables, photometric)
+        return p
+
     if tiled:
         th, tw = t[_TAG_TILE_LENGTH], t[_TAG_TILE_WIDTH]
         across = -(-w // tw)
-        down = -(-h // th)
-        if is_jpeg:
-            tiles_arr = [np.atleast_3d(p)[:th, :tw] for p in parts]
-        else:
-            tiles_arr = [np.frombuffer(p[:th * tw * spp], np.uint8)
-                         .reshape(th, tw, spp) for p in parts]
-        rows = [np.concatenate(tiles_arr[r * across:(r + 1) * across], axis=1)
-                for r in range(down)]
-        img = np.concatenate(rows, axis=0)[:h, :w]
-        img = img[:, :, 0] if img.shape[2] == 1 else img
-    elif is_jpeg:
-        img = np.concatenate([np.atleast_3d(p)[:, :w] for p in parts],
-                             axis=0)[:h]
-        img = img[:, :, 0] if img.shape[2] == 1 else img
+        r0, r1 = y0 // th, -(-(y0 + rh) // th)
+        c0, c1 = x0 // tw, -(-(x0 + rw) // tw)
+
+        def tile(r, c):
+            p = seg(r * across + c)
+            if is_jpeg:
+                a = np.atleast_3d(p)[:th, :tw]
+            else:
+                a = np.frombuffer(p[:th * tw * spp], np.uint8) \
+                    .reshape(th, tw, spp)
+            return _undo_predictor(a) if predictor else a
+
+        rows = [np.concatenate([tile(r, c) for c in range(c0, c1)], axis=1)
+                for r in range(r0, r1)]
+        img = np.concatenate(rows, axis=0)
+        img = img[y0 - r0 * th:y0 - r0 * th + rh,
+                  x0 - c0 * tw:x0 - c0 * tw + rw]
     else:
-        data = b"".join(parts)
-        img = np.frombuffer(data[:h * w * spp], np.uint8)
-        img = img.reshape(h, w, spp) if spp > 1 else img.reshape(h, w)
-    if comp in (5, 8, 32946) and t.get(_TAG_PREDICTOR, 1) == 2:
-        # horizontal differencing predictor: undo by row-wise cumsum
-        img = np.cumsum(img.astype(np.uint32), axis=1).astype(np.uint8)
-    if region is not None:
-        y0, x0, rh, rw = region
-        img = img[y0:y0 + rh, x0:x0 + rw]
+        rps = t.get(_TAG_ROWS_PER_STRIP, h) or h
+        s0, s1 = y0 // rps, min(-(-(y0 + rh) // rps), len(offsets))
+
+        def strip(k):
+            p = seg(k)
+            if is_jpeg:
+                a = np.atleast_3d(p)[:, :w]
+            else:
+                a = np.frombuffer(p, np.uint8)
+                a = a[:(len(a) // (w * spp)) * w * spp].reshape(-1, w, spp)
+            return _undo_predictor(a) if predictor else a
+
+        img = np.concatenate([strip(k) for k in range(s0, s1)], axis=0)
+        img = img[y0 - s0 * rps:y0 - s0 * rps + rh, x0:x0 + rw]
+    img = img[:, :, 0] if img.shape[2] == 1 else img
     return np.ascontiguousarray(img)
 
 
@@ -545,6 +576,25 @@ def tiff_read(path: str, region: tuple | None = None, index: int = 0):
         buf = f.read()
     ifds = _read_ifds(buf)
     return _decode_ifd(buf, ifds[index], region)
+
+
+def tiff_read_regions(path: str, regions, index: int = 0,
+                      threads: int = 1) -> list:
+    """Batched region decode (≙ nvTIFF-Batched-Region-Decode's
+    nvtiffDecodeRange over an image batch): the file is read and its IFD
+    parsed ONCE, then every (y0, x0, h, w) region is decoded with strip/
+    tile pushdown — only intersecting segments are entropy-decoded.
+    ``threads`` > 1 fans the per-region work over a thread pool (the
+    deflate/JPEG entropy stages release the GIL in zlib/native code)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    t = _read_ifds(buf)[index]
+    if threads > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(threads) as pool:
+            return list(pool.map(lambda r: _decode_ifd(buf, t, r), regions))
+    return [_decode_ifd(buf, t, r) for r in regions]
 
 
 def tiff_read_all(path: str) -> list:
