@@ -8,6 +8,9 @@
   potentials, UHF/UKS/RKS drivers (≙ cuest 4_exchange_correlation, uhf.py).
 - distributed: mesh-sharded DF J/K (aux-dimension) + grid-sharded XC
   (≙ cuEST basic_multigpu_usage, re-expressed as SPMD over one Mesh).
+- vv10: VV10 nonlocal correlation (≙ cuest nonlocal_xc_potential/
+  nonlocal_xc_gradient) — pairwise O(G²) MXU kernel, autodiff potential
+  and nuclear gradient, SCF coupling via uhf/rks(nlc=...).
 - The CG / BiCGStab iterative solvers (≙ cuSPARSE/cg, bicgstab) live in
   tpumathlib.sparse.solvers.
 """

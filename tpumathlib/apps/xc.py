@@ -393,7 +393,8 @@ def uhf(mol: Molecule, spin: int = 0, max_iters: int = 120,
         conv: float = 1e-9, density_fit: bool = False,
         xc: str | None = None, grid_kw: dict | None = None,
         shells=None, basis: str | None = None,
-        aux_basis: str | None = None, guess: str = "core"):
+        aux_basis: str | None = None, guess: str = "core",
+        nlc=None, nlc_grid_kw: dict | None = None):
     """Unrestricted HF (xc=None) or unrestricted Kohn–Sham (xc="svwn" /
     "pbe": J + V_xc, no exact exchange) with DIIS.
 
@@ -406,6 +407,11 @@ def uhf(mol: Molecule, spin: int = 0, max_iters: int = 120,
     guess="sad" seeds both spins from the superposition-of-atomic-
     densities block guess solved in the run's own basis, with traces
     rescaled to nα/nβ (≙ cuest_scf/sad_guess.py applied to UHF).
+    ``nlc`` adds VV10 nonlocal correlation to the Fock build and energy
+    (True → the paper's b=5.9, C=0.0093, or an explicit (b, C) pair —
+    ≙ cuestNonlocalXCPotentialUKSCompute with the VV10_B/VV10_C knobs);
+    ``nlc_grid_kw`` sizes its quadrature grid (the O(G²) kernel usually
+    wants a coarser grid than the local functional's).
     """
     from tpumathlib.apps.basis import basis_shells, sph_transform
 
@@ -435,6 +441,13 @@ def uhf(mol: Molecule, spin: int = 0, max_iters: int = 120,
             eri_np = np.einsum("kl,hs,ijls->ijkh", c_t, c_t, eri_np)
         eri = jnp.asarray(eri_np)
     xci = XCIntegrator(shells, mol, xc, **(grid_kw or {})) if xc else None
+    vvi = None
+    if nlc and xc:
+        from tpumathlib.apps.vv10 import VV10Integrator
+
+        bc = (5.9, 0.0093) if nlc is True else tuple(nlc)
+        vvi = VV10Integrator(shells, mol, b=bc[0], C=bc[1],
+                             **(nlc_grid_kw or {}))
 
     def build_jk(d, exchange=True):
         dj = jnp.asarray(d)
@@ -488,6 +501,12 @@ def uhf(mol: Molecule, spin: int = 0, max_iters: int = 120,
             fb = hcore + jt + np.asarray(vb, np.float64)
             e = (float(np.sum((da + db) * hcore))
                  + 0.5 * float(np.sum((da + db) * jt)) + float(exc))
+            if vvi is not None:
+                enl, vna, vnb = vvi.evaluate(jnp.asarray(da, jnp.float32),
+                                             jnp.asarray(db, jnp.float32))
+                fa += np.asarray(vna, np.float64)
+                fb += np.asarray(vnb, np.float64)
+                e += float(enl)
         e += mol.nuclear_repulsion()
         err = np.stack([fa @ da @ s - s @ da @ fa,
                         fb @ db @ s - s @ db @ fb])
@@ -535,6 +554,9 @@ def uhf(mol: Molecule, spin: int = 0, max_iters: int = 120,
         e = (float(np.sum((da + db) * hcore))
              + 0.5 * float(np.sum((da + db) * jt))
              + xci.exc_only(da, db) + mol.nuclear_repulsion())
+        if vvi is not None:
+            e += float(vvi.evaluate(jnp.asarray(da, jnp.float32),
+                                    jnp.asarray(db, jnp.float32))[0])
 
     # S² = Sz(Sz+1) + nβ − Σ_ij |⟨φ_i^α|S|φ_j^β⟩|²
     sz = 0.5 * spin
