@@ -52,6 +52,48 @@ def test_mp_potrf_potrs(grid, spd, rng):
     assert_allclose(spd @ np.asarray(x), b, rtol=1e-3, msg="mp_potrs")
 
 
+def test_mp_potrf_fp32_emulation(grid, spd):
+    """math_mode="bf16x9" (≙ mp_potrf_potrs_fp32emulation.c:187
+    CUSOLVER_FP32_EMULATED_BF16X9_MATH): the emulated trailing update
+    reproduces the factorization at fp32-grade accuracy."""
+    a = _put(grid, spd, P(None, "x"))
+    ln = np.asarray(mp_potrf(a, grid, math_mode="bf16x9"))
+    assert_allclose(ln @ ln.T, spd, rtol=1e-4, msg="mp_potrf bf16x9")
+
+
+def test_mp_newton_schulz(grid, rng):
+    """Distributed Newton–Schulz orthogonalization (≙
+    cusolverMpNewtonSchulz, mp_newton_schulz.cpp:372): converges to the
+    polar factor of a tall matrix; the sample's Muon coefficient table
+    yields an orthonormal result in 5 iterations."""
+    from tpumathlib.mp.solver import mp_newton_schulz
+
+    m, n = N, 24
+    a = rng.normal(size=(m, n)).astype(np.float32)
+    # classic cubic needs the spectrum in (0, sqrt(3)); X0 = A/||A||_F
+    # guarantees that. Run enough iterations to converge.
+    x = np.asarray(mp_newton_schulz(_put(grid, a, P("x", None)), grid,
+                                    iters=24,
+                                    coeffs=[1.5, -0.5, 0.0] * 24))
+    u, _, vt = np.linalg.svd(a, full_matrices=False)
+    assert_allclose(x.T @ x, np.eye(n), atol=5e-3, msg="NS orthonormal")
+    assert_allclose(x, u @ vt, atol=5e-3, msg="NS polar factor")
+    # the sample's tuned quintic table (mp_newton_schulz.cpp:307):
+    # approximate orthogonality in 5 iterations
+    muon = [4.0848, -6.8946, 2.9270, 3.9505, -6.3029, 2.6377,
+            3.7418, -5.5913, 2.3037, 2.8769, -3.1427, 1.2046,
+            2.8366, -3.0525, 1.2012]
+    x5 = np.asarray(mp_newton_schulz(_put(grid, a, P("x", None)), grid,
+                                     iters=5, coeffs=muon))
+    off = np.abs(x5.T @ x5 - np.eye(n)).max()
+    assert off < 0.05, off                 # Muon-grade, not exact-polar
+    # emulated math mode runs and stays close
+    xe = np.asarray(mp_newton_schulz(_put(grid, a, P("x", None)), grid,
+                                     iters=5, coeffs=muon,
+                                     math_mode="bf16x9"))
+    assert np.abs(xe - x5).max() < 5e-3
+
+
 def test_mp_getrf_getrs(grid, rng):
     a = (rng.normal(size=(N, N)) + N * np.eye(N)).astype(np.float32)
     lu = mp_getrf(_put(grid, a, P(None, "x")), grid)

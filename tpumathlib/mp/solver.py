@@ -22,6 +22,11 @@ Parity map:
   mp_gesvd / mp_polar        → distributed SVD / polar from the same Jacobi
                                engine (≙ the reference's polar-based gesvd
                                chain, mp_polar.c / mp_gesvd.c)
+  cusolverMpNewtonSchulz     → mp_newton_schulz (Muon-style odd-polynomial
+                               orthogonalization; per-iteration coefficient
+                               table ≙ mp_newton_schulz.cpp:304-310)
+  CUSOLVER_FP32_EMULATED_BF16X9_MATH → math_mode="bf16x9" on mp_potrf /
+                               mp_newton_schulz (≙ mp_potrf_potrs_fp32emulation.c)
 
 All functions take/return GLOBAL jax arrays sharded over ``grid``; tests
 gather results and compare against the single-device solver tier (the
@@ -43,15 +48,25 @@ def _nparts(grid, axis):
     return axis, grid.mesh.shape[axis]
 
 
-def mp_potrf(a, grid, axis: str | None = None):
+def mp_potrf(a, grid, axis: str | None = None, math_mode: str = "default"):
     """Distributed lower Cholesky of SPD A (n×n, n divisible by P).
 
     A arrives column-block sharded P(None, axis); returns L in the same
-    layout."""
+    layout. ``math_mode="bf16x9"`` routes the trailing-update GEMM through
+    the bf16×9 emulated-fp32 engine (≙ mp_potrf_potrs_fp32emulation.c:187's
+    cusolverMpSetMathMode(CUSOLVER_FP32_EMULATED_BF16X9_MATH) — the update
+    is where virtually all the FLOPs are)."""
+    check(math_mode in ("default", "bf16x9"), f"math_mode {math_mode!r}")
     axis, nparts = _nparts(grid, axis)
     n = a.shape[-1]
     check(n % nparts == 0, "n must divide the grid")
     nb = n // nparts
+    if math_mode == "bf16x9":
+        from tpumathlib.blas.emulation import sgemm_emulated
+
+        mm = lambda x, y: sgemm_emulated(x, y, scheme="bf16x9")
+    else:
+        mm = jnp.matmul
 
     def local(a_loc):  # (n, nb): this rank's block column
         r = jax.lax.axis_index(axis)
@@ -68,13 +83,63 @@ def mp_potrf(a, grid, axis: str | None = None):
                 jnp.where(r == k, panel_own, jnp.zeros_like(panel_own)), axis)
             # trailing update for ranks j > k: A_j -= panel · panel_jᵀ
             own_rows = jax.lax.dynamic_slice(panel, (r * nb, jnp.zeros((), r.dtype)), (nb, nb))
-            upd = panel @ own_rows.T
+            upd = mm(panel, own_rows.T)
             a_loc = jnp.where(r > k, a_loc - upd, a_loc)
             a_loc = jnp.where(r == k, panel, a_loc)
         return a_loc
 
     return jax.jit(jax.shard_map(local, mesh=grid.mesh,
                                  in_specs=P(None, axis), out_specs=P(None, axis)))(a)
+
+
+def mp_newton_schulz(a, grid, coeffs=None, iters: int = 5,
+                     axis: str | None = None, math_mode: str = "default"):
+    """Distributed Newton–Schulz orthogonalization — the polar/"msign"
+    factor of a rectangular A by odd-polynomial iterations
+    X ← a·X + b·(XXᵀ)X + c·(XXᵀ)²X  (≙ cusolverMpNewtonSchulz,
+    mp_newton_schulz.cpp:261-388, including its Muon-tuned per-iteration
+    coefficient table at :304-310).
+
+    A arrives row-block sharded P(axis, None) (m×n, m divisible by P,
+    m ≥ n); X₀ = A/‖A‖_F. Each iteration is two sharded GEMMs: the n×n
+    Gram G = XᵀX is a local (m_loc, n)ᵀ(m_loc, n) MXU product + one psum,
+    then the polynomial update is row-local. ``coeffs`` is a flat
+    [a₀ b₀ c₀ a₁ b₁ c₁ …] table (one triple per iteration, the sample's
+    h_coeffs layout); default = the classic cubic (1.5, −0.5, 0) which
+    converges to the exact polar factor. ``math_mode="bf16x9"`` as in
+    mp_potrf."""
+    check(math_mode in ("default", "bf16x9"), f"math_mode {math_mode!r}")
+    axis, nparts = _nparts(grid, axis)
+    m, n = a.shape
+    check(m % nparts == 0, "m must divide the grid")
+    if coeffs is None:
+        coeffs = [1.5, -0.5, 0.0] * iters
+    coeffs = [float(c) for c in coeffs]
+    check(len(coeffs) >= 3 * iters, "need 3 coefficients per iteration")
+    if math_mode == "bf16x9":
+        from tpumathlib.blas.emulation import sgemm_emulated
+
+        mm = lambda x, y: sgemm_emulated(x, y, scheme="bf16x9")
+    else:
+        mm = jnp.matmul
+
+    def local(x_loc):  # (m/P, n)
+        nrm2 = jax.lax.psum(jnp.sum(x_loc * x_loc), axis)
+        x_loc = x_loc / jnp.sqrt(nrm2)
+        for it in range(iters):
+            ca, cb, cc = coeffs[3 * it:3 * it + 3]
+            g = jax.lax.psum(mm(x_loc.T, x_loc), axis)      # XᵀX (n, n)
+            # odd polynomial in X: a X + b X G + c X G²  (XXᵀ-form folded
+            # through the Gram matrix — identical by associativity)
+            upd = ca * x_loc + cb * mm(x_loc, g)
+            if cc != 0.0:
+                upd = upd + cc * mm(mm(x_loc, g), g)
+            x_loc = upd
+        return x_loc
+
+    return jax.jit(jax.shard_map(local, mesh=grid.mesh,
+                                 in_specs=P(axis, None),
+                                 out_specs=P(axis, None)))(a)
 
 
 def mp_potrs(l, b, grid=None, axis: str | None = None):
