@@ -106,6 +106,39 @@ def test_csreigvsi(rng):
     assert_allclose(a @ x, mu * x, rtol=1e-6)
 
 
+def test_csreigs(rng):
+    """Contour-integral eigenvalue count in a complex box (≙
+    csreigs2cuDSS_dcomplex.cpp): the sample's own 4x4 fixture + a random
+    dense complex matrix, both counted against numpy eigvals."""
+    from tpumathlib.sparse.lsq import csreigs
+
+    # the reference sample's fixture and box
+    a = np.zeros((4, 4), complex)
+    a[0, 0], a[0, 1] = 1 + 1j, 1 + 1j
+    a[1, 1], a[1, 2] = 1 - 2j, -1 - 1j
+    a[2, 2], a[2, 3] = 1 - 2j, 1 - 1j
+    a[3, 0], a[3, 3] = -2 + 2j, 1j
+    lb, ru = -1 - 3j, 1 + 1j
+
+    def inside(w):
+        return int(np.sum((w.real > lb.real) & (w.real < ru.real)
+                          & (w.imag > lb.imag) & (w.imag < ru.imag)))
+
+    got = csreigs(dense_to_csr(a.real), dense_to_csr(a.imag), lb, ru)
+    assert got == inside(np.linalg.eigvals(a)), got
+    # random complex matrix, a box catching part of the spectrum
+    n = 12
+    m = (rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n))) / np.sqrt(n)
+    lb2, ru2 = -0.8 - 0.8j, 0.8 + 0.8j
+    got2 = csreigs(dense_to_csr(m.real), dense_to_csr(m.imag), lb2, ru2,
+                   nh=32, nv=32)
+    want2 = int(np.sum((np.linalg.eigvals(m).real > -0.8)
+                       & (np.linalg.eigvals(m).real < 0.8)
+                       & (np.linalg.eigvals(m).imag > -0.8)
+                       & (np.linalg.eigvals(m).imag < 0.8)))
+    assert got2 == want2, (got2, want2)
+
+
 # ---------------- fused (MathDx) ----------------
 
 def test_gemm_fft(rng):

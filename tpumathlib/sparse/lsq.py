@@ -137,3 +137,53 @@ def csreigvsi(a: CSR, mu0: float, x0=None, tol: float = 1e-10,
             return mu_new, y, it + 1
         mu, x = mu_new, y
     return mu, x, max_iters
+
+
+def csreigs(a_re: CSR, a_im: CSR, left_bottom: complex, right_upper: complex,
+            nh: int = 24, nv: int = 24) -> int:
+    """Count the eigenvalues of complex A = A_re + i·A_im inside the open
+    rectangle (left_bottom, right_upper) of the complex plane
+    (≙ cusolverSpDcsreigs migrated to cuDSS —
+    /root/reference/cuSOLVERSp2cuDSS/csreigs2cuDSS_dcomplex.cpp:92-298).
+
+    Same contour-integration scheme as the reference: place 2(nh+nv)
+    trapezoid quadrature points on the box boundary; at each point z solve
+    (A − zI) X = I with the complex sparse direct solver (real block
+    embedding, dss.ComplexSolver) and take the trace of the inverse; then
+    num_eigs = round( Im[ ∮ tr((zI−A)⁻¹) dz ] / 2π ) — the argument
+    principle applied to det(zI − A)."""
+    from tpumathlib.dss import ComplexSolver
+
+    n = a_re.shape[0]
+    a1, b1 = float(np.real(left_bottom)), float(np.imag(left_bottom))
+    a2, b2 = float(np.real(right_upper)), float(np.imag(right_upper))
+    # quadrature points counterclockwise around the box, corner to corner
+    zs = np.concatenate([
+        a1 + (a2 - a1) * np.arange(nh) / nh + 1j * b1,
+        a2 + 1j * (b1 + (b2 - b1) * np.arange(nv) / nv),
+        a2 - (a2 - a1) * np.arange(nh) / nh + 1j * b2,
+        a1 + 1j * (b2 - (b2 - b1) * np.arange(nv) / nv),
+    ])
+    rp_, ri_, rx_ = _np_triple(a_re)
+    ipx, iix, ixx = _np_triple(a_im)
+    eye = np.eye(n)
+    vals = np.empty(len(zs), np.complex128)
+    for k, z in enumerate(zs):
+        # (A − zI): shift both planes' diagonals
+        sp_, si_, sx_ = _shift_diag_np(
+            CSR(jnp.asarray(rp_), jnp.asarray(ri_), jnp.asarray(rx_),
+                (n, n)), -z.real)
+        tp_, ti_, tx_ = _shift_diag_np(
+            CSR(jnp.asarray(ipx), jnp.asarray(iix), jnp.asarray(ixx),
+                (n, n)), -z.imag)
+        s = ComplexSolver(
+            CSR(jnp.asarray(sp_), jnp.asarray(si_), jnp.asarray(sx_), (n, n)),
+            CSR(jnp.asarray(tp_), jnp.asarray(ti_), jnp.asarray(tx_), (n, n)))
+        s.factorize()
+        x = s.solve(eye)                       # columns of (A − zI)^{-1}
+        vals[k] = -np.trace(x)                 # tr((zI − A)^{-1})
+    # closed trapezoid rule around the contour
+    zn = np.roll(zs, -1)
+    vn = np.roll(vals, -1)
+    integral = np.sum(0.5 * (vals + vn) * (zn - zs))
+    return int(np.round(integral.imag / (2.0 * np.pi)))
