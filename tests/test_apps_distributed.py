@@ -12,6 +12,7 @@ from tpumathlib.apps.distributed import DistributedDF, DistributedXC
 from tpumathlib.apps.scf import Molecule
 from tpumathlib.apps.xc import XCIntegrator
 
+_H2 = Molecule(["H", "H"], np.array([[0., 0., 0.], [0., 0., 1.4]]))
 _H2O = Molecule(
     ["O", "H", "H"],
     np.array([[0.0, 0.0, -0.143225816552],
@@ -68,6 +69,26 @@ def test_distributed_xc_matches_single_device(rng):
                                    rtol=0, atol=5e-5)
         np.testing.assert_allclose(np.asarray(vb), np.asarray(vb_ref),
                                    rtol=0, atol=5e-5)
+
+
+def test_distributed_vv10_matches_single_device(rng):
+    """Mesh-sharded VV10 pairwise kernel == single-device VV10Integrator
+    (energy and autodiff potential through the shard_map collectives)."""
+    from tpumathlib.apps.distributed import DistributedVV10
+    from tpumathlib.apps.vv10 import VV10Integrator
+
+    shells = est.sto3g_shells(_H2)
+    vvi = VV10Integrator(shells, _H2, n_rad=14, n_theta=4, n_phi=8,
+                         chunk=128)
+    d = _random_density(2, rng)
+    e_ref, va_ref, _ = vvi.evaluate(d, d)
+    dv = DistributedVV10(vvi)
+    e, va, vb = dv.evaluate(d, d)
+    assert abs(float(e) - float(e_ref)) < 1e-6 * max(1.0, abs(float(e_ref)))
+    np.testing.assert_allclose(np.asarray(va), np.asarray(va_ref),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
+                               rtol=0, atol=1e-7)
 
 
 def test_distributed_df_padding_exactness(rng):
