@@ -94,11 +94,17 @@ def test_distributed_vv10_matches_single_device(rng):
 def test_distributed_df_padding_exactness(rng):
     """naux not divisible by the mesh size: the zero-padded B panes must
     contribute exactly nothing (bitwise-zero contributions)."""
+    from jax.sharding import Mesh
+
     shells = est.sto3g_shells(_H2O)
     df = est.DFTensors(shells)
-    assert df.b_np.shape[2] % 8 != 0 or True  # padding path either way
+    naux = df.b_np.shape[2]
+    # pick a mesh size that does NOT divide naux so zero panes are real
+    ndev = next(d for d in (8, 7, 6, 5, 3, 2) if naux % d != 0)
+    mesh = Mesh(np.array(jax.devices()[:ndev]), ("aux",))
     d = np.eye(df.b_np.shape[0])
-    ddf = DistributedDF(df)
+    ddf = DistributedDF(df, mesh)
+    assert ddf.b.shape[2] > naux          # padding actually engaged
     j1 = np.asarray(ddf.coulomb(d))
     j2 = np.asarray(df.coulomb(d.astype(np.float32)))
     np.testing.assert_allclose(j1, j2, rtol=0, atol=2e-5)

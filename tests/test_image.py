@@ -482,6 +482,9 @@ def test_tiff_tiled_predictor_and_batched_regions(tmp_path, rng):
                predictor=True)
     for (y, x, h, w), o in zip(regs, tiff_read_regions(p2, regs)):
         np.testing.assert_array_equal(o, img[y:y + h, x:x + w])
+    # non-intersecting region → empty crop, not an exception
+    assert tiff_read(p2, region=(40, 0, 4, 4)).shape[0] == 0
+    assert tiff_read(p, region=(0, 96, 4, 4)).shape[1] == 0
 
 
 def test_tiff_bigtiff(tmp_path, rng):

@@ -190,7 +190,8 @@ class DistributedVV10:
     differentiable), exactly matching the single-device
     `apps.vv10.VV10Integrator`."""
 
-    def __init__(self, integ, mesh: Mesh | None = None, axis: str = "aux"):
+    def __init__(self, integ, mesh: Mesh | None = None, axis: str = "aux",
+                 chunk: int = 512):
         from tpumathlib.apps.vv10 import vv10_beta
 
         self.mesh = _default_mesh(mesh)
@@ -198,10 +199,16 @@ class DistributedVV10:
         ndev = self.mesh.shape[self.axis]
         self.b, self.c = integ.b, integ.c
         self.beta = vv10_beta(integ.b)
-        ao = _pad_to(np.asarray(integ.ao, np.float32), 0, ndev)
-        grad = _pad_to(np.asarray(integ.grad, np.float32), 1, ndev)
-        w = _pad_to(np.asarray(integ.w, np.float32), 0, ndev)
-        pts = _pad_to(np.asarray(integ.pts, np.float32), 0, ndev)
+        # pad so every device's local block is a whole number of chunks
+        # (the per-device pairwise work is lax.map'd chunk by chunk — no
+        # (G_local, G_total) matrix is ever materialized at once)
+        g0 = np.asarray(integ.w).shape[0]
+        chunk = min(chunk, -(-g0 // ndev))
+        mult = ndev * chunk
+        ao = _pad_to(np.asarray(integ.ao, np.float32), 0, mult)
+        grad = _pad_to(np.asarray(integ.grad, np.float32), 1, mult)
+        w = _pad_to(np.asarray(integ.w, np.float32), 0, mult)
+        pts = _pad_to(np.asarray(integ.pts, np.float32), 0, mult)
         shard = lambda a, spec: jax.device_put(
             jnp.asarray(a), NamedSharding(self.mesh, spec))
         self.ao = shard(ao, P(self.axis, None))
@@ -227,14 +234,23 @@ class DistributedVV10:
             k_all = jax.lax.all_gather(kappa, axis_name, tiled=True)
             wr_all = jax.lax.all_gather(wr, axis_name, tiled=True)
             pts_all = jax.lax.all_gather(pts_l, axis_name, tiled=True)
-            r2 = jnp.maximum(
-                jnp.sum(pts_l * pts_l, 1)[:, None]
-                + jnp.sum(pts_all * pts_all, 1)[None, :]
-                - 2.0 * (pts_l @ pts_all.T), 0.0)
-            gi = w0[:, None] * r2 + kappa[:, None]
-            gj = w0_all[None, :] * r2 + k_all[None, :]
-            phi = -1.5 / (gi * gj * (gi + gj))
-            e_loc = beta * jnp.sum(wr) + 0.5 * jnp.sum(wr * (phi @ wr_all))
+            nrm_all = jnp.sum(pts_all * pts_all, axis=1)
+
+            def block(args):
+                pi, w0i, ki, wri = args
+                r2 = jnp.maximum(jnp.sum(pi * pi, 1)[:, None]
+                                 + nrm_all[None, :]
+                                 - 2.0 * (pi @ pts_all.T), 0.0)
+                gi = w0i[:, None] * r2 + ki[:, None]
+                gj = w0_all[None, :] * r2 + k_all[None, :]
+                phi = -1.5 / (gi * gj * (gi + gj))
+                return jnp.sum(wri * (phi @ wr_all))
+
+            inner = jax.lax.map(
+                block, (pts_l.reshape(-1, chunk, 3),
+                        w0.reshape(-1, chunk), kappa.reshape(-1, chunk),
+                        wr.reshape(-1, chunk)))
+            e_loc = beta * jnp.sum(wr) + 0.5 * jnp.sum(inner)
             return jax.lax.psum(e_loc, axis_name)
 
         sm = shard_map(
@@ -246,8 +262,7 @@ class DistributedVV10:
 
         @jax.jit
         def _eval(ao_l, grad_l, w_l, pts_l, da, db):
-            e = sm(ao_l, grad_l, w_l, pts_l, da, db)
-            va, vb = jax.grad(
+            e, (va, vb) = jax.value_and_grad(
                 lambda x, y: sm(ao_l, grad_l, w_l, pts_l, x, y),
                 argnums=(0, 1))(da, db)
             return e, 0.5 * (va + va.T), 0.5 * (vb + vb.T)

@@ -84,6 +84,20 @@ def vv10_pair_energy(rho, s2, pts, w, b: float, C: float,
     return vv10_beta(b) * jnp.sum(wr) + 0.5 * jnp.sum(inner)
 
 
+@functools.partial(jax.jit, static_argnames=("b", "c", "chunk"))
+def _vv10_eval(ao, grad, w, pts, da, db, b, c, chunk):
+    def enl(da, db):
+        dt = da + db
+        rho = jnp.einsum("gm,mn,gn->g", ao, dt, ao)
+        gr = 2.0 * jnp.einsum("xgm,mn,gn->xg", grad, dt, ao)
+        s2 = jnp.einsum("xg,xg->g", gr, gr)
+        return vv10_pair_energy(rho, s2, pts, w, b, c, chunk)
+
+    e, (va, vb) = jax.value_and_grad(enl, argnums=(0, 1))(da, db)
+    # symmetrize: ∂/∂D of ρ(D) built from a symmetric quadratic form
+    return e, 0.5 * (va + va.T), 0.5 * (vb + vb.T)
+
+
 class VV10Integrator:
     """Grid + AO tensors resident; per-density (E_nl, V_a, V_b) with the
     potential from autodiff (≙ cuestNonlocalXCPotentialRKS/UKSCompute).
@@ -106,22 +120,13 @@ class VV10Integrator:
         self.w = jnp.asarray(w, jnp.float32)
         self.pts = jnp.asarray(pts, jnp.float32)
 
-    @functools.partial(jax.jit, static_argnums=0)
     def evaluate(self, da, db):
-        ao, grad, w, pts = self.ao, self.grad, self.w, self.pts
-
-        def enl(da, db):
-            dt = da + db
-            rho = jnp.einsum("gm,mn,gn->g", ao, dt, ao)
-            gr = 2.0 * jnp.einsum("xgm,mn,gn->xg", grad, dt, ao)
-            s2 = jnp.einsum("xg,xg->g", gr, gr)
-            return vv10_pair_energy(rho, s2, pts, w, self.b, self.c,
-                                    self.chunk)
-
-        e = enl(da, db)
-        va, vb = jax.grad(enl, argnums=(0, 1))(da, db)
-        # symmetrize: ∂/∂D of ρ(D) built from a symmetric quadratic form
-        return e, 0.5 * (va + va.T), 0.5 * (vb + vb.T)
+        # grid tensors thread as jit ARGUMENTS (embedding them as jaxpr
+        # constants trips the axon remote-compile size limit — CLAUDE.md)
+        return _vv10_eval(self.ao, self.grad, self.w, self.pts,
+                          jnp.asarray(da, self.ao.dtype),
+                          jnp.asarray(db, self.ao.dtype),
+                          self.b, self.c, self.chunk)
 
 
 def vv10_gradient(mol: Molecule, da, db, shells=None, b: float = 5.9,

@@ -269,6 +269,7 @@ def xc_local_eval(kind, f, ao, grad, w, da, db):
     if kind == "lda":
         dens = (jnp.einsum("gm,mn,gn->g", ao, da, ao),
                 jnp.einsum("gm,mn,gn->g", ao, db, ao))
+        gra = grb = None
     else:
         ra = jnp.einsum("gm,mn,gn->g", ao, da, ao)
         rb = jnp.einsum("gm,mn,gn->g", ao, db, ao)
@@ -295,9 +296,8 @@ def xc_local_eval(kind, f, ao, grad, w, da, db):
     vb = jnp.einsum("g,gm,gn->mn", vrb, ao, ao)
     if kind == "gga":
         vsaa, vsab, vsbb = derivs[2], derivs[3], derivs[4]
-        gra = 2.0 * jnp.einsum("xgm,mn,gn->xg", grad, da, ao)
-        grb = 2.0 * jnp.einsum("xgm,mn,gn->xg", grad, db, ao)
         # dE/dD_a via chain rule on σ terms: 2 vsaa ∇ρa + vsab ∇ρb
+        # (gra/grb reused from the density build above)
         ta = 2.0 * vsaa[None] * gra + vsab[None] * grb
         tb = 2.0 * vsbb[None] * grb + vsab[None] * gra
         cross = jnp.einsum("xg,xgm,gn->mn", ta, grad, ao)
@@ -442,7 +442,10 @@ def uhf(mol: Molecule, spin: int = 0, max_iters: int = 120,
         eri = jnp.asarray(eri_np)
     xci = XCIntegrator(shells, mol, xc, **(grid_kw or {})) if xc else None
     vvi = None
-    if nlc and xc:
+    if nlc:
+        if not xc:
+            raise ValueError("nlc (VV10) requires an xc functional — "
+                             "pass e.g. xc='pbe'")
         from tpumathlib.apps.vv10 import VV10Integrator
 
         bc = (5.9, 0.0093) if nlc is True else tuple(nlc)

@@ -396,20 +396,43 @@ def _two_prod(a, b):
 
 
 def _dd_residual(indptr, indices, vals, xhi, xlo, b):
-    """r = b − A·(xhi + xlo) with every product error-free-transformed and
-    each row summed exactly (math.fsum), so the returned f64 vector is the
-    correctly-rounded residual of the double-double iterate."""
+    """r = b − A·(xhi + xlo): every product error-free-transformed
+    (two-prod) and each row accumulated in VECTORIZED double-double
+    arithmetic — one two-sum cascade per padded column, so the host cost
+    is ~3·max_nnz_per_row passes over n-vectors instead of a per-row
+    Python loop (this host's Python loops are pathologically slow —
+    CLAUDE.md). Accumulation error ~2⁻¹⁰⁶ per term: far below the f64
+    representation of the returned residual."""
     import math
 
     n = len(indptr) - 1
     p, e = _two_prod(vals, xhi[indices])
     lo = vals * xlo[indices]
-    r = np.empty(n)
-    for i in range(n):
-        s = slice(indptr[i], indptr[i + 1])
-        r[i] = math.fsum([b[i]] + (-p[s]).tolist() + (-e[s]).tolist()
-                         + (-lo[s]).tolist())
-    return r
+    counts = np.diff(indptr)
+    k = int(counts.max()) if n else 0
+    if 3 * k + 1 > 512:
+        # a near-dense row would blow up the padded matrix — exact per-row
+        # fsum fallback for pathological patterns
+        r = np.empty(n)
+        for i in range(n):
+            s = slice(indptr[i], indptr[i + 1])
+            r[i] = math.fsum([b[i]] + (-p[s]).tolist() + (-e[s]).tolist()
+                             + (-lo[s]).tolist())
+        return r
+    rows = np.repeat(np.arange(n), counts)
+    pos = np.arange(len(vals)) - np.asarray(indptr[:-1])[rows]
+    terms = np.zeros((n, 3 * k + 1))
+    terms[:, 0] = b
+    terms[rows, 1 + 3 * pos] = -p
+    terms[rows, 2 + 3 * pos] = -e
+    terms[rows, 3 + 3 * pos] = -lo
+    shi = np.zeros(n)
+    slo = np.zeros(n)
+    for j in range(terms.shape[1]):
+        s, err = _two_sum(shi, terms[:, j])
+        slo = slo + err
+        shi, slo = _two_sum(s, slo)
+    return shi + slo
 
 
 def _dense_to_csr_np(a) -> CSR:

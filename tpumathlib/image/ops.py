@@ -315,8 +315,8 @@ def jpeg_resize_watermark(blob: bytes, out_w: int = 0, out_h: int = 0,
 
     img = jfif_decode(blob)
     h, w = img.shape[:2]
-    out_w = out_w or w // 2
-    out_h = out_h or h // 2
+    out_w = out_w or max(w // 2, 1)
+    out_h = out_h or max(h // 2, 1)
     resized = resize_bilinear(jnp.asarray(img), out_h, out_w)
     if mark is not None:
         resized = watermark(resized, jnp.asarray(mark), alpha)

@@ -521,6 +521,9 @@ def _decode_ifd(buf: bytes, t: dict, region: tuple | None):
         y0, x0, rh, rw = region
         rh = min(rh, h - y0)
         rw = min(rw, w - x0)
+        if rh <= 0 or rw <= 0:     # no intersection → empty crop
+            shape = (max(rh, 0), max(rw, 0)) + ((spp,) if spp > 1 else ())
+            return np.zeros(shape, np.uint8)
     else:
         y0 = x0 = 0
         rh, rw = h, w

@@ -164,22 +164,51 @@ def csreigs(a_re: CSR, a_im: CSR, left_bottom: complex, right_upper: complex,
         a2 - (a2 - a1) * np.arange(nh) / nh + 1j * b2,
         a1 + 1j * (b2 - (b2 - b1) * np.arange(nv) / nv),
     ])
-    rp_, ri_, rx_ = _np_triple(a_re)
-    ipx, iix, ixx = _np_triple(a_im)
+    # Fix the sparsity pattern ONCE (diagonals inserted into both planes
+    # with a zero shift), so every quadrature point is a VALUE update +
+    # numeric refactorization on the retained symbolic analysis — the
+    # cuSolverRf-style reuse the repo's Solver supports (perm/etree kept
+    # when only self.a's values change).
+    sp_, si_, sx0 = _shift_diag_np(a_re, 0.0)
+    tp_, ti_, tx0 = _shift_diag_np(a_im, 0.0)
+    rdiag = np.array([np.nonzero(si_[sp_[i]:sp_[i + 1]] == i)[0][0] + sp_[i]
+                      for i in range(n)])
+    idiag = np.array([np.nonzero(ti_[tp_[i]:tp_[i + 1]] == i)[0][0] + tp_[i]
+                      for i in range(n)])
+    s = ComplexSolver(
+        CSR(jnp.asarray(sp_), jnp.asarray(si_), jnp.asarray(sx0), (n, n)),
+        CSR(jnp.asarray(tp_), jnp.asarray(ti_), jnp.asarray(tx0), (n, n)))
+    # the real block embedding K = [[Ar, -Ai], [Ai, Ar]] was assembled by
+    # coo_to_csr; recover its value permutation once with probe ids
+    # (1..nr for the real plane, nr+1.. for the imaginary plane)
+    nr = len(sx0)
+    probe = ComplexSolver(
+        CSR(jnp.asarray(sp_), jnp.asarray(si_),
+            jnp.asarray(np.arange(1, nr + 1, dtype=np.float64)), (n, n)),
+        CSR(jnp.asarray(tp_), jnp.asarray(ti_),
+            jnp.asarray(np.arange(nr + 1, nr + len(tx0) + 1,
+                                  dtype=np.float64)), (n, n)))
     eye = np.eye(n)
     vals = np.empty(len(zs), np.complex128)
+    kdata = np.asarray(probe.solver.a.data)
+
+    def embed_vals(vr, vi):
+        # kdata holds signed probe ids: |id|≤nr → vr slot, else vi slot
+        ids = np.rint(np.abs(kdata)).astype(np.int64)
+        sign = np.sign(kdata)
+        out = np.where(ids <= nr, vr[np.minimum(ids, nr) - 1],
+                       vi[np.maximum(ids - nr, 1) - 1])
+        return out * sign
+
     for k, z in enumerate(zs):
-        # (A − zI): shift both planes' diagonals
-        sp_, si_, sx_ = _shift_diag_np(
-            CSR(jnp.asarray(rp_), jnp.asarray(ri_), jnp.asarray(rx_),
-                (n, n)), -z.real)
-        tp_, ti_, tx_ = _shift_diag_np(
-            CSR(jnp.asarray(ipx), jnp.asarray(iix), jnp.asarray(ixx),
-                (n, n)), -z.imag)
-        s = ComplexSolver(
-            CSR(jnp.asarray(sp_), jnp.asarray(si_), jnp.asarray(sx_), (n, n)),
-            CSR(jnp.asarray(tp_), jnp.asarray(ti_), jnp.asarray(tx_), (n, n)))
-        s.factorize()
+        vr = sx0.copy()
+        vr[rdiag] -= z.real
+        vi = tx0.copy()
+        vi[idiag] -= z.imag
+        s.solver.a = CSR(s.solver.a.indptr, s.solver.a.indices,
+                         jnp.asarray(embed_vals(vr, vi)),
+                         s.solver.a.shape)
+        s.factorize()                          # numeric phase only
         x = s.solve(eye)                       # columns of (A − zI)^{-1}
         vals[k] = -np.trace(x)                 # tr((zI − A)^{-1})
     # closed trapezoid rule around the contour
