@@ -362,6 +362,34 @@ def bench_trevc(n=64, b=256) -> dict:
             "speedup_vs_host": th / td, "residual": float(res)}
 
 
+def bench_vv10(g=8192, nao=32, chunk=512) -> dict:
+    """VV10 nonlocal-correlation pairwise kernel throughput (≙ the cuEST
+    nonlocal_xc_potential compute, the O(G²) hotspot of vdW-DF SCF).
+    FLOP model: ~22 flops per (i, j) pair (distance via the Gram identity,
+    two g-factors, Φ, the Σ_j contraction) + the MXU distance matmuls."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpumathlib.apps.vv10 import vv10_pair_energy
+
+    key = jax.random.key(0)
+    rho = jax.random.uniform(key, (g,), jnp.float32, 0.01, 0.5)
+    s2 = jax.random.uniform(key, (g,), jnp.float32, 0.0, 0.1)
+    pts = jax.random.normal(key, (g, 3), jnp.float32) * 3.0
+    w = jnp.full((g,), 1e-2, jnp.float32)
+
+    def step(args):
+        rho, s2 = args
+        e = vv10_pair_energy(rho, s2, pts, w, 5.9, 0.0093, chunk)
+        # feed the energy back so the chain is dependent (no DCE)
+        return (rho + 1e-20 * e, s2)
+
+    t = _amortized_seconds(step, (rho, s2), chain=20)
+    flops = 22.0 * g * g
+    return {"bench": "vv10_pair", "grid_points": g, "ms": t * 1e3,
+            "gflops": flops / t / 1e9}
+
+
 def run_all() -> list[dict]:
     records = []
     records.append(bench_gemm())
@@ -375,6 +403,7 @@ def run_all() -> list[dict]:
     records.append(bench_jpeg())
     records.append(bench_j2k())
     records.append(bench_trevc())
+    records.append(bench_vv10())
     for r in records:
         print(json.dumps(r))
     # ≙ the reference samples' sentinel contract (&&&& PASSED / FAILED
