@@ -487,6 +487,69 @@ def test_tiff_tiled_predictor_and_batched_regions(tmp_path, rng):
     assert tiff_read(p, region=(0, 96, 4, 4)).shape[1] == 0
 
 
+def test_tiff_16bit_and_bigendian(tmp_path, rng):
+    """16-bit samples (roundtrip all host codecs + Pillow interop both
+    directions) and big-endian (MM) container decode — both nvTIFF
+    capabilities the 8-bit/LE-only reader lacked."""
+    import struct
+
+    from PIL import Image
+
+    g16 = rng.integers(0, 65535, (25, 31), dtype=np.uint16)
+    rgb16 = rng.integers(0, 65535, (12, 17, 3), dtype=np.uint16)
+    for comp in ("none", "lzw", "deflate", "packbits"):
+        p = str(tmp_path / f"d16_{comp}.tif")
+        tiff_write(p, g16, compression=comp, rows_per_strip=6,
+                   predictor=(comp in ("lzw", "deflate")))
+        np.testing.assert_array_equal(tiff_read(p), g16)
+        tiff_write(p, rgb16, compression=comp)
+        np.testing.assert_array_equal(tiff_read(p), rgb16)
+    # Pillow reads our 16-bit gray; we read Pillow's
+    p = str(tmp_path / "g16.tif")
+    tiff_write(p, g16, compression="deflate")
+    np.testing.assert_array_equal(np.asarray(Image.open(p)), g16)
+    p2 = str(tmp_path / "pil16.tif")
+    Image.fromarray(g16).save(p2, compression="tiff_adobe_deflate")
+    np.testing.assert_array_equal(tiff_read(p2), g16)
+    with pytest.raises(ValueError):
+        tiff_write(p, g16, compression="jpeg")
+    # hand-built minimal big-endian (MM) uncompressed gray file
+    img = rng.integers(0, 255, (5, 7), dtype=np.uint8)
+    entries = [(256, 3, 1, 7), (257, 3, 1, 5), (258, 3, 1, 8),
+               (259, 3, 1, 1), (262, 3, 1, 1), (273, 4, 1, 0),
+               (277, 3, 1, 1), (278, 3, 1, 5), (279, 4, 1, 35)]
+    ifd_off = 8
+    data_off = ifd_off + 2 + len(entries) * 12 + 4
+    buf = struct.pack(">2sHI", b"MM", 42, ifd_off)
+    buf += struct.pack(">H", len(entries))
+    for tid, tt, cnt, val in entries:
+        val = data_off if tid == 273 else val
+        buf += struct.pack(">HHI", tid, tt, cnt)
+        buf += struct.pack(">HH", val, 0) if tt == 3 \
+            else struct.pack(">I", val)
+    buf += struct.pack(">I", 0) + img.tobytes()
+    p3 = str(tmp_path / "be.tif")
+    with open(p3, "wb") as f:
+        f.write(buf)
+    np.testing.assert_array_equal(np.asarray(Image.open(p3)), img)  # sane
+    np.testing.assert_array_equal(tiff_read(p3), img)
+    # big-endian 16-bit: byte order of samples honored
+    img16 = rng.integers(0, 65535, (5, 7), dtype=np.uint16)
+    entries[2] = (258, 3, 1, 16)
+    entries[8] = (279, 4, 1, 70)
+    buf = struct.pack(">2sHI", b"MM", 42, ifd_off)
+    buf += struct.pack(">H", len(entries))
+    for tid, tt, cnt, val in entries:
+        val = data_off if tid == 273 else val
+        buf += struct.pack(">HHI", tid, tt, cnt)
+        buf += struct.pack(">HH", val, 0) if tt == 3 \
+            else struct.pack(">I", val)
+    buf += struct.pack(">I", 0) + img16.astype(">u2").tobytes()
+    with open(p3, "wb") as f:
+        f.write(buf)
+    np.testing.assert_array_equal(tiff_read(p3), img16)
+
+
 def test_tiff_bigtiff(tmp_path, rng):
     """BigTIFF container (version 43, 8-byte offsets ≙ NVTIFF_BIG_TIFF):
     roundtrip + multi-image + Pillow reads it."""

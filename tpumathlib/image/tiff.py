@@ -347,7 +347,13 @@ def tiff_write(path: str, image, extra_tags: dict | None = None, *,
         pos = 8
         nfmt, ofmt, otype = "<I", "I", 4
     for k, img in enumerate(images):
-        img = np.ascontiguousarray(img, np.uint8)
+        img = np.asarray(img)
+        bits = 16 if img.dtype.itemsize == 2 else 8
+        if bits == 16 and compression == "jpeg":
+            raise ValueError("jpeg compression is 8-bit only")
+        # little-endian samples to match the II container
+        img = np.ascontiguousarray(
+            img, np.uint8 if bits == 8 else np.dtype("<u2"))
         h, w = img.shape[:2]
         spp = 1 if img.ndim == 2 else img.shape[2]
         segs, geom, (off_tag, cnt_tag) = _image_segments(
@@ -359,7 +365,7 @@ def tiff_write(path: str, image, extra_tags: dict | None = None, *,
         entries = {
             _TAG_WIDTH: (3, [w]),
             _TAG_HEIGHT: (3, [h]),
-            _TAG_BITS: (3, [8] * spp),
+            _TAG_BITS: (3, [bits] * spp),
             _TAG_COMPRESSION: (3, [COMPRESSIONS[compression]]),
             _TAG_PHOTOMETRIC: (3, [photometric]),
             _TAG_SPP: (3, [spp]),
@@ -396,48 +402,50 @@ def tiff_write(path: str, image, extra_tags: dict | None = None, *,
 
 # ---------------- reader ----------------
 
-def _read_one_ifd(buf: bytes, ifd_off: int, bigtiff: bool):
+def _read_one_ifd(buf: bytes, ifd_off: int, bigtiff: bool, e: str = "<"):
     if bigtiff:
-        (ntags,) = struct.unpack_from("<Q", buf, ifd_off)
+        (ntags,) = struct.unpack_from(f"{e}Q", buf, ifd_off)
         base, esize, cap, cfmt = ifd_off + 8, 20, 8, "Q"
     else:
-        (ntags,) = struct.unpack_from("<H", buf, ifd_off)
+        (ntags,) = struct.unpack_from(f"{e}H", buf, ifd_off)
         base, esize, cap, cfmt = ifd_off + 2, 12, 4, "I"
-    tags = {}
+    tags = {"__endian__": e}
     for i in range(ntags):
-        tid, ttype, count = struct.unpack_from(f"<HH{cfmt}", buf,
+        tid, ttype, count = struct.unpack_from(f"{e}HH{cfmt}", buf,
                                                base + i * esize)
-        raw = buf[base + i * esize + esize - cap:base + i * esize + esize]
+        raw = buf[base + i * esize:base + i * esize + esize][-cap:]
         size = _TYPE_SIZE.get(ttype, 1) * count
         payload = raw[:size] if size <= cap else \
-            buf[struct.unpack(f"<{cfmt}", raw)[0]:][:size]
+            buf[struct.unpack(f"{e}{cfmt}", raw)[0]:][:size]
         if ttype == 2:
             val = payload.rstrip(b"\0").decode(errors="replace")
         elif ttype == 7:
             val = payload
         else:
             fmt = _TYPE_FMT.get(ttype, "B")
-            vals = list(struct.unpack(f"<{count}{fmt}", payload))
+            vals = list(struct.unpack(f"{e}{count}{fmt}", payload))
             val = vals[0] if count == 1 else vals
         tags[tid] = val
-    (nxt,) = struct.unpack_from(f"<{cfmt}", buf, base + ntags * esize)
+    (nxt,) = struct.unpack_from(f"{e}{cfmt}", buf, base + ntags * esize)
     return tags, nxt
 
 
 def _read_ifds(buf: bytes):
     endian, magic = struct.unpack("<2sH", buf[:4])
-    assert endian == b"II", "unsupported TIFF (big-endian)"
+    assert endian in (b"II", b"MM"), f"not a TIFF ({endian!r})"
+    e = "<" if endian == b"II" else ">"
+    magic = struct.unpack(f"{e}H", buf[2:4])[0]
     if magic == 43:                          # BigTIFF
-        osize, pad, ifd_off = struct.unpack_from("<HHQ", buf, 4)
+        osize, pad, ifd_off = struct.unpack_from(f"{e}HHQ", buf, 4)
         assert osize == 8 and pad == 0, "malformed BigTIFF header"
         bigtiff = True
     else:
         assert magic == 42, f"not a TIFF (magic {magic})"
-        (ifd_off,) = struct.unpack_from("<I", buf, 4)
+        (ifd_off,) = struct.unpack_from(f"{e}I", buf, 4)
         bigtiff = False
     out = []
     while ifd_off:
-        tags, ifd_off = _read_one_ifd(buf, ifd_off, bigtiff)
+        tags, ifd_off = _read_one_ifd(buf, ifd_off, bigtiff, e)
         out.append(tags)
     return out
 
@@ -493,8 +501,11 @@ def _decode_segment(data: bytes, comp: int, tables: bytes | None,
 def _undo_predictor(arr: np.ndarray) -> np.ndarray:
     """Undo horizontal differencing (predictor=2) within ONE segment —
     the predictor restarts at every strip/tile boundary (TIFF 6.0 §14),
-    so it must never run across assembled tiles."""
-    return np.cumsum(arr.astype(np.uint32), axis=1).astype(np.uint8)
+    so it must never run across assembled tiles. Wraps modulo the sample
+    width (uint8 or uint16)."""
+    wide = np.uint32 if arr.dtype.itemsize == 1 else np.uint64
+    return np.cumsum(arr.astype(wide), axis=1).astype(
+        arr.dtype.newbyteorder("="))
 
 
 def _decode_ifd(buf: bytes, t: dict, region: tuple | None):
@@ -504,6 +515,14 @@ def _decode_ifd(buf: bytes, t: dict, region: tuple | None):
     comp = t.get(_TAG_COMPRESSION, 1)
     w, h = t[_TAG_WIDTH], t[_TAG_HEIGHT]
     spp = t.get(_TAG_SPP, 1)
+    bits = t.get(_TAG_BITS, 8)
+    if isinstance(bits, list):
+        assert len(set(bits)) == 1, f"mixed bits-per-sample {bits}"
+        bits = bits[0]
+    assert bits in (8, 16), f"unsupported bits-per-sample {bits}"
+    dt = np.uint8 if bits == 8 else np.dtype(
+        t.get("__endian__", "<") + "u2")
+    bpp = bits // 8
     tiled = _TAG_TILE_OFFSETS in t
     off_tag, cnt_tag = (_TAG_TILE_OFFSETS, _TAG_TILE_COUNTS) if tiled \
         else (_TAG_STRIP_OFFSETS, _TAG_STRIP_COUNTS)
@@ -523,7 +542,7 @@ def _decode_ifd(buf: bytes, t: dict, region: tuple | None):
         rw = min(rw, w - x0)
         if rh <= 0 or rw <= 0:     # no intersection → empty crop
             shape = (max(rh, 0), max(rw, 0)) + ((spp,) if spp > 1 else ())
-            return np.zeros(shape, np.uint8)
+            return np.zeros(shape, np.uint8 if bits == 8 else np.uint16)
     else:
         y0 = x0 = 0
         rh, rw = h, w
@@ -544,7 +563,7 @@ def _decode_ifd(buf: bytes, t: dict, region: tuple | None):
             if is_jpeg:
                 a = np.atleast_3d(p)[:th, :tw]
             else:
-                a = np.frombuffer(p[:th * tw * spp], np.uint8) \
+                a = np.frombuffer(p[:th * tw * spp * bpp], dt) \
                     .reshape(th, tw, spp)
             return _undo_predictor(a) if predictor else a
 
@@ -562,13 +581,15 @@ def _decode_ifd(buf: bytes, t: dict, region: tuple | None):
             if is_jpeg:
                 a = np.atleast_3d(p)[:, :w]
             else:
-                a = np.frombuffer(p, np.uint8)
+                a = np.frombuffer(p[:(len(p) // bpp) * bpp], dt)
                 a = a[:(len(a) // (w * spp)) * w * spp].reshape(-1, w, spp)
             return _undo_predictor(a) if predictor else a
 
         img = np.concatenate([strip(k) for k in range(s0, s1)], axis=0)
         img = img[y0 - s0 * rps:y0 - s0 * rps + rh, x0:x0 + rw]
     img = img[:, :, 0] if img.shape[2] == 1 else img
+    if img.dtype.itemsize == 2:
+        img = img.astype(np.uint16)            # native byte order out
     return np.ascontiguousarray(img)
 
 
