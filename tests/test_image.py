@@ -370,6 +370,53 @@ def test_tiff_multi_image(tmp_path, rng):
     np.testing.assert_array_equal(np.asarray(pim), imgs[1])
 
 
+def test_jpeg_progressive_decode(rng):
+    """Progressive (SOF2) decode — spectral selection + successive
+    approximation + EOB runs (≙ nvJPEG's progressive support in the
+    decoder samples). Grayscale is BIT-EXACT vs libjpeg (no color
+    transform in the way); RGB within the color-rounding envelope of the
+    baseline path; chroma-subsampled within the nearest-upsampling
+    envelope."""
+    import io
+
+    from PIL import Image
+
+    from tpumathlib.image.jpeg import jfif_decode
+
+    y, x = np.mgrid[0:64, 0:80]
+    smooth = np.stack([(y * 2) % 256, (x * 2) % 256, (x + y) % 256],
+                      -1).astype(np.uint8)
+    noisy = rng.integers(0, 255, (41, 53, 3), dtype=np.uint8)
+
+    def enc(img, **kw):
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, "JPEG", progressive=True, **kw)
+        return buf.getvalue()
+
+    def pil_dec(blob, mode):
+        return np.asarray(Image.open(io.BytesIO(blob)).convert(mode))
+
+    # gray: bit-exact against libjpeg on smooth data; ±1 IDCT rounding
+    # envelope on noisy data (float IDCT vs libjpeg's integer islow)
+    blob = enc(smooth[:, :, 0], quality=95)
+    np.testing.assert_array_equal(jfif_decode(blob), pil_dec(blob, "L"))
+    blob = enc(noisy[:, :, 0], quality=85)
+    d = np.abs(jfif_decode(blob).astype(int)
+               - pil_dec(blob, "L").astype(int))
+    assert d.max() <= 1, d.max()
+    # RGB 4:4:4: only YCbCr rounding differs (same envelope as baseline)
+    for img, q in ((smooth, 95), (noisy, 92)):
+        blob = enc(img, quality=q, subsampling=0)
+        d = np.abs(jfif_decode(blob).astype(int)
+                   - pil_dec(blob, "RGB").astype(int))
+        assert d.max() <= 2, d.max()
+    # 4:2:0 smooth: nearest-vs-fancy chroma upsampling envelope
+    blob = enc(smooth, quality=90, subsampling=2)
+    d = np.abs(jfif_decode(blob).astype(int)
+               - pil_dec(blob, "RGB").astype(int))
+    assert np.mean(d) < 1.5, np.mean(d)
+
+
 def test_jpeg_resize_watermark_pipeline(rng):
     """Decode → resize → watermark → encode pipeline (≙ nvJPEG
     Image-Resize-WaterMark decodeResizeEncodeOneImage): the output is a

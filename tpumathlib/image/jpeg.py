@@ -311,11 +311,9 @@ def _entropy_decode_native(blob, i, n_mcu, restart, comps, scan_comps,
     return out.reshape(n_mcu, bpm, 64)
 
 
-def _entropy_decode_python(blob, i, n_mcu, restart, comps, scan_comps,
-                           huff, coeffs, mcux):
-    """Pure-Python scan decode (the reference path the native engine is
-    byte-exact against): de-stuff + split restart intervals, then the
-    per-symbol bit loop, writing into the per-component grids."""
+def _destuff_intervals(blob, i):
+    """De-stuff the entropy-coded data at ``i`` and split it at restart
+    markers. Returns (intervals, position_of_next_marker)."""
     intervals = []
     cur = bytearray()
     j = i
@@ -336,6 +334,141 @@ def _entropy_decode_python(blob, i, n_mcu, restart, comps, scan_comps,
         cur.append(b)
         j += 1
     intervals.append(bytes(cur))
+    return intervals, j
+
+
+def _progressive_scan(blob, i, restart, comps, scan_comps, huff, coeffs,
+                      mcux, mcuy, hmax, vmax, w, h, ss, se, ah, al):
+    """Decode ONE progressive (SOF2) scan into the zigzag coefficient
+    grids (≙ nvJPEG's progressive CPU path, nvJPEG-Decoder sample input
+    class). Spectral selection [ss, se], successive approximation
+    Ah→Al. Returns the stream position of the next marker.
+
+    Interleaved DC scans walk MCUs like baseline; AC scans are always
+    single-component, walking the component's own (unpadded) block
+    raster with EOB-run coding across blocks (JPEG T.81 §G.1.2)."""
+    intervals, j = _destuff_intervals(blob, i)
+    interleaved = len(scan_comps) > 1
+
+    if interleaved:
+        units = mcux * mcuy
+    else:
+        # non-interleaved (Ns=1): MCU = one data unit, walking the
+        # component's OWN block raster (no MCU padding) — T.81 A.2.2
+        comp0, _td, _ta = scan_comps[0]
+        nbx_ni = -(-(-(-w * comp0["h"] // hmax)) // 8)
+        nby_ni = -(-(-(-h * comp0["v"] // vmax)) // 8)
+        units = nbx_ni * nby_ni
+
+    pred = {c["id"]: 0 for c in comps}
+    eobrun = 0
+    br = _BitReader(intervals[0])
+    interval_idx = 0
+
+    def blocks_of(unit):
+        """(comp, td, ta, padded-grid block index) list for this unit."""
+        out = []
+        if interleaved:
+            my, mx = divmod(unit, mcux)
+            for comp, td, ta in scan_comps:
+                ch, cv = comp["h"], comp["v"]
+                for by in range(cv):
+                    for bx in range(ch):
+                        out.append((comp, td, ta,
+                                    (my * cv + by) * (mcux * ch)
+                                    + mx * ch + bx))
+        else:
+            comp, td, ta = scan_comps[0]
+            by, bx = divmod(unit, nbx_ni)
+            out.append((comp, td, ta, by * (mcux * comp["h"]) + bx))
+        return out
+
+    for unit in range(units):
+        if restart and unit and unit % restart == 0:
+            interval_idx += 1
+            br = _BitReader(intervals[interval_idx])
+            pred = {c["id"]: 0 for c in comps}
+            eobrun = 0
+        for comp, td, ta, bidx in blocks_of(unit):
+            blk = coeffs[comp["id"]][bidx]
+            if ss == 0 and ah == 0:          # DC first
+                s = _huff_decode(br, huff[(0, td)])
+                diff = _extend(br.read(s), s) if s else 0
+                pred[comp["id"]] += diff
+                blk[0] = pred[comp["id"]] << al
+            elif ss == 0:                    # DC refinement
+                if br.read(1):
+                    blk[0] = blk[0] | (1 << al)
+            elif ah == 0:                    # AC first
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _huff_decode(br, huff[(1, ta)])
+                    r, sz = rs >> 4, rs & 15
+                    if sz == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.read(r)
+                        break
+                    k += r
+                    if k > se:
+                        break
+                    blk[k] = _extend(br.read(sz), sz) << al
+                    k += 1
+            else:                            # AC refinement (T.81 G.1.2.3)
+                p1, m1 = 1 << al, -1 << al
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _huff_decode(br, huff[(1, ta)])
+                        r, sz = rs >> 4, rs & 15
+                        val = 0
+                        if sz == 0:
+                            if r < 15:
+                                # unlike AC-first, the run INCLUDES this
+                                # block: its remaining nonzero-history
+                                # coeffs still take correction bits in the
+                                # tail below, which then decrements
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.read(r)
+                                break
+                            # r == 15: pass over 16 zero-history coeffs
+                        else:
+                            val = p1 if br.read(1) else m1
+                        while k <= se:
+                            if blk[k] != 0:
+                                if br.read(1) and (blk[k] & p1) == 0:
+                                    blk[k] += p1 if blk[k] > 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            blk[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if blk[k] != 0:
+                            if br.read(1) and (blk[k] & p1) == 0:
+                                blk[k] += p1 if blk[k] > 0 else m1
+                        k += 1
+                    eobrun -= 1
+    return j
+
+
+def _entropy_decode_python(blob, i, n_mcu, restart, comps, scan_comps,
+                           huff, coeffs, mcux):
+    """Pure-Python scan decode (the reference path the native engine is
+    byte-exact against): de-stuff + split restart intervals, then the
+    per-symbol bit loop, writing into the per-component grids."""
+    intervals, _ = _destuff_intervals(blob, i)
 
     pred = {c["id"]: 0 for c in comps}
     br = _BitReader(intervals[0])
@@ -402,10 +535,14 @@ def jfif_decode(blob: bytes, roi: tuple | None = None,
     restart = 0
     i = 2
     scan_comps = None
+    progressive = False
+    coeffs = None
     while i < len(blob):
         assert blob[i] == 0xFF, f"marker sync lost at {i}"
         m = blob[i + 1]
         i += 2
+        if m == 0xD9:  # EOI
+            break
         if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
             continue
         seg_len = struct.unpack(">H", blob[i:i + 2])[0]
@@ -422,15 +559,16 @@ def jfif_decode(blob: bytes, roi: tuple | None = None,
                     tbl = np.frombuffer(seg[j:j + 64], np.uint8).astype(np.int32)
                     j += 64
                 qt[tq] = tbl
-        elif m == 0xC0:  # SOF0 baseline
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
-        elif m in (0xC1, 0xC2, 0xC3):
-            raise NotImplementedError("only baseline SOF0 is supported")
+            progressive = m == 0xC2
+        elif m == 0xC3:
+            raise NotImplementedError("lossless SOF3 is not supported")
         elif m == 0xC4:  # DHT
             j = 0
             while j < len(seg):
@@ -449,8 +587,25 @@ def jfif_decode(blob: bytes, roi: tuple | None = None,
                 cs, tds = seg[1 + 2 * c], seg[2 + 2 * c]
                 comp = next(x for x in comps if x["id"] == cs)
                 scan_comps.append((comp, tds >> 4, tds & 15))
-            i += seg_len
-            break
+            if not progressive:
+                i += seg_len
+                break
+            # progressive: decode this scan now, keep walking markers
+            ss_, se_ = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if coeffs is None:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                coeffs = {c["id"]: np.zeros(
+                    (mcuy * c["v"] * mcux * c["h"], 64), np.int32)
+                    for c in comps}
+            i = _progressive_scan(blob, i + seg_len, restart, comps,
+                                  scan_comps, huff, coeffs, mcux, mcuy,
+                                  hmax, vmax, w, h, ss_, se_,
+                                  ahal >> 4, ahal & 15)
+            continue
         i += seg_len
     assert scan_comps is not None, "no SOS marker"
 
@@ -460,27 +615,28 @@ def jfif_decode(blob: bytes, roi: tuple | None = None,
     mcuy = -(-h // (8 * vmax))
     zz = _JFIF_ZZ
 
-    coeffs = {c["id"]: np.zeros((mcuy * c["v"] * mcux * c["h"], 64),
-                                np.int32) for c in comps}
-    n_mcu = mcux * mcuy
-    scan = _entropy_decode_native(blob, i, n_mcu, restart, comps,
-                                  scan_comps, huff)
-    if scan is not None:
-        # scatter scan-ordered blocks into the per-component coefficient
-        # grids (vectorized over MCUs)
-        mcus = np.arange(n_mcu)
-        my, mx = np.divmod(mcus, mcux)
-        j = 0
-        for comp, _td, _ta in scan_comps:
-            cid, ch, cv = comp["id"], comp["h"], comp["v"]
-            for by in range(cv):
-                for bx in range(ch):
-                    dest = (my * cv + by) * (mcux * ch) + mx * ch + bx
-                    coeffs[cid][dest] = scan[:, j]
-                    j += 1
-    else:
-        _entropy_decode_python(blob, i, n_mcu, restart, comps, scan_comps,
-                               huff, coeffs, mcux)
+    if not progressive:
+        coeffs = {c["id"]: np.zeros((mcuy * c["v"] * mcux * c["h"], 64),
+                                    np.int32) for c in comps}
+        n_mcu = mcux * mcuy
+        scan = _entropy_decode_native(blob, i, n_mcu, restart, comps,
+                                      scan_comps, huff)
+        if scan is not None:
+            # scatter scan-ordered blocks into the per-component
+            # coefficient grids (vectorized over MCUs)
+            mcus = np.arange(n_mcu)
+            my, mx = np.divmod(mcus, mcux)
+            j = 0
+            for comp, _td, _ta in scan_comps:
+                cid, ch, cv = comp["id"], comp["h"], comp["v"]
+                for by in range(cv):
+                    for bx in range(ch):
+                        dest = (my * cv + by) * (mcux * ch) + mx * ch + bx
+                        coeffs[cid][dest] = scan[:, j]
+                        j += 1
+        else:
+            _entropy_decode_python(blob, i, n_mcu, restart, comps,
+                                   scan_comps, huff, coeffs, mcux)
 
     # pixel pipeline: dequant + IDCT + plane assembly + upsample. With an
     # ROI only the covered blocks enter the (device) IDCT stage.
