@@ -370,6 +370,29 @@ def test_tiff_multi_image(tmp_path, rng):
     np.testing.assert_array_equal(np.asarray(pim), imgs[1])
 
 
+def test_jpeg_encode_subsampling_modes(rng):
+    """Full nvJPEG CSS set on the encoder (NVJPEG_CSS_444/422/420/440/411):
+    every mode emits a stream libjpeg decodes near the original, and our
+    own decoder agrees with libjpeg on our streams."""
+    import io
+
+    from PIL import Image
+
+    from tpumathlib.image.jpeg import jfif_decode, jfif_encode
+
+    y, x = np.mgrid[0:41, 0:53]
+    img = np.stack([(y * 3) % 256, (x * 3) % 256, (x + y) % 256],
+                   -1).astype(np.uint8)
+    for sub in ("444", "422", "420", "440", "411"):
+        blob = jfif_encode(img, quality=95, subsampling=sub)
+        pil = np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
+        assert np.mean(np.abs(pil.astype(int) - img.astype(int))) < 3.0, sub
+        ours = jfif_decode(blob)
+        assert np.mean(np.abs(ours.astype(int) - img.astype(int))) < 3.0, sub
+    with pytest.raises(ValueError):
+        jfif_encode(img, subsampling="410")
+
+
 def test_jpeg_progressive_decode(rng):
     """Progressive (SOF2) decode — spectral selection + successive
     approximation + EOB runs (≙ nvJPEG's progressive support in the

@@ -739,17 +739,31 @@ def _pool2x2(p):
     return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) * 0.25
 
 
+# chroma (horizontal, vertical) downsample factors per CSS mode
+# (≙ nvjpegChromaSubsampling_t NVJPEG_CSS_444/422/420/440/411)
+_SUBSAMP = {"444": (1, 1), "422": (2, 1), "420": (2, 2), "440": (1, 2),
+            "411": (4, 1)}
+
+
+def _pool(p, sx: int, sy: int):
+    """Mean-pool a plane by (sy, sx) — the chroma downsample."""
+    if sx == 1 and sy == 1:
+        return p
+    h, w = p.shape
+    return p.reshape(h // sy, sy, w // sx, sx).mean(axis=(1, 3))
+
+
 @functools.partial(jax.jit, static_argnames=("subsampling",))
 def _encode_pixel_rgb(img, qlum, qchr, subsampling: str):
     """Whole RGB pixel pipeline in ONE device dispatch (color transform,
-    optional 4:2:0 pooling, DCT, quantization, zigzag for all three
-    planes) — the ~35 ms tunnel dispatch latency dominates per-stage
-    calls at single-image sizes."""
+    chroma pooling per the CSS mode, DCT, quantization, zigzag for all
+    three planes) — the ~35 ms tunnel dispatch latency dominates
+    per-stage calls at single-image sizes."""
     ycc = rgb_to_ycbcr(img)
     y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
-    if subsampling == "420":
-        cb = _pool2x2(cb)
-        cr = _pool2x2(cr)
+    sx, sy = _SUBSAMP[subsampling]
+    cb = _pool(cb, sx, sy)
+    cr = _pool(cr, sx, sy)
     return (_encode_blocks_jfif(y, qlum),
             _encode_blocks_jfif(cb, qchr),
             _encode_blocks_jfif(cr, qchr))
@@ -948,16 +962,19 @@ def _entropy_encode(scan, comp_ids, tab_ids, ntab: int):
 
 def jfif_encode(image, quality: int = 75, subsampling: str = "444") -> bytes:
     """Encode uint8 (H, W) gray or (H, W, 3) RGB into a REAL baseline JFIF
-    stream (opens in libjpeg/Pillow). subsampling: "444" | "420".
+    stream (opens in libjpeg/Pillow). subsampling: "444" | "422" | "420" |
+    "440" | "411".
 
-    ≙ nvjpegEncodeImage with NVJPEG_CSS_444/420
+    ≙ nvjpegEncodeImage with NVJPEG_CSS_444/422/420/440/411
     (nvJPEG/nvJPEG-Encoder-MultipleInstances/nvJPEG-Encoder.cpp)."""
     img = np.asarray(image)
     true_h, true_w = img.shape[:2]
     gray = img.ndim == 2
-    mcu = 8 if gray or subsampling == "444" else 16
-    ph = -true_h % mcu
-    pw = -true_w % mcu
+    if not gray and subsampling not in _SUBSAMP:
+        raise ValueError(f"subsampling must be one of {set(_SUBSAMP)}")
+    sx, sy = (1, 1) if gray else _SUBSAMP[subsampling]
+    ph = -true_h % (8 * sy)
+    pw = -true_w % (8 * sx)
     if ph or pw:
         img = np.pad(img, ((0, ph), (0, pw)) + ((0, 0),) * (img.ndim - 2),
                      mode="edge")
@@ -974,31 +991,34 @@ def jfif_encode(image, quality: int = 75, subsampling: str = "444") -> bytes:
         planes = [np.asarray(p) for p in _encode_pixel_rgb(
             jnp.asarray(img, jnp.float32), jnp.asarray(qlum),
             jnp.asarray(qchr), subsampling)]
-        samp = ([(2, 2), (1, 1), (1, 1)] if subsampling == "420"
-                else [(1, 1), (1, 1), (1, 1)])
+        samp = [(sx, sy), (1, 1), (1, 1)]
         qsel = [0, 1, 1]
 
     ncomp = len(planes)
     # MCU-interleaved scan order as ONE array + per-block comp/table ids
     # (vectorized — the entropy stage consumes scan-ordered blocks)
     planes_np = [np.ascontiguousarray(p, np.int32) for p in planes]
-    if ncomp == 1 or subsampling == "444":
+    if ncomp == 1 or (sx, sy) == (1, 1):
         scan = np.stack(planes_np, axis=1).reshape(-1, 64)
         comp_ids = np.tile(np.arange(ncomp, dtype=np.uint8),
                            planes_np[0].shape[0])
         tab_ids = np.minimum(comp_ids, 1).astype(np.uint8)
     else:
-        mh, mw = h // 16, w // 16
-        ybw, cbw = w // 8, w // 16
+        mh, mw = h // (8 * sy), w // (8 * sx)
+        ybw, cbw = w // 8, w // (8 * sx)
         m = np.arange(mh * mw)
         r, c = np.divmod(m, mw)
-        scan = np.empty((mh * mw * 6, 64), np.int32)
-        for j, (dy, dx_) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
-            scan[j::6] = planes_np[0][(2 * r + dy) * ybw + 2 * c + dx_]
-        scan[4::6] = planes_np[1][r * cbw + c]
-        scan[5::6] = planes_np[2][r * cbw + c]
-        comp_ids = np.tile(np.array([0, 0, 0, 0, 1, 2], np.uint8), mh * mw)
-        tab_ids = np.tile(np.array([0, 0, 0, 0, 1, 1], np.uint8), mh * mw)
+        n_y = sx * sy
+        stride = n_y + 2
+        scan = np.empty((mh * mw * stride, 64), np.int32)
+        for j in range(n_y):
+            dy, dx_ = divmod(j, sx)
+            scan[j::stride] = planes_np[0][(sy * r + dy) * ybw
+                                           + sx * c + dx_]
+        scan[n_y::stride] = planes_np[1][r * cbw + c]
+        scan[n_y + 1::stride] = planes_np[2][r * cbw + c]
+        comp_ids = np.tile(np.array([0] * n_y + [1, 2], np.uint8), mh * mw)
+        tab_ids = np.tile(np.array([0] * n_y + [1, 1], np.uint8), mh * mw)
     ntab = 1 if ncomp == 1 else 2
     data, dht = _entropy_encode(scan, comp_ids, tab_ids, ntab)
 
