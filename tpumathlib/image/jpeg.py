@@ -264,7 +264,12 @@ def _decode_pixel_fused(sels, qs, meta):
             plane = jnp.repeat(plane, sy, 0)
         if sx > 1:
             plane = jnp.repeat(plane, sx, 1)
-        planes.append(plane[oy:oy + rh, ox:ox + rw])
+        # clamp each COMPONENT to its sample range before the color
+        # transform — libjpeg stores uint8 component rows, so extreme
+        # IDCT overshoots saturate per-plane first (visible at
+        # saturated-chroma pixels otherwise)
+        planes.append(jnp.clip(jnp.round(plane[oy:oy + rh, ox:ox + rw]),
+                               0.0, 255.0))
     out = (planes[0] if len(planes) == 1
            else ycbcr_to_rgb(jnp.stack(planes, axis=-1)) if ycc
            else jnp.stack(planes, axis=-1))
@@ -682,7 +687,8 @@ def jfif_decode(blob: bytes, roi: tuple | None = None,
         plane = blocks.reshape(rby, rbx, 8, 8).transpose(0, 2, 1, 3)
         plane = plane.reshape(rby * 8, rbx * 8)
         plane = np.repeat(np.repeat(plane, sy, 0), sx, 1)
-        planes.append(plane[oy:oy + rh, ox:ox + rw])
+        planes.append(np.clip(np.round(plane[oy:oy + rh, ox:ox + rw]),
+                              0.0, 255.0))
     if len(planes) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     ycc = np.stack(planes, axis=-1)
