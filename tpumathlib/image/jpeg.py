@@ -566,6 +566,7 @@ def jfif_decode(blob: bytes, roi: tuple | None = None,
                 qt[tq] = tbl
         elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            assert _prec == 8, f"only 8-bit precision supported ({_prec})"
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
@@ -738,11 +739,6 @@ def _encode_blocks_jfif(img, qtab):
     blocks = img.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
     co = jnp.round(dct8x8(blocks - 128.0) / qtab).astype(jnp.int32)
     return co.reshape(-1, 64)[:, jnp.asarray(_JFIF_ZZ)]
-
-
-@jax.jit
-def _pool2x2(p):
-    return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) * 0.25
 
 
 # chroma (horizontal, vertical) downsample factors per CSS mode
@@ -976,7 +972,7 @@ def jfif_encode(image, quality: int = 75, subsampling: str = "444") -> bytes:
     img = np.asarray(image)
     true_h, true_w = img.shape[:2]
     gray = img.ndim == 2
-    if not gray and subsampling not in _SUBSAMP:
+    if subsampling not in _SUBSAMP:
         raise ValueError(f"subsampling must be one of {set(_SUBSAMP)}")
     sx, sy = (1, 1) if gray else _SUBSAMP[subsampling]
     ph = -true_h % (8 * sy)

@@ -409,7 +409,7 @@ def _read_one_ifd(buf: bytes, ifd_off: int, bigtiff: bool, e: str = "<"):
     else:
         (ntags,) = struct.unpack_from(f"{e}H", buf, ifd_off)
         base, esize, cap, cfmt = ifd_off + 2, 12, 4, "I"
-    tags = {"__endian__": e}
+    tags = {}
     for i in range(ntags):
         tid, ttype, count = struct.unpack_from(f"{e}HH{cfmt}", buf,
                                                base + i * esize)
@@ -431,6 +431,7 @@ def _read_one_ifd(buf: bytes, ifd_off: int, bigtiff: bool, e: str = "<"):
 
 
 def _read_ifds(buf: bytes):
+    """Parse all IFDs. Returns (list_of_tag_dicts, endian_char)."""
     endian, magic = struct.unpack("<2sH", buf[:4])
     assert endian in (b"II", b"MM"), f"not a TIFF ({endian!r})"
     e = "<" if endian == b"II" else ">"
@@ -447,7 +448,7 @@ def _read_ifds(buf: bytes):
     while ifd_off:
         tags, ifd_off = _read_one_ifd(buf, ifd_off, bigtiff, e)
         out.append(tags)
-    return out
+    return out, e
 
 
 def tiff_info(path: str) -> dict:
@@ -456,7 +457,7 @@ def tiff_info(path: str) -> dict:
     ``images`` list alongside."""
     with open(path, "rb") as f:
         buf = f.read()
-    ifds = _read_ifds(buf)
+    ifds, _e = _read_ifds(buf)
 
     def one(t):
         info = {
@@ -508,7 +509,8 @@ def _undo_predictor(arr: np.ndarray) -> np.ndarray:
         arr.dtype.newbyteorder("="))
 
 
-def _decode_ifd(buf: bytes, t: dict, region: tuple | None):
+def _decode_ifd(buf: bytes, t: dict, region: tuple | None,
+                endian: str = "<"):
     """Decode one IFD, with REGION PUSHDOWN: only the strips/tiles that
     intersect ``region`` are entropy-decoded (≙ nvtiffDecodeRange's
     partial decode in nvTIFF-Batched-Region-Decode)."""
@@ -520,8 +522,7 @@ def _decode_ifd(buf: bytes, t: dict, region: tuple | None):
         assert len(set(bits)) == 1, f"mixed bits-per-sample {bits}"
         bits = bits[0]
     assert bits in (8, 16), f"unsupported bits-per-sample {bits}"
-    dt = np.uint8 if bits == 8 else np.dtype(
-        t.get("__endian__", "<") + "u2")
+    dt = np.uint8 if bits == 8 else np.dtype(endian + "u2")
     bpp = bits // 8
     tiled = _TAG_TILE_OFFSETS in t
     off_tag, cnt_tag = (_TAG_TILE_OFFSETS, _TAG_TILE_COUNTS) if tiled \
@@ -598,8 +599,8 @@ def tiff_read(path: str, region: tuple | None = None, index: int = 0):
     batched-region-decode behavior (≙ nvtiffDecodeRange)."""
     with open(path, "rb") as f:
         buf = f.read()
-    ifds = _read_ifds(buf)
-    return _decode_ifd(buf, ifds[index], region)
+    ifds, e = _read_ifds(buf)
+    return _decode_ifd(buf, ifds[index], region, e)
 
 
 def tiff_read_regions(path: str, regions, index: int = 0,
@@ -612,13 +613,15 @@ def tiff_read_regions(path: str, regions, index: int = 0,
     deflate/JPEG entropy stages release the GIL in zlib/native code)."""
     with open(path, "rb") as f:
         buf = f.read()
-    t = _read_ifds(buf)[index]
+    ifds, e = _read_ifds(buf)
+    t = ifds[index]
     if threads > 1:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(threads) as pool:
-            return list(pool.map(lambda r: _decode_ifd(buf, t, r), regions))
-    return [_decode_ifd(buf, t, r) for r in regions]
+            return list(pool.map(lambda r: _decode_ifd(buf, t, r, e),
+                                 regions))
+    return [_decode_ifd(buf, t, r, e) for r in regions]
 
 
 def tiff_read_all(path: str) -> list:
@@ -626,7 +629,8 @@ def tiff_read_all(path: str) -> list:
     full stream)."""
     with open(path, "rb") as f:
         buf = f.read()
-    return [_decode_ifd(buf, t, None) for t in _read_ifds(buf)]
+    ifds, e = _read_ifds(buf)
+    return [_decode_ifd(buf, t, None, e) for t in ifds]
 
 
 # ---------------- GeoTIFF ----------------
@@ -664,9 +668,9 @@ def geotiff_read(path: str, index: int = 0):
     nvTIFF-GeoTIFF-Decode-Encode, which prints these tags)."""
     with open(path, "rb") as f:
         buf = f.read()
-    ifds = _read_ifds(buf)
+    ifds, e = _read_ifds(buf)
     t = ifds[index]
-    img = _decode_ifd(buf, t, None)
+    img = _decode_ifd(buf, t, None, e)
     geo = {}
     if TAG_MODEL_PIXEL_SCALE in t:
         geo["pixel_scale"] = tuple(np.atleast_1d(t[TAG_MODEL_PIXEL_SCALE]))
