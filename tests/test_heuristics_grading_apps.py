@@ -157,6 +157,21 @@ def test_gemm_gemm(rng):
                     np.asarray(a) @ np.asarray(b) @ np.asarray(c), rtol=1e-4)
 
 
+def test_fft_convolution_3d(rng):
+    """3-D circular convolution via planar FFTs (≙ cuFFTDx
+    07_convolution_3d) vs a scipy.ndimage/NumPy direct reference."""
+    from tpumathlib.dx.fused import fft_convolution_nd
+
+    x = rng.normal(size=(2, 8, 16, 32)).astype(np.float32)
+    k = rng.normal(size=(8, 16, 32)).astype(np.float32)
+    got = np.asarray(fft_convolution_nd(jnp.asarray(x), jnp.asarray(k),
+                                        naxes=3))
+    want = np.real(np.fft.ifftn(
+        np.fft.fftn(x, axes=(-3, -2, -1))
+        * np.fft.fftn(k, axes=(-3, -2, -1)), axes=(-3, -2, -1)))
+    assert_allclose(got, want, rtol=2e-4, msg="conv3d")
+
+
 def test_fft_convolution(rng):
     n = 128
     x = rng.normal(size=(4, n)).astype(np.float32)

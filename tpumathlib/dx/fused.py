@@ -115,3 +115,27 @@ def fft_convolution(x, kernel):
     yi = xr * ki + xi * kr
     # irfft_planar is unnormalized (cuFFT convention): divide by n
     return irfft_planar(yr, yi, n) / n
+
+
+@functools.partial(jax.jit, static_argnames=("naxes",))
+def fft_convolution_nd(x, kernel, naxes: int = 3):
+    """Circular convolution over the trailing ``naxes`` axes via planar
+    C2C FFTs (≙ cuFFTDx 07_convolution_3d: forward FFT → pointwise
+    filter → inverse FFT in one fused program). Real inputs/output;
+    leading axes of ``x`` beyond ``kernel``'s rank broadcast as batch."""
+    from tpumathlib.fft.kernels import fftn_planar
+
+    shape = x.shape[-naxes:]
+    check(kernel.shape[-naxes:] == shape,
+          "kernel trailing dims must match x")
+    zero = jnp.zeros_like(x)
+    xr, xi = fftn_planar(x.astype(jnp.float32), zero, naxes)
+    kr, ki = fftn_planar(kernel.astype(jnp.float32),
+                         jnp.zeros_like(kernel, jnp.float32), naxes)
+    yr = xr * kr - xi * ki
+    yi = xr * ki + xi * kr
+    out_r, _ = fftn_planar(yr, yi, naxes, inverse=True)
+    scale = 1.0
+    for d in shape:
+        scale *= d
+    return out_r / scale
