@@ -91,6 +91,10 @@ def _vv10_eval(ao, grad, w, pts, da, db, b, c, chunk):
         rho = jnp.einsum("gm,mn,gn->g", ao, dt, ao)
         gr = 2.0 * jnp.einsum("xgm,mn,gn->xg", grad, dt, ao)
         s2 = jnp.einsum("xg,xg->g", gr, gr)
+        if chunk == 0:        # fused Pallas pairwise core
+            from tpumathlib.dx.vv10 import vv10_pair_energy_pallas
+
+            return vv10_pair_energy_pallas(rho, s2, pts, w, b, c)
         return vv10_pair_energy(rho, s2, pts, w, b, c, chunk)
 
     e, (va, vb) = jax.value_and_grad(enl, argnums=(0, 1))(da, db)
@@ -105,7 +109,11 @@ class VV10Integrator:
 
     def __init__(self, shells, mol: Molecule, b: float = 5.9,
                  C: float = 0.0093, n_rad: int = 40, n_theta: int = 10,
-                 n_phi: int = 20, chunk: int = 512):
+                 n_phi: int = 20, chunk: int = 512,
+                 engine: str = "xla"):
+        if engine not in ("xla", "pallas"):
+            raise ValueError(f"engine must be 'xla' or 'pallas': {engine}")
+        self.engine = engine
         self.b, self.c, self.chunk = float(b), float(C), int(chunk)
         pts, w = molecular_grid(mol, n_rad, n_theta, n_phi)
         ao, grad = eval_aos(shells, pts, deriv=1)
@@ -123,10 +131,12 @@ class VV10Integrator:
     def evaluate(self, da, db):
         # grid tensors thread as jit ARGUMENTS (embedding them as jaxpr
         # constants trips the axon remote-compile size limit — CLAUDE.md)
+        # chunk=0 selects the fused Pallas pairwise core (dx/vv10.py)
         return _vv10_eval(self.ao, self.grad, self.w, self.pts,
                           jnp.asarray(da, self.ao.dtype),
                           jnp.asarray(db, self.ao.dtype),
-                          self.b, self.c, self.chunk)
+                          self.b, self.c,
+                          0 if self.engine == "pallas" else self.chunk)
 
 
 def vv10_gradient(mol: Molecule, da, db, shells=None, b: float = 5.9,
