@@ -369,8 +369,35 @@ def bench_gemm(peak):
     }
 
 
+def _probe_backend(timeout_s: int = 600) -> bool:
+    """The axon tunnel can be DOWN (backend init hangs indefinitely —
+    observed for hours in round 4). Probe device init in a subprocess
+    with a hard timeout so the bench fails FAST with a diagnostic line
+    instead of hanging the driver."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=timeout_s)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    import sys
+
     import jax
+
+    if not _probe_backend():
+        print(json.dumps({"metric": "bench_unavailable", "value": 0,
+                          "unit": "tpu_backend_down",
+                          "vs_baseline": 0.0}), flush=True)
+        print("TPU backend init hung/failed — axon tunnel down; "
+              "no measurements possible", file=sys.stderr, flush=True)
+        return
 
     kind = jax.devices()[0].device_kind
     peak = _PEAK.get(kind, 197.0)
