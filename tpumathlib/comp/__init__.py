@@ -71,7 +71,9 @@ def _codec_fns(codec: str):
         # documents the bitstream relationship)
         from tpumathlib.comp import gdeflate as _gd
 
-        return (_gd.compress, _gd.decompress)
+        # buffer-level entry points tile into <=64 KiB pages like the
+        # reference library; single pages decode transparently
+        return (_gd.compress_buffer, _gd.decompress_buffer)
     if codec == "cascaded":
         return (cascaded_compress, cascaded_decompress)
     if codec == "ans":

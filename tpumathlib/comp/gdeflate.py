@@ -30,6 +30,8 @@ _LANES = 32
 
 
 def compress(chunk: bytes) -> bytes:
+    """One GDeflate page (≤ 64 KiB); larger buffers tile through
+    ``compress_buffer`` the way nvCOMP's batched API pages its input."""
     check(len(chunk) <= MAX_PAGE,
           f"gdeflate page must be <= {MAX_PAGE} bytes (got {len(chunk)})")
     from tpumathlib.native import lib
@@ -63,3 +65,40 @@ def decompress(page: bytes, out_size: int) -> bytes:
                               dst, out_size)
     check(n == out_size, "gdeflate: corrupt or truncated page")
     return dst[:out_size].tobytes()
+
+
+def compress_buffer(data: bytes) -> bytes:
+    """Arbitrary-size buffer → multi-page stream (the reference library
+    tiles its input into <=64 KiB pages internally; header: 0x21, page
+    count u32, then per-page (u32 raw_len, u32 comp_len, page))."""
+    import struct
+
+    data = bytes(data)
+    pages = [data[i:i + MAX_PAGE] for i in range(0, len(data), MAX_PAGE)] \
+        or [b""]
+    out = bytearray([0x21]) + struct.pack("<I", len(pages))
+    for p in pages:
+        c = compress(p)
+        out += struct.pack("<II", len(p), len(c)) + c
+    return bytes(out)
+
+
+def decompress_buffer(blob: bytes, out_size: int) -> bytes:
+    """Inverse of ``compress_buffer``; single pages (0x20/0x01 headers)
+    pass through to the page decoder."""
+    import struct
+
+    blob = bytes(blob)
+    check(len(blob) >= 1, "gdeflate: empty stream")
+    if blob[0] != 0x21:
+        return decompress(blob, out_size)
+    (npages,) = struct.unpack_from("<I", blob, 1)
+    off = 5
+    out = bytearray()
+    for _ in range(npages):
+        raw_len, comp_len = struct.unpack_from("<II", blob, off)
+        off += 8
+        out += decompress(blob[off:off + comp_len], raw_len)
+        off += comp_len
+    check(len(out) == out_size, "gdeflate: stream size mismatch")
+    return bytes(out)
