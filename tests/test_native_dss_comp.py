@@ -504,6 +504,24 @@ def test_device_cascaded_roundtrip(rng):
         np.asarray(comp.device_cascaded_decompress(p2, m2)), v)
 
 
+def test_gdeflate_multipage_buffer(rng):
+    """gdeflate tiles >64 KiB buffers into pages like the reference
+    library (found by fuzzing: every other codec accepted arbitrary
+    sizes); single-page streams decode through the same entry point."""
+    from tpumathlib.comp import _codec_fns
+
+    cfun, dfun = _codec_fns("gdeflate")
+    for n in (0, 1, 65536, 65537, 200_000):
+        data = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        assert dfun(cfun(data), n) == data
+    # compressible multi-page data actually compresses
+    runs = bytes(np.repeat(rng.integers(0, 256, 4000, dtype=np.uint8),
+                           50).tobytes())
+    blob = cfun(runs)
+    assert len(blob) < len(runs) // 2
+    assert dfun(blob, len(runs)) == runs
+
+
 def test_device_bitcomp_lossy(rng):
     """Error-bounded lossy float compression (≙ nvCOMP Bitcomp Native API,
     bitcomp_native_lossy.cu: smooth sine data, delta=1.0, verify max
