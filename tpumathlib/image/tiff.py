@@ -466,6 +466,9 @@ def tiff_info(path: str) -> dict:
             "samples_per_pixel": t.get(_TAG_SPP, 1),
             "compression": t.get(_TAG_COMPRESSION, 1),
             "photometric": t.get(_TAG_PHOTOMETRIC, 1),
+            "bits_per_sample": (t.get(_TAG_BITS, 8)[0]
+                                if isinstance(t.get(_TAG_BITS, 8), list)
+                                else t.get(_TAG_BITS, 8)),
         }
         if _TAG_TILE_WIDTH in t:
             info["tile"] = (t[_TAG_TILE_LENGTH], t[_TAG_TILE_WIDTH])
