@@ -236,15 +236,22 @@ class DistributedVV10:
             pts_all = jax.lax.all_gather(pts_l, axis_name, tiled=True)
             nrm_all = jnp.sum(pts_all * pts_all, axis=1)
 
+            # remat, as in vv10_pair_energy: without it the lax.map scan
+            # saves O(G²/devices) Φ intermediates for the backward pass
+            @jax.checkpoint
             def block(args):
                 pi, w0i, ki, wri = args
+                # HIGHEST: the MXU's DEFAULT bf16 demotion costs 2e-4 in
+                # grad[rho] on chip (see apps/vv10.py vv10_pair_energy)
+                hi = jax.lax.Precision.HIGHEST
                 r2 = jnp.maximum(jnp.sum(pi * pi, 1)[:, None]
                                  + nrm_all[None, :]
-                                 - 2.0 * (pi @ pts_all.T), 0.0)
+                                 - 2.0 * jnp.dot(pi, pts_all.T,
+                                                 precision=hi), 0.0)
                 gi = w0i[:, None] * r2 + ki[:, None]
                 gj = w0_all[None, :] * r2 + k_all[None, :]
                 phi = -1.5 / (gi * gj * (gi + gj))
-                return jnp.sum(wri * (phi @ wr_all))
+                return jnp.sum(wri * jnp.dot(phi, wr_all, precision=hi))
 
             inner = jax.lax.map(
                 block, (pts_l.reshape(-1, chunk, 3),

@@ -66,15 +66,29 @@ def vv10_pair_energy(rho, s2, pts, w, b: float, C: float,
     wr_p = jnp.pad(wr, (0, pad))
     nrm = jnp.sum(pts_p * pts_p, axis=1)
 
+    # remat: under autodiff, lax.map (a scan) would otherwise stash every
+    # chunk's (chunk, G) Φ/g intermediates for the backward pass — O(G²)
+    # residual memory that OOMs production-size grids (measured: G=40960
+    # value_and_grad exhausted HBM on chip). Recomputing the pairwise
+    # block in the backward sweep keeps residuals O(G).
+    @jax.checkpoint
     def block(args):
         pi, w0i, ki, wri, ni = args
-        # R² via the Gram identity — the MXU does the heavy (chunk, G) part
-        r2 = jnp.maximum(ni[:, None] + nrm[None, :]
-                         - 2.0 * (pi @ pts_p.T), 0.0)
+        # R² via the Gram identity — the MXU does the heavy (chunk, G)
+        # part. HIGHEST precision is mandatory on chip: at DEFAULT the
+        # MXU demotes the f32 coordinates to bf16 (NOTES_r2) which was
+        # measured to put 2.2e-4 rel error into grad[rho] vs an f64
+        # oracle, while the elementwise Pallas engine sat at 2.5e-7
+        # (round-4 chip diagnosis). k=3, so the extra passes are free.
+        r2 = jnp.maximum(
+            ni[:, None] + nrm[None, :]
+            - 2.0 * jnp.dot(pi, pts_p.T,
+                            precision=jax.lax.Precision.HIGHEST), 0.0)
         gi = w0i[:, None] * r2 + ki[:, None]
         gj = w0_p[None, :] * r2 + k_p[None, :]
         phi = -1.5 / (gi * gj * (gi + gj))
-        return wri * (phi @ wr_p)
+        return wri * jnp.dot(phi, wr_p,
+                             precision=jax.lax.Precision.HIGHEST)
 
     inner = jax.lax.map(
         block,

@@ -24,10 +24,15 @@ pairwise sweep, fused in a second kernel. The ρ→(wr, w0, κ) chain stays
 in JAX autodiff, so `jax.grad` through `vv10_pair_energy_pallas` gives
 the same potential matrices as the XLA path.
 
-STATUS: validated in interpret mode against apps.vv10 (values + grads);
-on-chip validation pending the tunnel (every kernel stage must be
-re-verified ON CHIP before perf claims — interpret mode hides Mosaic
-miscompiles, see NOTES_r2).
+STATUS (chip-verified, round 4): at G=1500 energies match the XLA path
+bit-exactly and all four gradients agree to ≤7.5e-7 rel-max (and to
+1.5e-7 of a CPU-f64 oracle — the diagnosis that found the XLA path's
+own MXU DEFAULT-precision bug, see apps/vv10.py). A/B at G=40960 on the
+v5e: forward 145.4 Gpairs/s vs 66.5 XLA (2.2x), value_and_grad 41.8 ms
+vs 92.4 XLA (2.2x). The grid is 2-D (i_blocks, j_tiles) with the
+outputs revisited/accumulated across j steps, so VMEM stays (BM, BJ)
+regardless of G (a full-row j BlockSpec OOMed scoped VMEM at G=40960);
+BJ=2048 measured best of {1024: 119.7, 2048: 145.4} Gpairs/s.
 """
 
 from __future__ import annotations
@@ -42,62 +47,55 @@ from jax.experimental import pallas as pl
 from tpumathlib.dx.pallas_utils import interpret_mode
 
 _BM = 128          # i-rows per grid step
-_BJ = 1024         # j-lane tile width inside the kernel
+_BJ = 2048         # j-lane tile width inside the kernel
 
 
 def _fwd_kernel(wr_i, w0_i, k_i, px_i, py_i, pz_i,
-                wr_j, w0_j, k_j, px_j, py_j, pz_j, out, *, nj_tiles):
-    acc = jnp.zeros(out.shape, jnp.float32)
-    xi, yi, zi = px_i[...], py_i[...], pz_i[...]
-    gi_w, gi_k = w0_i[...], k_i[...]
-    for t in range(nj_tiles):
-        sl = slice(t * _BJ, (t + 1) * _BJ)
-        dx = xi - px_j[:, sl]
-        dy = yi - py_j[:, sl]
-        dz = zi - pz_j[:, sl]
-        r2 = dx * dx + dy * dy + dz * dz
-        gi = gi_w * r2 + gi_k
-        gj = w0_j[:, sl] * r2 + k_j[:, sl]
-        phi = -1.5 / (gi * gj * (gi + gj))
-        acc = acc + jnp.sum(phi * wr_j[:, sl], axis=1, keepdims=True)
-    out[...] = acc
+                wr_j, w0_j, k_j, px_j, py_j, pz_j, out):
+    # grid = (i_blocks, j_tiles): j is the minor grid dim, so `out` is
+    # revisited across j steps and accumulates — VMEM use is (BM, BJ)
+    # regardless of G (a full-row j spec OOMed scoped VMEM at G=40960).
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        out[...] = jnp.zeros(out.shape, jnp.float32)
+
+    dx = px_i[...] - px_j[...]
+    dy = py_i[...] - py_j[...]
+    dz = pz_i[...] - pz_j[...]
+    r2 = dx * dx + dy * dy + dz * dz
+    gi = w0_i[...] * r2 + k_i[...]
+    gj = w0_j[...] * r2 + k_j[...]
+    phi = -1.5 / (gi * gj * (gi + gj))
+    out[...] += jnp.sum(phi * wr_j[...], axis=1, keepdims=True)
 
 
 def _bwd_kernel(wr_i, w0_i, k_i, px_i, py_i, pz_i,
                 wr_j, w0_j, k_j, px_j, py_j, pz_j,
-                s1, s2, sx, sy, sz, *, nj_tiles):
-    a1 = jnp.zeros(s1.shape, jnp.float32)
-    a2 = jnp.zeros(s1.shape, jnp.float32)
-    ax = jnp.zeros(s1.shape, jnp.float32)
-    ay = jnp.zeros(s1.shape, jnp.float32)
-    az = jnp.zeros(s1.shape, jnp.float32)
-    xi, yi, zi = px_i[...], py_i[...], pz_i[...]
-    gi_w, gi_k = w0_i[...], k_i[...]
-    for t in range(nj_tiles):
-        sl = slice(t * _BJ, (t + 1) * _BJ)
-        dx = xi - px_j[:, sl]
-        dy = yi - py_j[:, sl]
-        dz = zi - pz_j[:, sl]
-        r2 = dx * dx + dy * dy + dz * dz
-        w0j = w0_j[:, sl]
-        gi = gi_w * r2 + gi_k
-        gj = w0j * r2 + k_j[:, sl]
-        gij = gi + gj
-        phi = -1.5 / (gi * gj * gij)
-        pgi = -phi * (1.0 / gi + 1.0 / gij)
-        pgj = -phi * (1.0 / gj + 1.0 / gij)
-        wrj = wr_j[:, sl]
-        a1 = a1 + jnp.sum(wrj * pgi * r2, axis=1, keepdims=True)
-        a2 = a2 + jnp.sum(wrj * pgi, axis=1, keepdims=True)
-        tij = wrj * (pgi * gi_w + pgj * w0j)
-        ax = ax + jnp.sum(tij * dx, axis=1, keepdims=True)
-        ay = ay + jnp.sum(tij * dy, axis=1, keepdims=True)
-        az = az + jnp.sum(tij * dz, axis=1, keepdims=True)
-    s1[...] = a1
-    s2[...] = a2
-    sx[...] = 2.0 * ax
-    sy[...] = 2.0 * ay
-    sz[...] = 2.0 * az
+                s1, s2, sx, sy, sz):
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        for o in (s1, s2, sx, sy, sz):
+            o[...] = jnp.zeros(o.shape, jnp.float32)
+
+    dx = px_i[...] - px_j[...]
+    dy = py_i[...] - py_j[...]
+    dz = pz_i[...] - pz_j[...]
+    r2 = dx * dx + dy * dy + dz * dz
+    w0j = w0_j[...]
+    gi_w = w0_i[...]
+    gi = gi_w * r2 + k_i[...]
+    gj = w0j * r2 + k_j[...]
+    gij = gi + gj
+    phi = -1.5 / (gi * gj * gij)
+    pgi = -phi * (1.0 / gi + 1.0 / gij)
+    pgj = -phi * (1.0 / gj + 1.0 / gij)
+    wrj = wr_j[...]
+    s1[...] += jnp.sum(wrj * pgi * r2, axis=1, keepdims=True)
+    s2[...] += jnp.sum(wrj * pgi, axis=1, keepdims=True)
+    tij = wrj * (pgi * gi_w + pgj * w0j)
+    sx[...] += 2.0 * jnp.sum(tij * dx, axis=1, keepdims=True)
+    sy[...] += 2.0 * jnp.sum(tij * dy, axis=1, keepdims=True)
+    sz[...] += 2.0 * jnp.sum(tij * dz, axis=1, keepdims=True)
 
 
 def _pad_channels(wr, w0, kappa, pts):
@@ -114,16 +112,15 @@ def _pad_channels(wr, w0, kappa, pts):
 
 def _call(kernel, nout, wr, w0, kappa, pts):
     gp = wr.shape[0]
-    nj_tiles = gp // _BJ
     cols = [wr, w0, kappa, pts[:, 0], pts[:, 1], pts[:, 2]]
     i_side = [c.reshape(gp, 1) for c in cols]
     j_side = [c.reshape(1, gp) for c in cols]
-    i_spec = pl.BlockSpec((_BM, 1), lambda i: (i, 0))
-    j_spec = pl.BlockSpec((1, gp), lambda i: (0, 0))
-    o_spec = pl.BlockSpec((_BM, 1), lambda i: (i, 0))
+    i_spec = pl.BlockSpec((_BM, 1), lambda i, j: (i, 0))
+    j_spec = pl.BlockSpec((1, _BJ), lambda i, j: (0, j))
+    o_spec = pl.BlockSpec((_BM, 1), lambda i, j: (i, 0))
     outs = pl.pallas_call(
-        functools.partial(kernel, nj_tiles=nj_tiles),
-        grid=(gp // _BM,),
+        kernel,
+        grid=(gp // _BM, gp // _BJ),
         in_specs=[i_spec] * 6 + [j_spec] * 6,
         out_specs=[o_spec] * nout,
         out_shape=[jax.ShapeDtypeStruct((gp, 1), jnp.float32)] * nout,
