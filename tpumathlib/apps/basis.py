@@ -207,6 +207,8 @@ _ALIASES = {
     "def2-universal-jkfit": "def2-universal-jkfit",
     "def2-jkfit": "def2-universal-jkfit",
     "def2-svp-ecp": "def2-svp-ecp",
+    "def2-svp-rifit": "def2-svp-rifit",
+    "def2-rifit": "def2-svp-rifit",
 }
 
 
@@ -215,8 +217,9 @@ def load_basis(name: str):
     """Load a packaged basis set: {symbol: [(l, exps, coefs), ...]}.
 
     Available: def2-svp (orbital), def2-universal-jkfit (Coulomb/exchange
-    fitting auxiliary), def2-svp-ecp (valence basis for post-Kr elements;
-    the matching ECP potentials load via load_ecp)."""
+    fitting auxiliary), def2-svp-rifit (correlation RI auxiliary, for
+    MP2-class MO integrals), def2-svp-ecp (valence basis for post-Kr
+    elements; the matching ECP potentials load via load_ecp)."""
     key = _ALIASES.get(name.lower().replace("_", "-"))
     if key is None:
         raise ValueError(f"unknown basis {name!r}; have {sorted(set(_ALIASES.values()))}")

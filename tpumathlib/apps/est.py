@@ -342,7 +342,7 @@ class DFTensors:
 def rhf(mol: Molecule, max_iters: int = 80, conv: float = 1e-9,
         density_fit: bool = False, guess: str = "core",
         return_iters: bool = False, shells=None, basis: str | None = None,
-        aux_basis: str | None = None):
+        aux_basis: str | None = None, hcore_extra=None):
     """General-ℓ restricted Hartree–Fock with DIIS. Returns
     (E_total, C, eps) — plus the iteration count when return_iters.
     density_fit=True builds J/K from DF tensors. guess: "core" (Hcore
@@ -373,6 +373,11 @@ def rhf(mol: Molecule, max_iters: int = 80, conv: float = 1e-9,
     if c_t is not None:
         s = c_t @ s @ c_t.T
         hcore = c_t @ hcore @ c_t.T
+    if hcore_extra is not None:
+        # finite-field / external-potential hook (already in the
+        # SPHERICAL function space): H_core += extra. Used by the CPHF
+        # finite-field oracle (apps/cphf.py) and general embedding.
+        hcore = hcore + np.asarray(hcore_extra, float)
     nocc = mol.nelec // 2
     if density_fit:
         eri_np = None
