@@ -185,6 +185,82 @@ def f_vwn5_c(ra, rb, xp=jnp):
     return rho * eps
 
 
+def f_vwn1rpa_c(ra, rb, xp=jnp):
+    """VWN formula I with the RPA parameterization — the LDA correlation
+    entering Gaussian-convention B3LYP (the reference's 'B3LYP1'
+    functional id; 'B3LYP5' uses f_vwn5_c). VWN1 interpolates the para/
+    ferro fits with f(ζ) directly (no spin-stiffness term)."""
+    rho = xp.maximum(ra + rb, 1e-30)
+    zeta = xp.clip((ra - rb) / rho, -1.0 + 1e-15, 1.0 - 1e-15)
+    rs = (3.0 / (4.0 * np.pi * rho)) ** (1.0 / 3.0)
+    e_p = _vwn_eps(rs, 0.0310907, 13.0720, 42.7198, -0.409286, xp)
+    e_f = _vwn_eps(rs, 0.01554535, 20.1231, 101.578, -0.743294, xp)
+    fz = (((1.0 + zeta) ** (4.0 / 3.0) + (1.0 - zeta) ** (4.0 / 3.0) - 2.0)
+          / (2.0 ** (4.0 / 3.0) - 2.0))
+    return rho * (e_p + (e_f - e_p) * fz)
+
+
+def f_b88_x_corr(ra, rb, saa, sab, sbb, xp=jnp):
+    """Becke 88 gradient CORRECTION to LSDA exchange [PRA 38, 3098]:
+    ΔE_x = −β Σ_σ ∫ ρ_σ^{4/3} x_σ² / (1 + 6β x_σ asinh x_σ),
+    x_σ = |∇ρ_σ|/ρ_σ^{4/3}. Kept separate from the LDA part because
+    B3LYP scales the correction (0.72) and the LDA term (0.80)
+    differently."""
+    beta = 0.0042
+
+    def one(r, s):
+        r = xp.maximum(r, 1e-30)
+        r43 = r ** (4.0 / 3.0)
+        x = xp.sqrt(xp.maximum(s, 1e-35)) / r43
+        return -beta * r43 * x * x / (1.0 + 6.0 * beta * x
+                                      * xp.arcsinh(x))
+
+    return one(ra, saa) + one(rb, sbb)
+
+
+def f_b88_x(ra, rb, saa, sab, sbb, xp=jnp):
+    """Full B88 exchange = Slater LSDA + the B88 gradient correction."""
+    return f_slater_x(ra, rb, xp) + f_b88_x_corr(ra, rb, saa, sab, sbb, xp)
+
+
+_LYP_CF = 0.3 * (3.0 * np.pi ** 2) ** (2.0 / 3.0)
+
+
+def f_lyp_c(ra, rb, saa, sab, sbb, xp=jnp):
+    """Lee–Yang–Parr correlation in the Laplacian-free Miehlich form
+    [CPL 157, 200 (1989) Eq. 2] — the form every production code
+    integrates (the original LYP ∇²ρ terms removed by parts):
+
+    E_c = −a ∫ 4/(1+dρ^{-1/3}) ρ_α ρ_β / ρ
+          −a b ∫ ω [ ρ_α ρ_β (2^{11/3} C_F (ρ_α^{8/3}+ρ_β^{8/3})
+              + (47/18 − 7δ/18) σ − (5/2 − δ/18)(σ_αα+σ_ββ)
+              − (δ−11)/9 (ρ_α σ_αα + ρ_β σ_ββ)/ρ )
+              − (2/3)ρ² σ + ((2/3)ρ² − ρ_α²) σ_ββ
+              + ((2/3)ρ² − ρ_β²) σ_αα ]
+    ω = e^{−cρ^{-1/3}} ρ^{-11/3}/(1+dρ^{-1/3}),
+    δ = cρ^{-1/3} + dρ^{-1/3}/(1+dρ^{-1/3})."""
+    a, b, c, d = 0.04918, 0.132, 0.2533, 0.349
+    rho = xp.maximum(ra + rb, 1e-30)
+    sig = saa + 2.0 * sab + sbb
+    t = rho ** (-1.0 / 3.0)          # ρ^{-1/3}
+    den = 1.0 / (1.0 + d * t)
+    omega = xp.exp(-c * t) * den * t ** 11
+    delta = c * t + d * t * den
+    rab = ra * rb
+    term_lda = -4.0 * a * den * rab / rho
+    bracket = (rab * (2.0 ** (11.0 / 3.0) * _LYP_CF
+                      * (xp.maximum(ra, 0.0) ** (8.0 / 3.0)
+                         + xp.maximum(rb, 0.0) ** (8.0 / 3.0))
+                      + (47.0 / 18.0 - 7.0 * delta / 18.0) * sig
+                      - (2.5 - delta / 18.0) * (saa + sbb)
+                      - (delta - 11.0) / 9.0
+                      * (ra * saa + rb * sbb) / rho)
+               - (2.0 / 3.0) * rho * rho * sig
+               + ((2.0 / 3.0) * rho * rho - ra * ra) * sbb
+               + ((2.0 / 3.0) * rho * rho - rb * rb) * saa)
+    return term_lda - a * b * omega * bracket
+
+
 def _pbe_x_spin(rho, sigma, xp):
     """PBE exchange for one spin channel's (2ρ_σ, 4σ_σσ) via the
     spin-scaling relation E_x[ra,rb] = (Ex[2ra] + Ex[2rb])/2."""
@@ -249,6 +325,24 @@ def f_pbe_c(ra, rb, saa, sab, sbb, xp=jnp):
     return rho * (eps + h)
 
 
+def _f_b3lyp(vwn):
+    """B3LYP energy density, hybrid exact-exchange part excluded:
+    0.80 E_x^LSDA + 0.72 ΔE_x^B88 + 0.19 E_c^VWN + 0.81 E_c^LYP
+    (a0=0.20, ax=0.72, ac=0.81 — Becke's 3-parameter mix with LYP).
+    ``vwn`` selects the LDA-correlation parameterization: the reference
+    exposes both 'B3LYP1' (VWN1-RPA, the Gaussian convention) and
+    'B3LYP5' (VWN5)."""
+    fc = f_vwn1rpa_c if vwn == 1 else f_vwn5_c
+
+    def f(ra, rb, saa, sab, sbb, xp=jnp):
+        return (0.80 * f_slater_x(ra, rb, xp)
+                + 0.72 * f_b88_x_corr(ra, rb, saa, sab, sbb, xp)
+                + 0.19 * fc(ra, rb, xp)
+                + 0.81 * f_lyp_c(ra, rb, saa, sab, sbb, xp))
+
+    return f
+
+
 _FUNCTIONALS = {
     "svwn": ("lda", lambda ra, rb, xp=jnp: f_slater_x(ra, rb, xp)
              + f_vwn5_c(ra, rb, xp)),
@@ -256,7 +350,25 @@ _FUNCTIONALS = {
     "pbe": ("gga", lambda ra, rb, saa, sab, sbb, xp=jnp:
             f_pbe_x(ra, rb, saa, sab, sbb, xp)
             + f_pbe_c(ra, rb, saa, sab, sbb, xp)),
+    "blyp": ("gga", lambda ra, rb, saa, sab, sbb, xp=jnp:
+             f_b88_x(ra, rb, saa, sab, sbb, xp)
+             + f_lyp_c(ra, rb, saa, sab, sbb, xp)),
+    "b3lyp": ("gga", _f_b3lyp(1)),       # ≙ reference 'B3LYP1'
+    "b3lyp5": ("gga", _f_b3lyp(5)),      # ≙ reference 'B3LYP5'
+    # PBE0: 0.25 exact + 0.75 PBE exchange, full PBE correlation
+    "pbe0": ("gga", lambda ra, rb, saa, sab, sbb, xp=jnp:
+             0.75 * f_pbe_x(ra, rb, saa, sab, sbb, xp)
+             + f_pbe_c(ra, rb, saa, sab, sbb, xp)),
 }
+
+# exact-exchange (HF) fraction mixed into the Kohn–Sham Fock matrix for
+# hybrid functionals (uhf/rks apply −a0·K_σ and the matching energy term)
+_HYBRID_EXX = {"b3lyp": 0.20, "b3lyp5": 0.20, "pbe0": 0.25}
+
+
+def hybrid_exx(xc: str | None) -> float:
+    """Exact-exchange fraction of a registered functional (0 for pure)."""
+    return _HYBRID_EXX.get(xc, 0.0) if xc else 0.0
 
 
 # ---------------- XC integration on device ----------------
@@ -315,6 +427,7 @@ class XCIntegrator:
     def __init__(self, shells, mol: Molecule, xc: str = "svwn",
                  n_rad: int = 60, n_theta: int = 12, n_phi: int = 24):
         self.kind, self.f = _FUNCTIONALS[xc]
+        self.hyb = hybrid_exx(xc)
         pts, w = molecular_grid(mol, n_rad, n_theta, n_phi)
         self.w_np = w
         if self.kind == "gga":
@@ -395,8 +508,10 @@ def uhf(mol: Molecule, spin: int = 0, max_iters: int = 120,
         shells=None, basis: str | None = None,
         aux_basis: str | None = None, guess: str = "core",
         nlc=None, nlc_grid_kw: dict | None = None):
-    """Unrestricted HF (xc=None) or unrestricted Kohn–Sham (xc="svwn" /
-    "pbe": J + V_xc, no exact exchange) with DIIS.
+    """Unrestricted HF (xc=None) or unrestricted Kohn–Sham with DIIS.
+    Pure functionals (svwn/pbe/blyp) build J + V_xc; global hybrids
+    (b3lyp/b3lyp5/pbe0) additionally mix −a0·K_σ exact exchange into
+    the Fock matrices (a0 from xc.hybrid_exx).
 
     ≙ cuEST/cuest_scf_examples/cuest_scf/uhf.py:1 (UHF driver) and
     python_examples/4_exchange_correlation (UKS XC build).
@@ -504,6 +619,15 @@ def uhf(mol: Molecule, spin: int = 0, max_iters: int = 120,
             fb = hcore + jt + np.asarray(vb, np.float64)
             e = (float(np.sum((da + db) * hcore))
                  + 0.5 * float(np.sum((da + db) * jt)) + float(exc))
+            if xci.hyb:
+                # hybrid functional: −a0·K_σ in the Fock, −a0/2·Tr(DK)
+                # in the energy (B3LYP/PBE0-class global hybrids)
+                _, ka = build_jk(da)
+                _, kb = build_jk(db)
+                fa -= xci.hyb * ka
+                fb -= xci.hyb * kb
+                e -= 0.5 * xci.hyb * float(np.sum(da * ka)
+                                           + np.sum(db * kb))
             if vvi is not None:
                 enl, vna, vnb = vvi.evaluate(jnp.asarray(da, jnp.float32),
                                              jnp.asarray(db, jnp.float32))
@@ -557,6 +681,14 @@ def uhf(mol: Molecule, spin: int = 0, max_iters: int = 120,
         e = (float(np.sum((da + db) * hcore))
              + 0.5 * float(np.sum((da + db) * jt))
              + xci.exc_only(da, db) + mol.nuclear_repulsion())
+        if xci.hyb:
+            if eri_np is None:
+                ka = np.asarray(df.exchange(jnp.asarray(da)), np.float64)
+                kb = np.asarray(df.exchange(jnp.asarray(db)), np.float64)
+            else:
+                ka = np.einsum("mlns,ls->mn", eri_np, da)
+                kb = np.einsum("mlns,ls->mn", eri_np, db)
+            e -= 0.5 * xci.hyb * float(np.sum(da * ka) + np.sum(db * kb))
         if vvi is not None:
             e += float(vvi.evaluate(jnp.asarray(da, jnp.float32),
                                     jnp.asarray(db, jnp.float32))[0])

@@ -182,11 +182,13 @@ def xc_gradient(mol: Molecule, da, db, shells=None, xc: str = "svwn",
 def uks_gradient(mol: Molecule, spin: int = 0, xc: str = "svwn",
                  shells=None, uhf_out=None,
                  grid_kw: dict | None = None) -> np.ndarray:
-    """Analytic UKS (pure functional: J + XC, no exact exchange) nuclear
-    gradient: Coulomb/hcore/overlap terms from the McMurchie–Davidson
-    derivative integrals (apps/deriv.py) + the autodiff XC term.
+    """Analytic UKS nuclear gradient: Coulomb/hcore/overlap terms from
+    the McMurchie–Davidson derivative integrals (apps/deriv.py) + the
+    autodiff XC term; global hybrids (B3LYP/PBE0) add the −a0-scaled
+    exact-exchange derivative per spin.
 
-    ≙ local_xc_gradient/run.py as the XC piece of a full KS gradient."""
+    ≙ local_xc_gradient/run.py as the XC piece of a full KS gradient
+    (and test/b3lyp1_grad_1 for the hybrid assembly)."""
     from tpumathlib.apps import est
     from tpumathlib.apps.deriv import (
         grad_eri,
@@ -220,4 +222,10 @@ def uks_gradient(mol: Molecule, spin: int = 0, xc: str = "svwn",
     grad -= np.einsum("mn,axmn->ax", wa + wb, sx)
     grad += grad_nuclear_repulsion(mol)
     grad += xc_gradient(mol, pa, pb, shells, xc, grid_kw=gkw)
+    from tpumathlib.apps.xc import hybrid_exx
+
+    a0 = hybrid_exx(xc)
+    if a0:
+        grad -= 0.5 * a0 * np.einsum("ml,ns,axmnls->ax", pa, pa, gx)
+        grad -= 0.5 * a0 * np.einsum("ml,ns,axmnls->ax", pb, pb, gx)
     return grad
