@@ -4,7 +4,10 @@ full-ERI MO transform (an independent integral path), an analytic
 2-orbital MP2 closed form, and finite-field SCF dipole differencing.
 """
 
+import os
+
 import numpy as np
+import pytest
 
 from tpumathlib.apps.cphf import dipole_matrices, polarizability
 from tpumathlib.apps.est import rhf, sto3g_shells
@@ -57,6 +60,34 @@ def test_mp2_def2svp_frozen_core():
     assert r["e_corr"] < rf["e_corr"] < 0
     # def2-SVP water MP2 correlation is ~-0.20 Ha (textbook scale)
     assert -0.30 < r["e_corr"] < -0.10
+
+
+@pytest.mark.skipif(not os.environ.get("TPUMATHLIB_TEST_SLOW"),
+                    reason="~3.5 min of host integrals on this 1-core box")
+def test_mp2_ethanol_psi4_parity():
+    """THE reference oracle: examples/mp2-1/test.py asserts Psi4 values
+    for ethanol RI-MP2/def2-SVP (rifit aux, jkfit SCF aux). Our fully
+    independent stack (own .gbs parser → spherical transforms → MD
+    integrals → DF → RHF → MP2) reproduces them to sub-nanohartree
+    (measured 1.5e-10 OS / 6.5e-10 SS in round 4)."""
+    ang = 1.8897261254578281
+    sym = ["C", "C", "H", "H", "H", "O", "H", "H", "H"]
+    xyz = np.array([               # examples/mp2-1/ethanol.xyz (Å)
+        [-5.79960, 1.37739, 0.00698],
+        [-4.28526, 1.39258, -0.01727],
+        [-6.20577, 1.97355, -0.81680],
+        [-6.17448, 1.82036, 0.93549],
+        [-6.18076, 0.35586, -0.07679],
+        [-3.81121, 2.72471, 0.11549],
+        [-3.90355, 0.97562, -0.95415],
+        [-3.88307, 0.80320, 0.81185],
+        [-4.17295, 3.23999, -0.62566]]) * ang
+    mol = Molecule(sym, xyz)
+    r = mp2(mol, basis="def2-svp", aux_basis="def2-svp-rifit",
+            jk_basis="def2-universal-jkfit",
+            scf_kwargs=dict(conv=1e-10, max_iters=120))
+    assert abs(r["e_os"] - (-0.3739405675166669)) < 1e-8
+    assert abs(r["e_ss"] - (-0.1145863947025172)) < 1e-8
 
 
 def test_cphf_polarizability_fd():

@@ -22,24 +22,31 @@ import time
 import numpy as np
 
 
-def _amortized_seconds(step_fn, x, chain: int = 50, repeats: int = 3):
-    """Median seconds per op with fori_loop amortization + scalar readback."""
+def _amortized_seconds(step_fn, x, chain: int = 50, repeats: int = 3,
+                       params=None):
+    """Median seconds per op with fori_loop amortization + scalar readback.
+
+    ``params``: large loop-invariant operands, threaded as a jit ARGUMENT
+    (closed over by the loop body only) — closing over them in ``step_fn``
+    would embed them as constants (axon HTTP-413 for GB-scale arrays), and
+    carrying them through the fori_loop would copy them every iteration
+    (.claude/skills/verify timing traps)."""
     import jax
     import jax.numpy as jnp
 
-    def run(v):
+    def run(v, p):
         def body(_, c):
-            return step_fn(c)
+            return step_fn(c) if p is None else step_fn(c, p)
         out = jax.lax.fori_loop(0, chain, body, v)
         leaves = jax.tree_util.tree_leaves(out)
         return sum(jnp.sum(jnp.abs(l).astype(jnp.float32)) for l in leaves)
 
     g = jax.jit(run)
-    float(g(x))
+    float(g(x, params))
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        float(g(x))
+        float(g(x, params))
         times.append((time.perf_counter() - t0) / chain)
     return float(np.median(times))
 
@@ -390,6 +397,33 @@ def bench_vv10(g=8192, nao=32, chunk=512) -> dict:
             "gflops": flops / t / 1e9}
 
 
+def bench_df_jk(nao=512, naux=2048, dtype="bfloat16") -> dict:
+    """DF J/K Fock-build throughput at production basis scale with
+    synthetic fit tensors (≙ cuEST core_df_jk — the per-iteration SCF
+    hotspot). K dominates: 2 einsums of 2·naux·nao³ flops each; J adds
+    two naux·nao² matvecs. Uses the same contractions as
+    apps.est.DFTensors.coulomb/exchange, shapes only."""
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.key(0)
+    b = jax.random.normal(key, (nao, nao, naux), jnp.dtype(dtype))
+
+    def step(d, b):
+        dj = d.astype(b.dtype)
+        g = jnp.einsum("mnp,mn->p", b, dj)
+        j = jnp.einsum("mnp,p->mn", b, g)
+        bd = jnp.einsum("mlp,ls->msp", b, dj)
+        k = jnp.einsum("msp,nsp->mn", bd, b)
+        return (j + k).astype(jnp.float32)
+
+    d0 = jax.random.normal(key, (nao, nao), jnp.float32)
+    t = _amortized_seconds(step, d0, chain=10, params=b)
+    flops = 2 * (2.0 * naux * nao ** 3) + 2 * (2.0 * naux * nao ** 2)
+    return {"bench": "df_jk", "nao": nao, "naux": naux, "dtype": dtype,
+            "ms": t * 1e3, "tflops": flops / t / 1e12}
+
+
 def run_all() -> list[dict]:
     records = []
     records.append(bench_gemm())
@@ -404,6 +438,7 @@ def run_all() -> list[dict]:
     records.append(bench_j2k())
     records.append(bench_trevc())
     records.append(bench_vv10())
+    records.append(bench_df_jk())
     for r in records:
         print(json.dumps(r))
     # ≙ the reference samples' sentinel contract (&&&& PASSED / FAILED
