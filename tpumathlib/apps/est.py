@@ -151,7 +151,7 @@ def nuclear(shells, mol: Molecule) -> np.ndarray:
     return _one_electron(shells, v)
 
 
-def _shell_eri_block(s1, s2, s3, s4) -> np.ndarray:
+def _shell_eri_block(s1, s2, s3, s4, omega=None) -> np.ndarray:
     out = np.zeros((len(s1.lmns), len(s2.lmns), len(s3.lmns), len(s4.lmns)))
     for c1, a1 in zip(s1.coefs, s1.exps):
         for c2, a2 in zip(s2.coefs, s2.exps):
@@ -159,13 +159,17 @@ def _shell_eri_block(s1, s2, s3, s4) -> np.ndarray:
                 for c4, a4 in zip(s4.coefs, s4.exps):
                     out += (c1 * c2 * c3 * c4) * eri_shell_prim(
                         a1, s1.lmns, s1.center, a2, s2.lmns, s2.center,
-                        a3, s3.lmns, s3.center, a4, s4.lmns, s4.center)
+                        a3, s3.lmns, s3.center, a4, s4.lmns, s4.center,
+                        omega=omega)
     return out
 
 
-def eri_tensor(shells) -> np.ndarray:
+def eri_tensor(shells, omega=None) -> np.ndarray:
     """Full (μν|λσ) tensor with 8-fold shell-quartet symmetry
-    (≙ the cuEST ERI plan feeding compute_coulomb/exchange)."""
+    (≙ the cuEST ERI plan feeding compute_coulomb/exchange).
+    ``omega``: long-range erf(ω·r₁₂)/r₁₂ kernel — the exact-exchange
+    operator of range-separated hybrids (LC-wPBE/wB97X/CAM-B3LYP ids in
+    cuest_scf/xc_functionals.py:48-65)."""
     offs = np.cumsum([0] + [len(s.lmns) for s in shells])
     n = offs[-1]
     out = np.zeros((n, n, n, n))
@@ -177,7 +181,7 @@ def eri_tensor(shells) -> np.ndarray:
                     if (i * (i + 1) // 2 + j) < (k * (k + 1) // 2 + l):
                         continue
                     blk = _shell_eri_block(shells[i], shells[j],
-                                           shells[k], shells[l])
+                                           shells[k], shells[l], omega=omega)
                     si, sj = slice(offs[i], offs[i + 1]), slice(offs[j], offs[j + 1])
                     sk, sl = slice(offs[k], offs[k + 1]), slice(offs[l], offs[l + 1])
                     out[si, sj, sk, sl] = blk
@@ -232,8 +236,9 @@ def auto_aux(shells) -> list[GShell]:
 _ZERO_SHELL_EXP = 1e-16
 
 
-def three_center(shells, aux) -> np.ndarray:
-    """(μν|P): 4-center ERIs with a unit s-Gaussian as the 4th index."""
+def three_center(shells, aux, omega=None) -> np.ndarray:
+    """(μν|P): 4-center ERIs with a unit s-Gaussian as the 4th index.
+    ``omega``: erf-attenuated kernel (range-separated DF exchange)."""
     offs = np.cumsum([0] + [len(s.lmns) for s in shells])
     aoffs = np.cumsum([0] + [len(s.lmns) for s in aux])
     n, na = offs[-1], aoffs[-1]
@@ -253,6 +258,7 @@ def three_center(shells, aux) -> np.ndarray:
                                 a2, s2.lmns, s2.center,
                                 a3, sp.lmns, sp.center,
                                 _ZERO_SHELL_EXP, [(0, 0, 0)], sp.center,
+                                omega=omega,
                             )[:, :, :, 0]
                 si = slice(offs[i], offs[i + 1])
                 sj = slice(offs[j], offs[j + 1])
@@ -262,8 +268,10 @@ def three_center(shells, aux) -> np.ndarray:
     return out
 
 
-def metric_2c(aux) -> np.ndarray:
-    """(P|Q) Coulomb metric of the auxiliary basis."""
+def metric_2c(aux, omega=None) -> np.ndarray:
+    """(P|Q) Coulomb metric of the auxiliary basis (erf-attenuated when
+    ``omega`` is given — the erf kernel is positive definite, so the
+    attenuated metric stays a valid RI metric)."""
     aoffs = np.cumsum([0] + [len(s.lmns) for s in aux])
     na = aoffs[-1]
     out = np.zeros((na, na))
@@ -279,6 +287,7 @@ def metric_2c(aux) -> np.ndarray:
                         _ZERO_SHELL_EXP, [(0, 0, 0)], sp.center,
                         a2, sq.lmns, sq.center,
                         _ZERO_SHELL_EXP, [(0, 0, 0)], sq.center,
+                        omega=omega,
                     )[:, 0, :, 0]
             out[aoffs[i]:aoffs[i + 1], aoffs[j]:aoffs[j + 1]] = blk
             out[aoffs[j]:aoffs[j + 1], aoffs[i]:aoffs[i + 1]] = blk.T
@@ -293,14 +302,21 @@ class DFTensors:
     Spherical (pure) shells — in the orbital basis AND/OR the auxiliary
     basis (e.g. def2-SVP + def2-universal-jkfit) — are handled by
     transforming the Cartesian integral blocks with basis.sph_transform,
-    so B lives in the public function space."""
+    so B lives in the public function space.
 
-    def __init__(self, shells, aux=None):
+    ``omega``: builds the RI factorization of the LONG-RANGE operator
+    erf(ω·r₁₂)/r₁₂ in its own (attenuated) metric — B̃ = (μν|g|P)
+    (P|g|Q)^{−1/2}, exact in the complete-aux limit because the erf
+    kernel is positive definite (its Fourier transform (4π/k²)e^{−k²/4ω²}
+    is positive). This feeds the −β·K_LR exact-exchange term of
+    range-separated hybrid SCF (apps/xc.py rs_params)."""
+
+    def __init__(self, shells, aux=None, omega=None):
         from tpumathlib.apps.basis import sph_transform
 
         aux = aux if aux is not None else auto_aux(shells)
-        v = metric_2c(aux)
-        t3 = three_center(shells, aux)
+        v = metric_2c(aux, omega=omega)
+        t3 = three_center(shells, aux, omega=omega)
         c_ao = sph_transform(shells)
         c_aux = sph_transform(aux)
         if c_aux is not None:

@@ -81,11 +81,24 @@ def boys(mmax: int, t: float) -> np.ndarray:
     return out
 
 
-def _r_table(lmax: int, p: float, pc: np.ndarray) -> np.ndarray:
+def _r_table(lmax: int, p: float, pc: np.ndarray,
+             omega: float | None = None) -> np.ndarray:
     """Hermite Coulomb integrals R^0_{tuv} for t+u+v ≤ lmax via the
-    auxiliary R^n recursion, tabulated as R[t, u, v]."""
+    auxiliary R^n recursion, tabulated as R[t, u, v].
+
+    ``omega`` switches the kernel from 1/r to the long-range erf(ω·r)/r
+    operator (range-separated hybrids ≙ the reference's LC-wPBE/wB97X/
+    CAM-B3LYP/HSE06 functional ids, cuest_scf/xc_functionals.py:48-65):
+    F_m(T) → s^{2m+1} F_m(s²T) with s² = ω²/(p+ω²). The substituted
+    sequence G_m = s^{2m+1}F_m(s²T) satisfies the same derivative chain
+    dG_m/dT = −G_{m+1} the R-recursion is built on, so only the seed row
+    changes."""
     t2 = p * float(pc @ pc)
-    f = boys(lmax, t2)
+    if omega is None:
+        f = boys(lmax, t2)
+    else:
+        s2 = omega * omega / (p + omega * omega)
+        f = boys(lmax, s2 * t2) * s2 ** (np.arange(lmax + 1) + 0.5)
     # R^n_{000} = (-2p)^n F_n
     rn = {(0, 0, 0, n): ((-2.0 * p) ** n) * f[n] for n in range(lmax + 1)}
 
@@ -148,13 +161,13 @@ def kinetic_prim(a, lmn1, ra, b, lmn2, rb) -> float:
     return term0 + term1 + term2
 
 
-def nuclear_prim(a, lmn1, ra, b, lmn2, rb, rc) -> float:
+def nuclear_prim(a, lmn1, ra, b, lmn2, rb, rc, omega=None) -> float:
     p = a + b
     rp = (a * np.asarray(ra) + b * np.asarray(rb)) / p
     q = np.asarray(ra) - np.asarray(rb)
     ltot = sum(lmn1) + sum(lmn2)
     etabs = [_e_table(lmn1[d], lmn2[d], q[d], a, b) for d in range(3)]
-    rt = _r_table(ltot, p, rp - np.asarray(rc))
+    rt = _r_table(ltot, p, rp - np.asarray(rc), omega)
     val = 0.0
     for t in range(lmn1[0] + lmn2[0] + 1):
         for u in range(lmn1[1] + lmn2[1] + 1):
@@ -170,9 +183,10 @@ def _hermite_coefs(la, lb, q, a, b):
 
 
 def eri_shell_prim(a, la_list, ra, b, lb_list, rb,
-                   c, lc_list, rc, d, ld_list, rd) -> np.ndarray:
+                   c, lc_list, rc, d, ld_list, rd, omega=None) -> np.ndarray:
     """Primitive ERIs for all Cartesian components of a shell quartet:
-    returns (len(la_list), len(lb_list), len(lc_list), len(ld_list))."""
+    returns (len(la_list), len(lb_list), len(lc_list), len(ld_list)).
+    ``omega``: erf(ω·r₁₂)/r₁₂ long-range kernel instead of 1/r₁₂."""
     p = a + b
     qq = c + d
     rp = (a * np.asarray(ra) + b * np.asarray(rb)) / p
@@ -180,7 +194,7 @@ def eri_shell_prim(a, la_list, ra, b, lb_list, rb,
     alpha = p * qq / (p + qq)
     lmax = (max(sum(l) for l in la_list) + max(sum(l) for l in lb_list)
             + max(sum(l) for l in lc_list) + max(sum(l) for l in ld_list))
-    rt = _r_table(lmax, alpha, rp - rq)
+    rt = _r_table(lmax, alpha, rp - rq, omega)
     qab = np.asarray(ra) - np.asarray(rb)
     qcd = np.asarray(rc) - np.asarray(rd)
     # E tables at shell level (max l per dim)
