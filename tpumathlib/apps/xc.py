@@ -282,6 +282,222 @@ def f_pbe_x(ra, rb, saa, sab, sbb, xp=jnp):
                   + _pbe_x_spin(2.0 * rb, 4.0 * sbb, xp))
 
 
+# ---------------- range-separated (erf-split) exchange ----------------
+#
+# The reference exposes CAM-B3LYP / HSE06 / LC-wPBE(h) / the wB97 family
+# through the XC plan's (exchange_scale, lrc_exchange_scale, lrc_omega)
+# knobs (cuest_scf/rhf.py:260-262, xc_functionals.py:50-107). The DFT
+# side needs the SHORT-RANGE part of a GGA exchange under the
+# 1/r = erf(ωr)/r + erfc(ωr)/r split; the exact-exchange side needs
+# K matrices built from erf-attenuated ERIs (apps/est.py eri_tensor /
+# DFTensors with omega=).
+
+
+def _erf(x, xp):
+    if xp is np:
+        from scipy.special import erf as _serf
+        return _serf(x)
+    return jax.scipy.special.erf(x)
+
+
+def _sr_lda_factor(a, xp=jnp):
+    """Exact erfc-kernel attenuation of the LDA exchange hole:
+
+    F(a) = 1 − (8/3)a[√π erf(1/2a) − 3a + 4a³ + (2a − 4a³)e^{−1/4a²}],
+    a_σ = ω/(2 k_F,σ)
+
+    [Gill/Adamson; Savin's erf split]. This suite validates F against a
+    direct numerical integral of the uniform-gas exchange hole
+    −(9ρ/2)(j₁(k_F u)/k_F u)² × erfc(ωu)/u (tests/test_rsh_xc.py) — an
+    oracle independent of the closed form. Large-a branch: the exact
+    expression cancels catastrophically in f32 (4a³ terms vs F ~ 1/36a²),
+    so a > 3/2 switches to the asymptotic series
+    1/(36a²) − 1/(960a⁴) + 1/(26880a⁶), whose leading term is pinned by
+    the on-top hole sum rule E_x^SR → −πρ_σ²/2ω² (rel. err ~1e-6 at the
+    switch point)."""
+    a_lo = xp.minimum(a, 1.5)
+    exact = 1.0 - (8.0 / 3.0) * a_lo * (
+        np.sqrt(np.pi) * _erf(1.0 / (2.0 * a_lo), xp)
+        - 3.0 * a_lo + 4.0 * a_lo ** 3
+        + (2.0 * a_lo - 4.0 * a_lo ** 3) * xp.exp(-1.0 / (4.0 * a_lo ** 2)))
+    a_hi = xp.maximum(a, 1.5)
+    ia2 = 1.0 / (a_hi * a_hi)
+    asym = ia2 * (1.0 / 36.0 + ia2 * (-1.0 / 960.0 + ia2 / 26880.0))
+    return xp.where(a > 1.5, asym, exact)
+
+
+def _x_spin_b88(r, s, xp):
+    """B88 exchange energy density of ONE spin channel (ρ_σ, σ_σσ)."""
+    r = xp.maximum(r, 1e-30)
+    r43 = r ** (4.0 / 3.0)
+    beta = 0.0042
+    x = xp.sqrt(xp.maximum(s, 1e-35)) / r43
+    return (-_CX * 2.0 ** (1.0 / 3.0) * r43
+            - beta * r43 * x * x / (1.0 + 6.0 * beta * x * xp.arcsinh(x)))
+
+
+def _x_spin_pbe(r, s, xp):
+    """PBE exchange energy density of ONE spin channel (spin-scaled)."""
+    return 0.5 * _pbe_x_spin(2.0 * r, 4.0 * s, xp)
+
+
+def f_gga_sr_x(x_spin, omega):
+    """Short-range (erfc-kernel) part of a GGA exchange via the ITYH
+    μ-dependent attenuation [Iikura–Tsuneda–Yanai–Hirao, JCP 115, 3540
+    (2001)]: write e_xσ = −½ρ_σ^{4/3}K_σ, then attenuate with the exact
+    LDA-hole factor evaluated at the GGA-modified momentum
+
+        a_σ = ω√K_σ / (6√π ρ_σ^{1/3})
+
+    (for K_Slater this reduces exactly to a = ω/2k_F). This is the SR
+    model libxc/Gaussian use for CAM-B3LYP's B88 complement. NOTE: the
+    reference's LC-wPBE/HSE06 use the Henderson–Janesko–Scuseria ωPBE
+    hole instead; this suite substitutes ITYH-on-PBE there (identical at
+    s=0 and in both ω limits, small differences at intermediate s) —
+    documented substitution, HJS is a round-5 lead."""
+
+    def f(ra, rb, saa, sab, sbb, xp=jnp):
+        def one(r, s):
+            e = x_spin(r, s, xp)
+            r_c = xp.maximum(r, 1e-30)
+            k = xp.maximum(-2.0 * e / r_c ** (4.0 / 3.0), 1e-12)
+            a = omega * xp.sqrt(k) / (6.0 * np.sqrt(np.pi)
+                                      * r_c ** (1.0 / 3.0))
+            return e * _sr_lda_factor(a, xp)
+
+        return one(ra, saa) + one(rb, sbb)
+
+    return f
+
+
+# ---------------- B97 power-series functionals ----------------
+
+def _b97_series(x2, gamma, coeffs, xp):
+    """Becke-97 inhomogeneity expansion g(u) = Σ_i c_i u^i with
+    u = γx²/(1+γx²) [Becke, JCP 107, 8554 (1997)]."""
+    u = gamma * x2 / (1.0 + gamma * x2)
+    out = coeffs[-1]
+    for c in reversed(coeffs[:-1]):
+        out = out * u + c
+    return out
+
+
+def _x2_safe(r, s, xp):
+    """x_σ² = σ_σσ/ρ_σ^{8/3}, f32-autodiff-safe.
+
+    The raw quotient NaNs under f32 reverse-mode at clamped tail
+    densities: dx²/dρ = −(8/3)σ/ρ^{11/3} overflows to ∞ exactly where
+    du/dx² = γ/(1+γx²)² underflows to 0, and 0·∞ = NaN poisons the whole
+    V_xc matrix (observed as eigh nonconvergence in wB97X SCF). Cure =
+    the same double-where pattern as xc_local_eval (benign inputs inside
+    the dead region) plus a cap.
+
+    Note the cap alone is NOT enough: min()'s select zeroes the
+    cotangent but the division VJP still multiplies it by −σ/ρ^{16/3},
+    and 0·∞ = NaN. Every PARTIAL has to stay finite: go through
+    x = √σ/ρ^{4/3} (partials ≤ √σ/ρ^{8/3}, bounded for ρ > 1e-7 at any
+    physical σ) and square the capped x."""
+    good = r > 1e-7
+    r43 = xp.where(good, r, 1.0) ** (4.0 / 3.0)
+    q = xp.sqrt(xp.maximum(xp.where(good, s, 0.0), 1e-35))
+    x = xp.minimum(q / r43, 1e6)
+    return xp.where(good, x * x, 0.0)
+
+
+def _ec_pw92_stoll(ra, rb, xp):
+    """Stoll partition of PW92 correlation into same-spin and
+    opposite-spin energy densities: e_σσ = ρ_σ ε(ρ_σ, ζ=1),
+    e_αβ = ρ ε(ρ, ζ) − e_αα − e_ββ."""
+    def e_pol(r):
+        # double-where tail guard: the global xc_local_eval clamp only
+        # bounds the TOTAL density; a spin channel can sit at the 1e-30
+        # floor where drs/dρ = O(ρ^{-4/3}) overflows f32 reverse-mode
+        good = r > 1e-10
+        r_s = xp.where(good, r, 1.0)
+        rs = (3.0 / (4.0 * np.pi * r_s)) ** (1.0 / 3.0)
+        return xp.where(good, r_s * _pw92_eps(rs, 1.0 - 1e-15, xp), 0.0)
+
+    rho = xp.maximum(ra + rb, 1e-30)
+    zeta = xp.clip((ra - rb) / rho, -1.0 + 1e-15, 1.0 - 1e-15)
+    rs = (3.0 / (4.0 * np.pi * rho)) ** (1.0 / 3.0)
+    e_aa = e_pol(ra)
+    e_bb = e_pol(rb)
+    e_ab = rho * _pw92_eps(rs, zeta, xp) - e_aa - e_bb
+    return e_aa, e_bb, e_ab
+
+
+def _f_b97_c(css, cos_, xp, ra, rb, saa, sbb):
+    """B97-family correlation: series-modulated Stoll-partitioned PW92
+    (γ_ss = 0.2, γ_os = 0.006, Becke 1997 Eqs. 5–8)."""
+    xa2 = _x2_safe(ra, saa, xp)
+    xb2 = _x2_safe(rb, sbb, xp)
+    e_aa, e_bb, e_ab = _ec_pw92_stoll(ra, rb, xp)
+    return (e_aa * _b97_series(xa2, 0.2, css, xp)
+            + e_bb * _b97_series(xb2, 0.2, css, xp)
+            + e_ab * _b97_series(0.5 * (xa2 + xb2), 0.006, cos_, xp))
+
+
+def _f_b97_x(cx, omega, xp, ra, rb, saa, sbb):
+    """B97-family exchange: per-spin LSDA (short-range LSDA when ω>0,
+    via the exact erfc-hole factor — the wB97 construction of Chai &
+    Head-Gordon, JCP 128, 084106 (2008)) × the g_x series (γ_x = 0.004)."""
+    def one(r, s):
+        x2 = _x2_safe(r, s, xp)
+        r = xp.maximum(r, 1e-30)
+        g = _b97_series(x2, 0.004, cx, xp)
+        e_lda = -0.5 * (3.0 / 2.0) * (6.0 / np.pi) ** (1.0 / 3.0) \
+            * r ** (4.0 / 3.0)
+        if omega:
+            kf = (6.0 * np.pi ** 2 * r) ** (1.0 / 3.0)
+            e_lda = e_lda * _sr_lda_factor(omega / (2.0 * kf), xp)
+        return e_lda * g
+
+    return one(ra, saa) + one(rb, sbb)
+
+
+# Parameter provenance: B97 from Becke JCP 107, 8554 (1997) Table I
+# (transcribed; classic values, also the reference's 'B97' id); wB97X
+# from Chai & Head-Gordon JCP 128, 084106 (2008) Table 1 (transcribed —
+# zero-egress environment, validated structurally: c_x0 + c_HF,SR = 1 by
+# the paper's exactness constraint, u→0 LDA limits in tests).
+_B97_PARAMS = {
+    "b97": dict(cx=(0.8094, 0.5073, 0.7481), omega=0.0,
+                css=(0.1737, 2.3487, -2.4868),
+                cos=(0.9454, 0.7471, -4.5961)),
+    "wb97x": dict(cx=(0.842294, 0.726479, 1.04760, -5.70635, 13.2794),
+                  omega=0.3,
+                  css=(1.000000, -4.33879, 18.2308, -31.7430, 17.2901),
+                  cos=(1.000000, -2.37031, 14.3055, -30.4251, 15.9042)),
+}
+
+
+def _f_b97(name):
+    p = _B97_PARAMS[name]
+
+    def f(ra, rb, saa, sab, sbb, xp=jnp):
+        return (_f_b97_x(p["cx"], p["omega"], xp, ra, rb, saa, sbb)
+                + _f_b97_c(p["css"], p["cos"], xp, ra, rb, saa, sbb))
+
+    return f
+
+
+def _f_cam_b3lyp(ra, rb, saa, sab, sbb, xp=jnp):
+    """CAM-B3LYP DFT part [Yanai–Tew–Handy, CPL 393, 51 (2004)]:
+    exchange complement (1−α−β)·B88 + β·B88^{SR-ITYH}(μ=0.33) with
+    α = 0.19, β = 0.46, plus B3LYP's 0.19 VWN5 + 0.81 LYP correlation.
+    The Fock side adds −[0.19 K + 0.46 K_LR(0.33)] (rs_params)."""
+    return (0.35 * f_b88_x(ra, rb, saa, sab, sbb, xp)
+            + 0.46 * _F_B88_SR_CAM(ra, rb, saa, sab, sbb, xp)
+            + 0.19 * f_vwn5_c(ra, rb, xp)
+            + 0.81 * f_lyp_c(ra, rb, saa, sab, sbb, xp))
+
+
+_F_B88_SR_CAM = f_gga_sr_x(_x_spin_b88, 0.33)
+_F_PBE_SR_HSE = f_gga_sr_x(_x_spin_pbe, 0.11)
+_F_PBE_SR_LCW = f_gga_sr_x(_x_spin_pbe, 0.40)
+_F_PBE_SR_LCWH = f_gga_sr_x(_x_spin_pbe, 0.20)
+
+
 def _pw92_eps(rs, zeta, xp):
     """Perdew–Wang 92 LDA correlation energy per particle (PBE's base)."""
     def g(rs, a, a1, b1, b2, b3, b4, p):
@@ -302,7 +518,13 @@ def _pw92_eps(rs, zeta, xp):
 
 def f_pbe_c(ra, rb, saa, sab, sbb, xp=jnp):
     rho = xp.maximum(ra + rb, 1e-30)
-    zeta = xp.clip((ra - rb) / rho, -1.0 + 1e-15, 1.0 - 1e-15)
+    # dtype-aware polarization clip: 1−1e-15 rounds to EXACTLY 1.0 in
+    # f32, and PBE's spin-scaling factor has dφ/dζ ~ (1∓ζ)^{-1/3} → ∞
+    # there — fully-polarized grid points NaN'd the f32 V_xc under UKS.
+    # 3e-7 stays representable in f32 (spacing 1.2e-7 at 1.0); the f64
+    # host energy path keeps the tight clip.
+    zeps = 1e-15 if getattr(ra, "dtype", None) == np.float64 else 3e-7
+    zeta = xp.clip((ra - rb) / rho, -1.0 + zeps, 1.0 - zeps)
     sigma = xp.maximum(saa + 2.0 * sab + sbb, 0.0)
     rs = (3.0 / (4.0 * np.pi * rho)) ** (1.0 / 3.0)
     eps = _pw92_eps(rs, zeta, xp)
@@ -359,16 +581,61 @@ _FUNCTIONALS = {
     "pbe0": ("gga", lambda ra, rb, saa, sab, sbb, xp=jnp:
              0.75 * f_pbe_x(ra, rb, saa, sab, sbb, xp)
              + f_pbe_c(ra, rb, saa, sab, sbb, xp)),
+    # ---- range-separated hybrids (DFT complement; HF side in rs_params)
+    # generic complement rule: E_x^DFT = (1−α−β)·E_x + β·E_x^{SR}(ω)
+    "cam-b3lyp": ("gga", _f_cam_b3lyp),
+    # HSE06: PBE − 0.25·PBE^{SR}(0.11) exchange + full PBE correlation
+    # (≙ 0.75 ωPBE-SR + PBE-LR), screened exchange α=0.25 SR-only
+    "hse06": ("gga", lambda ra, rb, saa, sab, sbb, xp=jnp:
+              f_pbe_x(ra, rb, saa, sab, sbb, xp)
+              - 0.25 * _F_PBE_SR_HSE(ra, rb, saa, sab, sbb, xp)
+              + f_pbe_c(ra, rb, saa, sab, sbb, xp)),
+    # LC-wPBE: 100% SR-DFT / 100% LR-HF at ω=0.4
+    "lc-wpbe": ("gga", lambda ra, rb, saa, sab, sbb, xp=jnp:
+                _F_PBE_SR_LCW(ra, rb, saa, sab, sbb, xp)
+                + f_pbe_c(ra, rb, saa, sab, sbb, xp)),
+    # LC-wPBEh: 20% global HF + 80% SR-DFT, full LR-HF at ω=0.2
+    # [Rohrdanz–Martin–Herbert, JCP 130, 054112 (2009)]
+    "lc-wpbeh": ("gga", lambda ra, rb, saa, sab, sbb, xp=jnp:
+                 0.8 * _F_PBE_SR_LCWH(ra, rb, saa, sab, sbb, xp)
+                 + f_pbe_c(ra, rb, saa, sab, sbb, xp)),
+    "b97": ("gga", _f_b97("b97")),
+    "wb97x": ("gga", _f_b97("wb97x")),
 }
 
 # exact-exchange (HF) fraction mixed into the Kohn–Sham Fock matrix for
 # hybrid functionals (uhf/rks apply −a0·K_σ and the matching energy term)
-_HYBRID_EXX = {"b3lyp": 0.20, "b3lyp5": 0.20, "pbe0": 0.25}
+_HYBRID_EXX = {"b3lyp": 0.20, "b3lyp5": 0.20, "pbe0": 0.25, "b97": 0.1943}
+
+# range-separated hybrids: K_eff = α·K_full + β·K_LR(ω) with K_LR built
+# from erf(ωr₁₂)/r₁₂ ERIs (est.eri_tensor(omega=) / DFTensors(omega=)).
+# ≙ the reference XC plan's (exchange_scale, lrc_exchange_scale,
+# lrc_omega) triple (cuest_scf/rhf.py:260-262). Screened hybrids use
+# β<0 (SR-HF = full − LR); LC hybrids β>0.
+_RS_HYBRIDS = {
+    "cam-b3lyp": (0.19, 0.46, 0.33),     # Yanai–Tew–Handy 2004
+    "hse06": (0.25, -0.25, 0.11),        # 0.25·K_SR, ω=0.11
+    "lc-wpbe": (0.0, 1.0, 0.40),         # Vydrov–Scuseria 2006
+    "lc-wpbeh": (0.2, 0.8, 0.20),        # 0.2·K_SR + 1.0·K_LR
+    "wb97x": (0.157706, 0.842294, 0.3),  # α·K_SR + 1.0·K_LR, Chai–HG
+}
 
 
 def hybrid_exx(xc: str | None) -> float:
-    """Exact-exchange fraction of a registered functional (0 for pure)."""
-    return _HYBRID_EXX.get(xc, 0.0) if xc else 0.0
+    """Full-range exact-exchange fraction of a registered functional
+    (0 for pure functionals; the α of rs_params for RSH)."""
+    return rs_params(xc)[0]
+
+
+def rs_params(xc: str | None):
+    """(α, β, ω) of the exchange mix K_eff = α·K + β·K_LR(ω).
+
+    ≙ the reference's exchange_scale / lrc_exchange_scale / lrc_omega
+    XC-plan parameters consumed by its DF plan
+    (cuest_scf/rhf.py:255-263, cuest_df_int_plan.py)."""
+    if xc in _RS_HYBRIDS:
+        return _RS_HYBRIDS[xc]
+    return (_HYBRID_EXX.get(xc, 0.0) if xc else 0.0, 0.0, 0.0)
 
 
 # ---------------- XC integration on device ----------------
@@ -398,7 +665,14 @@ def xc_local_eval(kind, f, ao, grad, w, da, db):
         # (0·∞ = NaN otherwise; the masked value path alone does not
         # protect the gradient)
         good = d[0] + d[1] > 1e-8
-        safe = tuple(jnp.where(good, x, 1.0) for x in d)
+        safe = list(jnp.where(good, x, 1.0) for x in d)
+        # per-spin floor: the total-density guard still lets ONE spin
+        # channel sit at ~0 next to a large other spin (any radical),
+        # where ρ_σ^{-4/3}-type partials overflow f32 and poison V_xc
+        # with 0·∞ = NaN (bit us for every GGA under UKS). The floor
+        # changes the energy by O(1e-13)·grid but bounds every partial.
+        safe[0] = jnp.maximum(safe[0], 1e-10)
+        safe[1] = jnp.maximum(safe[1], 1e-10)
         return jnp.sum(jnp.where(good, w * f(*safe, xp=jnp), 0.0))
 
     exc = etot(*dens)
@@ -427,7 +701,7 @@ class XCIntegrator:
     def __init__(self, shells, mol: Molecule, xc: str = "svwn",
                  n_rad: int = 60, n_theta: int = 12, n_phi: int = 24):
         self.kind, self.f = _FUNCTIONALS[xc]
-        self.hyb = hybrid_exx(xc)
+        self.hyb, self.lr_beta, self.lr_omega = rs_params(xc)
         pts, w = molecular_grid(mol, n_rad, n_theta, n_phi)
         self.w_np = w
         if self.kind == "gga":
@@ -556,6 +830,21 @@ def uhf(mol: Molecule, spin: int = 0, max_iters: int = 120,
             eri_np = np.einsum("kl,hs,ijls->ijkh", c_t, c_t, eri_np)
         eri = jnp.asarray(eri_np)
     xci = XCIntegrator(shells, mol, xc, **(grid_kw or {})) if xc else None
+    # range-separated hybrids: a second ERI/DF set for the long-range
+    # erf(ωr₁₂)/r₁₂ kernel feeds β·K_LR (≙ the reference DF plan's
+    # lrc_exchange_scale/lrc_omega channel, cuest_df_int_plan.py)
+    df_lr = eri_lr = None
+    if xci is not None and xci.lr_beta:
+        if density_fit:
+            df_lr = DFTensors(shells, aux=aux, omega=xci.lr_omega)
+        else:
+            eri_lr_np = eri_tensor(shells, omega=xci.lr_omega)
+            if c_t is not None:
+                eri_lr_np = np.einsum("im,jn,mnls->ijls", c_t, c_t,
+                                      eri_lr_np)
+                eri_lr_np = np.einsum("kl,hs,ijls->ijkh", c_t, c_t,
+                                      eri_lr_np)
+            eri_lr = jnp.asarray(eri_lr_np)
     vvi = None
     if nlc:
         if not xc:
@@ -577,6 +866,20 @@ def uhf(mol: Molecule, spin: int = 0, max_iters: int = 120,
             k = np.asarray(jnp.einsum("mlns,ls->mn", eri, dj),
                            np.float64) if exchange else 0.0
         return j, k
+
+    def build_kx(d):
+        """Hybrid exact-exchange matrix α·K + β·K_LR(ω) for one spin."""
+        dj = jnp.asarray(d)
+        k = np.zeros_like(hcore)
+        if xci.hyb:
+            k_full = (df.exchange(dj) if density_fit
+                      else jnp.einsum("mlns,ls->mn", eri, dj))
+            k = k + xci.hyb * np.asarray(k_full, np.float64)
+        if xci.lr_beta:
+            k_lr = (df_lr.exchange(dj) if density_fit
+                    else jnp.einsum("mlns,ls->mn", eri_lr, dj))
+            k = k + xci.lr_beta * np.asarray(k_lr, np.float64)
+        return k
 
     lmat = np.linalg.cholesky(s)
     linv = np.linalg.inv(lmat)
@@ -619,15 +922,15 @@ def uhf(mol: Molecule, spin: int = 0, max_iters: int = 120,
             fb = hcore + jt + np.asarray(vb, np.float64)
             e = (float(np.sum((da + db) * hcore))
                  + 0.5 * float(np.sum((da + db) * jt)) + float(exc))
-            if xci.hyb:
-                # hybrid functional: −a0·K_σ in the Fock, −a0/2·Tr(DK)
-                # in the energy (B3LYP/PBE0-class global hybrids)
-                _, ka = build_jk(da)
-                _, kb = build_jk(db)
-                fa -= xci.hyb * ka
-                fb -= xci.hyb * kb
-                e -= 0.5 * xci.hyb * float(np.sum(da * ka)
-                                           + np.sum(db * kb))
+            if xci.hyb or xci.lr_beta:
+                # hybrid functional: −K_x,σ in the Fock, −½Tr(D·K_x) in
+                # the energy, K_x = α·K + β·K_LR (global hybrids have
+                # β=0; RSH/screened hybrids add the erf-kernel term)
+                ka = build_kx(da)
+                kb = build_kx(db)
+                fa -= ka
+                fb -= kb
+                e -= 0.5 * float(np.sum(da * ka) + np.sum(db * kb))
             if vvi is not None:
                 enl, vna, vnb = vvi.evaluate(jnp.asarray(da, jnp.float32),
                                              jnp.asarray(db, jnp.float32))
@@ -689,6 +992,14 @@ def uhf(mol: Molecule, spin: int = 0, max_iters: int = 120,
                 ka = np.einsum("mlns,ls->mn", eri_np, da)
                 kb = np.einsum("mlns,ls->mn", eri_np, db)
             e -= 0.5 * xci.hyb * float(np.sum(da * ka) + np.sum(db * kb))
+        if xci.lr_beta:
+            if eri_lr is None:
+                ka = np.asarray(df_lr.exchange(jnp.asarray(da)), np.float64)
+                kb = np.asarray(df_lr.exchange(jnp.asarray(db)), np.float64)
+            else:
+                ka = np.einsum("mlns,ls->mn", eri_lr_np, da)
+                kb = np.einsum("mlns,ls->mn", eri_lr_np, db)
+            e -= 0.5 * xci.lr_beta * float(np.sum(da * ka) + np.sum(db * kb))
         if vvi is not None:
             e += float(vvi.evaluate(jnp.asarray(da, jnp.float32),
                                     jnp.asarray(db, jnp.float32))[0])
