@@ -404,8 +404,21 @@ def main() -> None:
     hbm_target = 0.8 * _HBM.get(kind, 819.0)
 
     # one flaky remote-compile must not kill the whole record: every
-    # section is independent; failures print a diagnostic line to stderr
+    # section is independent; failures print a diagnostic line to stderr.
+    # The driver records only the TAIL of stdout, so records are buffered
+    # and printed compactly at the very END (live progress goes to stderr;
+    # notes are truncated) — BENCH_r04 lost half its lines to truncation.
     import sys
+
+    records: list[dict] = []
+
+    def _add(rec: dict) -> None:
+        note = rec.get("note")
+        if isinstance(note, str) and len(note) > 70:
+            rec = dict(rec, note=note[:67] + "...")
+        records.append(rec)
+        print("done:", rec.get("metric"), rec.get("value"),
+              file=sys.stderr, flush=True)
 
     for section in (lambda: bench_fft(hbm_target),
                     lambda: bench_sparse(hbm_target),
@@ -414,13 +427,15 @@ def main() -> None:
                     bench_image):
         try:
             for rec in section():
-                print(json.dumps(rec), flush=True)
+                _add(rec)
         except Exception as e:  # pragma: no cover - tunnel flakes
             print(f"bench section failed: {type(e).__name__}: {e}",
                   file=sys.stderr, flush=True)
     fused, headline = bench_gemm(peak)
-    print(json.dumps(fused), flush=True)
-    print(json.dumps(headline), flush=True)
+    _add(fused)
+    for rec in records:
+        print(json.dumps(rec, separators=(",", ":")), flush=True)
+    print(json.dumps(headline, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

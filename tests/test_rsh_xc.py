@@ -229,3 +229,33 @@ def test_rsh_uks_open_shell():
                         max_iters=80, conv=1e-7)
     assert -76.0 < e < -72.0
     assert abs(s2 - 0.75) < 0.05
+
+
+@pytest.mark.parametrize("name", ["cam-b3lyp", "lc-wpbe", "hse06"])
+def test_rsh_gradient_fd(name):
+    """RSH analytic nuclear gradient vs central finite differences of
+    the SCF energy: exercises the β·K_LR(ω) exchange-derivative term
+    (erf-attenuated grad_eri) — for lc-wpbe (α=0) the ENTIRE exchange
+    force is long-range, for hse06 (β<0) the screened subtraction must
+    carry the attenuated (not full-range) derivative.
+
+    ≙ the reference's RSH gradient rows in
+    cuEST/cuest_scf_examples/test/dft_energies (uks gradient assembly).
+    """
+    from tpumathlib.apps.xc import uhf
+    from tpumathlib.apps.xcgrad import uks_gradient
+
+    gkw = dict(n_rad=30, n_theta=8, n_phi=16)
+    z0 = 1.5
+    mol = Molecule(["H", "H"], np.array([[0., 0., 0.], [0., 0., z0]]))
+    g = uks_gradient(mol, xc=name, grid_kw=gkw)
+
+    def e_at(z):
+        m = Molecule(["H", "H"], np.array([[0., 0., 0.], [0., 0., z]]))
+        e, *_ = uhf(m, xc=name, grid_kw=gkw, conv=1e-11)
+        return e
+
+    h = 2e-4
+    fd = (e_at(z0 + h) - e_at(z0 - h)) / (2 * h)
+    assert abs(g[1, 2] - fd) < 5e-5, (name, g[1, 2], fd)
+    assert np.allclose(g[0], -g[1], atol=1e-6)

@@ -15,7 +15,10 @@ Parity (cuEST c_examples/examples/* and python_examples — SURVEY.md §2.13):
                              energy/potential on device — apps.xc,
                              ≙ local_xc_potential/run.py:1 and
                              cuest_molecular_grid.py:1)
-  5_ecp / 6_pcm            → declared, NotSupported (future round)
+  5_ecp / 6_pcm            → ECPIntPlanHandle (ecp_integrals +
+                             ecp_gradients) / PCMIntPlanHandle
+                             (pcm_potential + pcm_gradients) over
+                             apps.ecp / apps.pcm
   cuest_scf rhf driver     → apps.scf.rhf / apps.est.rhf; uhf/uks/rks →
                              apps.xc.uhf / apps.xc.rks (≙ uhf.py:1)
 """
@@ -122,7 +125,9 @@ class IntegralPlan:
             return jnp.asarray(_dipole(self.basis))
         if self.kind == "eri":
             return jnp.asarray(eri_tensor(self.basis))
-        raise NotSupportedError(f"integral kind {self.kind} (ecp/pcm: future round)")
+        raise NotSupportedError(
+            f"integral kind {self.kind} (ecp/pcm live in ECPIntPlanHandle/"
+            "PCMIntPlanHandle)")
 
 
 class GridPlan:

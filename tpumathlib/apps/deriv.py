@@ -429,8 +429,13 @@ def _e_prod_pad(e, l1, l2, tb, ub, vb, scale=1.0):
     return out
 
 
-def eri_block_grad(s1: GShell, s2: GShell, s3: GShell, s4: GShell):
+def eri_block_grad(s1: GShell, s2: GShell, s3: GShell, s4: GShell,
+                   omega: float | None = None):
     """(value, dA, dB, dC, dD) for a contracted shell quartet.
+
+    ``omega``: erf(ω·r₁₂)/r₁₂ long-range kernel instead of 1/r₁₂ —
+    the attenuation only reshapes the Boys/Hermite R-table
+    (integrals._r_table), so the derivative machinery is unchanged.
 
     value: (c1,c2,c3,c4); each gradient: (3,c1,c2,c3,c4). Per primitive
     quartet the shifted-ℓ raised/lowered Hermite E-products for ALL
@@ -494,7 +499,7 @@ def eri_block_grad(s1: GShell, s2: GShell, s3: GShell, s4: GShell):
                     # one order beyond lmax+1: the pairing gather touches
                     # (raised-bra × raised-ket) cells at t = lmax+2 whose
                     # E-products are zero but which must still be in range
-                    rt = _r_table(lmax + 2, alpha, rp - rq)
+                    rt = _r_table(lmax + 2, alpha, rp - rq, omega)
                     pref = (c1 * c2 * c3 * c4) * 2.0 * math.pi ** 2.5 / (
                         p * q * math.sqrt(p + q))
                     ket = np.empty((7 * nk, tk, tk, tk))
@@ -541,9 +546,11 @@ def eri_block_grad(s1: GShell, s2: GShell, s3: GShell, s4: GShell):
     return val, da, db, dc, dd
 
 
-def grad_eri(shells, mol: Molecule) -> np.ndarray:
+def grad_eri(shells, mol: Molecule,
+             omega: float | None = None) -> np.ndarray:
     """d(μν|λσ)/dR: (natom, 3, n, n, n, n) — assembled per atom from the
-    four slot derivatives (host analysis stage; fine at showcase scale)."""
+    four slot derivatives (host analysis stage; fine at showcase scale).
+    ``omega``: long-range erf(ω·r₁₂)/r₁₂ kernel (RSH exchange grads)."""
     atom_of = _shell_atom_map(shells, mol)
     offs = np.cumsum([0] + [len(s.lmns) for s in shells])
     n = offs[-1]
@@ -555,7 +562,8 @@ def grad_eri(shells, mol: Molecule) -> np.ndarray:
             for k in range(ns):
                 for l_ in range(ns):
                     _, da, db, dc, dd = eri_block_grad(
-                        shells[i], shells[j], shells[k], shells[l_])
+                        shells[i], shells[j], shells[k], shells[l_],
+                        omega=omega)
                     sl = (slice(offs[i], offs[i + 1]),
                           slice(offs[j], offs[j + 1]),
                           slice(offs[k], offs[k + 1]),

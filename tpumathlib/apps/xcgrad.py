@@ -184,8 +184,10 @@ def uks_gradient(mol: Molecule, spin: int = 0, xc: str = "svwn",
                  grid_kw: dict | None = None) -> np.ndarray:
     """Analytic UKS nuclear gradient: Coulomb/hcore/overlap terms from
     the McMurchie–Davidson derivative integrals (apps/deriv.py) + the
-    autodiff XC term; global hybrids (B3LYP/PBE0) add the −a0-scaled
-    exact-exchange derivative per spin.
+    autodiff XC term; hybrids add the exact-exchange derivative per spin
+    with the functional's full (α, β, ω) range-separation mix — global
+    hybrids (B3LYP/PBE0) via α·gx, RSH (cam-b3lyp/ωB97X/LC/HSE) adding
+    β times the erf-attenuated ERI derivative.
 
     ≙ local_xc_gradient/run.py as the XC piece of a full KS gradient
     (and test/b3lyp1_grad_1 for the hybrid assembly)."""
@@ -222,10 +224,19 @@ def uks_gradient(mol: Molecule, spin: int = 0, xc: str = "svwn",
     grad -= np.einsum("mn,axmn->ax", wa + wb, sx)
     grad += grad_nuclear_repulsion(mol)
     grad += xc_gradient(mol, pa, pb, shells, xc, grid_kw=gkw)
-    from tpumathlib.apps.xc import hybrid_exx
+    from tpumathlib.apps.xc import rs_params
 
-    a0 = hybrid_exx(xc)
+    # exact-exchange derivative: K_eff = α·K + β·K_LR(ω) (rs_params),
+    # so the force carries the SAME mix — the β term contracts the
+    # erf-attenuated ERI derivative (grad_eri(omega=)). Covers global
+    # hybrids (β=0), LC (α=0, e.g. lc-wpbe), and screened hybrids
+    # (β<0, e.g. hse06 = SR exchange).
+    a0, beta, omega = rs_params(xc)
     if a0:
         grad -= 0.5 * a0 * np.einsum("ml,ns,axmnls->ax", pa, pa, gx)
         grad -= 0.5 * a0 * np.einsum("ml,ns,axmnls->ax", pb, pb, gx)
+    if beta:
+        gx_lr = grad_eri(shells, mol, omega=omega)
+        grad -= 0.5 * beta * np.einsum("ml,ns,axmnls->ax", pa, pa, gx_lr)
+        grad -= 0.5 * beta * np.einsum("ml,ns,axmnls->ax", pb, pb, gx_lr)
     return grad

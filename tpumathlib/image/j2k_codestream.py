@@ -3,12 +3,13 @@
 Decodes actual .j2k/.jp2 streams produced by openjpeg-family encoders:
 SOC/SIZ/COD/QCD parsing, LRCP packet headers (tag trees, bit-stuffed
 header reader), EBCOT Tier-1 (MQ arithmetic decoder + significance/
-refinement/cleanup passes with full context modeling), reversible 5/3
-synthesis per Annex F, RCT inverse, DC level shift.
+refinement/cleanup passes with full context modeling; native C++ fast
+path in native/src/ebcot.cpp), reversible 5/3 AND irreversible 9/7
+synthesis per Annex F, RCT/ICT inverse, DC level shift, multi-tile
+grids, precinct subdivision, region (ROI window) decode.
 
-Scope: single tile, reversible (5/3) path, default code-block options
-(no bypass/reset/termall), no precinct subdivision — openjpeg's lossless
-defaults. The irreversible 9/7 path raises NotSupportedError.
+Scope: default code-block options (no bypass/reset/termall); HTJ2K
+(T.814) is out of scope (normative CxtVLC tables unavailable here).
 
 The serial entropy tier (MQ + context modeling — inherently bit-sequential)
 runs on host per SURVEY.md §2.10's split; the synthesis filter bank is
