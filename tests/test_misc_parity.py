@@ -74,7 +74,7 @@ def test_ml_kem_full(rng):
     encaps/decaps agreement, implicit rejection on tampering."""
     from tpumathlib.pqc import mlkem
 
-    for level in (512, 768):
+    for level in (512, 768, 1024):
         ek, dk = mlkem.keygen(rng.bytes(64), level)
         sz = mlkem.sizes(level)
         assert len(ek) == sz["ek"] and len(dk) == sz["dk"]
@@ -149,3 +149,46 @@ def test_ml_dsa(rng):
         padded = bytearray(hints)
         padded[mldsa.OMEGA - 1] = 7  # nonzero padding byte
         assert not mldsa.verify(pk, b"tpumathlib", sig[:zoff] + bytes(padded))
+
+
+def test_pqc_pinned_kats():
+    """Pinned known-answer vectors (tests/fixtures/pqc_kat.json): freeze the
+    exact byte encodings of ML-KEM-512/768/1024 keygen/encaps/decaps (incl.
+    the implicit-rejection secret), deterministic ML-DSA-44 keygen/sign, and
+    a Poseidon2 digest, so any drift in NTT convention, sampler, or codec
+    fails loudly. Generated once from this implementation (no external FIPS
+    vectors exist in the zero-egress image — interop caveat documented in
+    the fixture's _note). ≙ cuPQC example_ml_kem.cu / example_ml_dsa.cu."""
+    import hashlib
+    import json
+    import pathlib
+
+    from tpumathlib.pqc import mldsa, mlkem
+    from tpumathlib.pqc.poseidon2 import poseidon2_hash
+
+    kat = json.loads((pathlib.Path(__file__).parent / "fixtures"
+                      / "pqc_kat.json").read_text())
+    h = lambda b: hashlib.sha256(b).hexdigest()
+
+    for level_s, v in kat["ml_kem"].items():
+        level = int(level_s)
+        ek, dk = mlkem.keygen(bytes.fromhex(v["seed"]), level)
+        assert h(ek) == v["ek_sha256"] and h(dk) == v["dk_sha256"]
+        ss, ct = mlkem.encaps(ek, bytes.fromhex(v["m"]), level)
+        assert h(ct) == v["ct_sha256"] and ss.hex() == v["ss"]
+        assert mlkem.decaps(dk, ct, level) == ss
+        bad = bytes([ct[0] ^ 1]) + ct[1:]
+        assert mlkem.decaps(dk, bad, level).hex() == v["kbar"]
+
+    d = kat["ml_dsa_44"]
+    pk, sk = mldsa.keygen(bytes.fromhex(d["xi"]))
+    assert h(pk) == d["pk_sha256"]
+    sig = mldsa.sign(sk, d["msg"].encode())
+    assert h(sig) == d["sig_sha256"]
+    assert mldsa.verify(pk, d["msg"].encode(), sig)
+
+    st = (np.arange(48, dtype=np.uint32).reshape(3, 16)
+          * np.uint32(2654435761)) % np.uint32(2013265921)
+    dig = np.asarray(poseidon2_hash(st))
+    np.testing.assert_array_equal(dig, np.asarray(kat["poseidon2_babybear"]
+                                                  ["digest"], dig.dtype))

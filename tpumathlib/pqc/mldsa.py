@@ -10,7 +10,10 @@ samples, where the host drives the abort-and-retry signing loop).
 Without NIST KAT files in the image, correctness is pinned by (a) FIPS
 204 object sizes (pk/sk/sig for ML-DSA-44: 1312/2560/2420), (b)
 sign→verify round-trip, (c) rejection of tampered messages/signatures,
-and (d) the NTT agreeing with schoolbook negacyclic convolution."""
+(d) the NTT agreeing with schoolbook negacyclic convolution, and (e)
+pinned in-repo known-answer fixtures (tests/fixtures/pqc_kat.json)
+freezing keygen/sign byte encodings (stability, not external interop —
+no FIPS vectors exist in the zero-egress image)."""
 
 from __future__ import annotations
 

@@ -9,7 +9,13 @@ Keccak of pqc/keccak.py; byte encode/compress are NumPy host marshaling
 Parameter sets: ML-KEM-512/768/1024. Without NIST KAT files in the image,
 correctness is pinned by (a) FIPS 203 object sizes (ek/dk/ct/ss), (b)
 encaps/decaps round-trip agreement, (c) the implicit-rejection path on
-tampered ciphertexts, and (d) K-PKE decrypt∘encrypt = identity."""
+tampered ciphertexts, (d) K-PKE decrypt∘encrypt = identity, and (e)
+pinned in-repo known-answer fixtures (tests/fixtures/pqc_kat.json) that
+freeze the exact byte encodings at all three levels so any drift in the
+NTT convention, samplers, or codecs fails loudly. Caveat: the pinned
+vectors were generated from this implementation — they guarantee
+stability, not interop with external FIPS 203 stacks (no external
+vectors exist in the zero-egress image)."""
 
 from __future__ import annotations
 
