@@ -57,7 +57,7 @@ def test_distributed_xc_matches_single_device(rng):
     potential matrices."""
     shells = est.sto3g_shells(_H2O)
     d = _random_density(7, rng)
-    for xc in ("svwn", "pbe"):
+    for xc in ("svwn", "pbe", "r2scan"):
         integ = XCIntegrator(shells, _H2O, xc=xc, n_rad=20, n_theta=6,
                              n_phi=12)
         exc_ref, va_ref, vb_ref = integ.evaluate(d, d)

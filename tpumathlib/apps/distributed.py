@@ -130,7 +130,7 @@ class DistributedXC:
             jnp.asarray(a), NamedSharding(self.mesh, spec))
         self.ao = shard(ao, P(self.axis, None))
         self.w = shard(w, P(self.axis))
-        if self.kind == "gga":
+        if self.kind in ("gga", "mgga"):
             grad = _pad_to(np.asarray(integ.grad_np, np.float32), 1, ndev)
             self.grad = shard(grad, P(None, self.axis, None))
             in_specs = (P(self.axis, None), P(None, self.axis, None),
@@ -141,7 +141,7 @@ class DistributedXC:
                         P(None, None), P(None, None))
         rep = P()
 
-        if self.kind == "gga":
+        if self.kind in ("gga", "mgga"):
             @jax.jit
             @functools.partial(shard_map, mesh=self.mesh,
                                in_specs=in_specs,

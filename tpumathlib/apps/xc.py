@@ -468,6 +468,13 @@ _B97_PARAMS = {
                   omega=0.3,
                   css=(1.000000, -4.33879, 18.2308, -31.7430, 17.2901),
                   cos=(1.000000, -2.37031, 14.3055, -30.4251, 15.9042)),
+    # wB97X-V [Mardirossian & Head-Gordon, PCCP 16, 9904 (2014)]: the
+    # 10-parameter GGA + VV10 member of the -V family (NOT a meta-GGA);
+    # SR-HF α = 0.167 (UEG: c_x0 + α = 1 exactly), LR-HF 1.0, ω = 0.3,
+    # VV10 b = 6.0, C = 0.01 (auto-enabled via _NLC_DEFAULTS).
+    "wb97x-v": dict(cx=(0.833, 0.603, 1.194), omega=0.3,
+                    css=(0.556, -0.257),
+                    cos=(1.219, -1.850)),
 }
 
 
@@ -601,11 +608,38 @@ _FUNCTIONALS = {
                  + f_pbe_c(ra, rb, saa, sab, sbb, xp)),
     "b97": ("gga", _f_b97("b97")),
     "wb97x": ("gga", _f_b97("wb97x")),
+    "wb97x-v": ("gga", _f_b97("wb97x-v")),
+}
+
+# meta-GGA (τ-dependent) tier — apps/mgga.py evaluates the kinetic
+# density channel; registered here so every driver (XCIntegrator,
+# exc_only, xcgrad, apps.distributed) dispatches on kind="mgga".
+# ≙ the reference ids r2SCAN / M06-L / M06 / M06-2X / B97M-V / wB97M-V
+# (test_dft_energies.py:76-117).
+from tpumathlib.apps import mgga as _mgga  # noqa: E402 (needs the defs above)
+
+_FUNCTIONALS.update({
+    "r2scan": ("mgga", _mgga.f_r2scan),
+    "m06-l": ("mgga", _mgga.f_m06l),
+    "m06": ("mgga", _mgga.f_m06),
+    "m06-2x": ("mgga", _mgga.f_m062x),
+    "b97m-v": ("mgga", _mgga.f_b97mv),
+    "wb97m-v": ("mgga", _mgga.f_wb97mv),
+})
+
+# -V functionals carry VV10 nonlocal correlation BY DEFINITION: the SCF
+# drivers auto-enable it with these (b, C) unless the caller overrides
+# nlc explicitly (nlc=False disables).
+_NLC_DEFAULTS = {
+    "b97m-v": (6.0, 0.01),
+    "wb97m-v": (6.0, 0.01),
+    "wb97x-v": (6.0, 0.01),
 }
 
 # exact-exchange (HF) fraction mixed into the Kohn–Sham Fock matrix for
 # hybrid functionals (uhf/rks apply −a0·K_σ and the matching energy term)
-_HYBRID_EXX = {"b3lyp": 0.20, "b3lyp5": 0.20, "pbe0": 0.25, "b97": 0.1943}
+_HYBRID_EXX = {"b3lyp": 0.20, "b3lyp5": 0.20, "pbe0": 0.25, "b97": 0.1943,
+               "m06": 0.27, "m06-2x": 0.54}
 
 # range-separated hybrids: K_eff = α·K_full + β·K_LR(ω) with K_LR built
 # from erf(ωr₁₂)/r₁₂ ERIs (est.eri_tensor(omega=) / DFTensors(omega=)).
@@ -618,6 +652,8 @@ _RS_HYBRIDS = {
     "lc-wpbe": (0.0, 1.0, 0.40),         # Vydrov–Scuseria 2006
     "lc-wpbeh": (0.2, 0.8, 0.20),        # 0.2·K_SR + 1.0·K_LR
     "wb97x": (0.157706, 0.842294, 0.3),  # α·K_SR + 1.0·K_LR, Chai–HG
+    "wb97x-v": (0.167, 0.833, 0.3),      # Mardirossian–HG 2014
+    "wb97m-v": (0.15, 0.85, 0.3),        # Mardirossian–HG 2016
 }
 
 
@@ -633,6 +669,7 @@ def rs_params(xc: str | None):
     ≙ the reference's exchange_scale / lrc_exchange_scale / lrc_omega
     XC-plan parameters consumed by its DF plan
     (cuest_scf/rhf.py:255-263, cuest_df_int_plan.py)."""
+    xc = xc.lower() if xc else xc
     if xc in _RS_HYBRIDS:
         return _RS_HYBRIDS[xc]
     return (_HYBRID_EXX.get(xc, 0.0) if xc else 0.0, 0.0, 0.0)
@@ -644,20 +681,35 @@ def xc_local_eval(kind, f, ao, grad, w, da, db):
     """One quadrature block → (E_xc, V_a, V_b). Pure in (ao, grad, w, da,
     db), so it serves both the single-device `XCIntegrator.evaluate` and
     the grid-sharded `apps.distributed` path (each device evaluates its
-    own grid points; the contributions are additive over points)."""
+    own grid points; the contributions are additive over points).
+
+    All density/potential contractions pin precision=HIGHEST: at MXU
+    DEFAULT the f32 operands are demoted to bf16, and τ-dependent
+    functionals amplify the resulting ~1e-3 density error far beyond
+    the f32 SCF budget (measured on chip: r2SCAN He drifted 1.3e-3
+    rel at DEFAULT, clean at HIGHEST; grid einsums are a negligible
+    fraction of the Fock-build FLOPs so HIGHEST is free here)."""
+    _HI = jax.lax.Precision.HIGHEST
     if kind == "lda":
-        dens = (jnp.einsum("gm,mn,gn->g", ao, da, ao),
-                jnp.einsum("gm,mn,gn->g", ao, db, ao))
+        dens = (jnp.einsum("gm,mn,gn->g", ao, da, ao, precision=_HI),
+                jnp.einsum("gm,mn,gn->g", ao, db, ao, precision=_HI))
         gra = grb = None
     else:
-        ra = jnp.einsum("gm,mn,gn->g", ao, da, ao)
-        rb = jnp.einsum("gm,mn,gn->g", ao, db, ao)
-        gra = 2.0 * jnp.einsum("xgm,mn,gn->xg", grad, da, ao)
-        grb = 2.0 * jnp.einsum("xgm,mn,gn->xg", grad, db, ao)
+        ra = jnp.einsum("gm,mn,gn->g", ao, da, ao, precision=_HI)
+        rb = jnp.einsum("gm,mn,gn->g", ao, db, ao, precision=_HI)
+        gra = 2.0 * jnp.einsum("xgm,mn,gn->xg", grad, da, ao, precision=_HI)
+        grb = 2.0 * jnp.einsum("xgm,mn,gn->xg", grad, db, ao, precision=_HI)
         dens = (ra, rb,
-                jnp.einsum("xg,xg->g", gra, gra),
-                jnp.einsum("xg,xg->g", gra, grb),
-                jnp.einsum("xg,xg->g", grb, grb))
+                jnp.einsum("xg,xg->g", gra, gra, precision=_HI),
+                jnp.einsum("xg,xg->g", gra, grb, precision=_HI),
+                jnp.einsum("xg,xg->g", grb, grb, precision=_HI))
+        if kind == "mgga":
+            # kinetic-energy density τ_σ = ½ Σ_x ∇φ·D_σ·∇φ
+            dens = dens + (
+                0.5 * jnp.einsum("xgm,mn,xgn->g", grad, da, grad,
+                                 precision=_HI),
+                0.5 * jnp.einsum("xgm,mn,xgn->g", grad, db, grad,
+                                 precision=_HI))
 
     def etot(*d):
         # double-where guard: clamp the functional's inputs BEFORE
@@ -678,18 +730,25 @@ def xc_local_eval(kind, f, ao, grad, w, da, db):
     exc = etot(*dens)
     derivs = jax.grad(etot, argnums=tuple(range(len(dens))))(*dens)
     vra, vrb = derivs[0], derivs[1]
-    va = jnp.einsum("g,gm,gn->mn", vra, ao, ao)
-    vb = jnp.einsum("g,gm,gn->mn", vrb, ao, ao)
-    if kind == "gga":
+    va = jnp.einsum("g,gm,gn->mn", vra, ao, ao, precision=_HI)
+    vb = jnp.einsum("g,gm,gn->mn", vrb, ao, ao, precision=_HI)
+    if kind in ("gga", "mgga"):
         vsaa, vsab, vsbb = derivs[2], derivs[3], derivs[4]
         # dE/dD_a via chain rule on σ terms: 2 vsaa ∇ρa + vsab ∇ρb
         # (gra/grb reused from the density build above)
         ta = 2.0 * vsaa[None] * gra + vsab[None] * grb
         tb = 2.0 * vsbb[None] * grb + vsab[None] * gra
-        cross = jnp.einsum("xg,xgm,gn->mn", ta, grad, ao)
+        cross = jnp.einsum("xg,xgm,gn->mn", ta, grad, ao, precision=_HI)
         va = va + cross + cross.T
-        crossb = jnp.einsum("xg,xgm,gn->mn", tb, grad, ao)
+        crossb = jnp.einsum("xg,xgm,gn->mn", tb, grad, ao, precision=_HI)
         vb = vb + crossb + crossb.T
+    if kind == "mgga":
+        # τ channel: ∂τ_σ/∂D_mn = ½ Σ_x ∇φm·∇φn
+        vta, vtb = derivs[5], derivs[6]
+        va = va + 0.5 * jnp.einsum("g,xgm,xgn->mn", vta, grad, grad,
+                                   precision=_HI)
+        vb = vb + 0.5 * jnp.einsum("g,xgm,xgn->mn", vtb, grad, grad,
+                                   precision=_HI)
     return exc, va, vb
 
 
@@ -700,11 +759,12 @@ class XCIntegrator:
 
     def __init__(self, shells, mol: Molecule, xc: str = "svwn",
                  n_rad: int = 60, n_theta: int = 12, n_phi: int = 24):
+        xc = xc.lower()
         self.kind, self.f = _FUNCTIONALS[xc]
         self.hyb, self.lr_beta, self.lr_omega = rs_params(xc)
         pts, w = molecular_grid(mol, n_rad, n_theta, n_phi)
         self.w_np = w
-        if self.kind == "gga":
+        if self.kind in ("gga", "mgga"):
             ao, grad = eval_aos(shells, pts, deriv=1)
             self.grad_np = grad
             self.grad = jnp.asarray(grad, jnp.float32)
@@ -718,7 +778,7 @@ class XCIntegrator:
         c_t = sph_transform(shells)
         if c_t is not None:
             ao = ao @ c_t.T
-            if self.kind == "gga":
+            if self.kind in ("gga", "mgga"):
                 self.grad_np = self.grad_np @ c_t.T
                 self.grad = jnp.asarray(self.grad_np, jnp.float32)
         self.ao_np = ao
@@ -735,6 +795,10 @@ class XCIntegrator:
         saa = xp.einsum("xg,xg->g", gra, gra)
         sab = xp.einsum("xg,xg->g", gra, grb)
         sbb = xp.einsum("xg,xg->g", grb, grb)
+        if self.kind == "mgga":
+            ta = 0.5 * xp.einsum("xgm,mn,xgn->g", grad, da, grad)
+            tb = 0.5 * xp.einsum("xgm,mn,xgn->g", grad, db, grad)
+            return (ra, rb, saa, sab, sbb, ta, tb)
         return (ra, rb, saa, sab, sbb)
 
     def exc_only(self, da, db, f64: bool = True) -> float:
@@ -845,6 +909,11 @@ def uhf(mol: Molecule, spin: int = 0, max_iters: int = 120,
                 eri_lr_np = np.einsum("kl,hs,ijls->ijkh", c_t, c_t,
                                       eri_lr_np)
             eri_lr = jnp.asarray(eri_lr_np)
+    # -V functionals (B97M-V/wB97M-V/wB97X-V) carry VV10 by definition:
+    # auto-enable with the published (b, C) unless the caller overrides
+    # (nlc=False runs the local part only, nlc=(b, C) re-parameterizes)
+    if nlc is None and xc and xc.lower() in _NLC_DEFAULTS:
+        nlc = _NLC_DEFAULTS[xc.lower()]
     vvi = None
     if nlc:
         if not xc:

@@ -145,22 +145,27 @@ def xc_energy_fn(mol: Molecule, shells=None, xc: str = "svwn",
     shells = shells if shells is not None else sto3g_shells(mol)
     meta = _shell_meta(shells, coords0)
     zs = [_Z[s] for s in mol.symbols]
-    kind, f = _FUNCTIONALS[xc]
+    kind, f = _FUNCTIONALS[xc.lower()]
 
     def e_xc(coords, da, db):
         coords = jnp.asarray(coords, dtype)
         da = jnp.asarray(da, dtype)
         db = jnp.asarray(db, dtype)
         pts, w = _grid_jax(coords, zs, n_rad, n_theta, n_phi, dtype)
-        ao, grad = _eval_aos_jax(meta, coords, pts, kind == "gga", dtype)
+        ao, grad = _eval_aos_jax(meta, coords, pts,
+                                 kind in ("gga", "mgga"), dtype)
         ra = jnp.einsum("gm,mn,gn->g", ao, da, ao)
         rb = jnp.einsum("gm,mn,gn->g", ao, db, ao)
-        if kind == "gga":
+        if kind in ("gga", "mgga"):
             gra = 2.0 * jnp.einsum("xgm,mn,gn->xg", grad, da, ao)
             grb = 2.0 * jnp.einsum("xgm,mn,gn->xg", grad, db, ao)
             dens = (ra, rb, jnp.einsum("xg,xg->g", gra, gra),
                     jnp.einsum("xg,xg->g", gra, grb),
                     jnp.einsum("xg,xg->g", grb, grb))
+            if kind == "mgga":
+                dens = dens + (
+                    0.5 * jnp.einsum("xgm,mn,xgn->g", grad, da, grad),
+                    0.5 * jnp.einsum("xgm,mn,xgn->g", grad, db, grad))
         else:
             dens = (ra, rb)
         good = dens[0] + dens[1] > 1e-10
