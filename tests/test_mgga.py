@@ -189,6 +189,7 @@ def test_mgga_nuclear_gradient_fd():
 
     from tpumathlib.apps.xcgrad import xc_energy_fn
 
+    prev_x64 = jax.config.jax_enable_x64
     jax.config.update("jax_enable_x64", True)
     try:
         h2 = Molecule(symbols=["H", "H"],
@@ -211,4 +212,6 @@ def test_mgga_nuclear_gradient_fd():
             fd = (ep - em) / (2 * h)
             assert abs(g[1, ax] - fd) < 5e-6, (ax, g[1, ax], fd)
     finally:
-        jax.config.update("jax_enable_x64", False)
+        # restore, don't force-off: conftest runs the suite with x64 on,
+        # and clobbering it breaks every f64 oracle after this file
+        jax.config.update("jax_enable_x64", prev_x64)
