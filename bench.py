@@ -178,6 +178,39 @@ def bench_sparse(hbm_target):
     ]
 
 
+def _marginal_chain_time(fn, x, chain=5, reps=3, repeats=3):
+    """Marginal seconds per op: per-link cost of ``reps`` nested dependent
+    applications minus the 1-application link, / (reps-1). Cancels EVERY
+    per-link harness term — fori-carry HBM round trips, donation-defeating
+    copies, scalar readback — that the plain carry chain pays per link.
+    Round 4's solver lines used the carry chain and were ~2.4x inflated
+    (solver/onelaunch.py docstring has the decomposition)."""
+    import jax
+    import jax.numpy as jnp
+
+    def make(r):
+        def run(p, c0):
+            def body(_, c):
+                for _k in range(r):
+                    out = fn(p + c * jnp.float32(1e-30))
+                    c = c + out[0, 0].astype(jnp.float32) * 1e-30
+                return c
+            return jax.lax.fori_loop(0, chain, body, c0)
+        return jax.jit(run)
+
+    ts = []
+    for r in (1, reps):
+        g = make(r)
+        float(g(x, jnp.float32(0)))
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(g(x, jnp.float32(0)))
+            best = min(best, time.perf_counter() - t0)
+        ts.append(best / chain)
+    return max((ts[1] - ts[0]) / (reps - 1), 1e-9)
+
+
 def bench_solver(peak):
     """Solver-tier self-measurement (≙ the reference's per-sample timing,
     cuBLASMp/gemm.cu:501, cusolver_examples timing loops)."""
@@ -191,36 +224,30 @@ def bench_solver(peak):
     key = jax.random.key(1)
     g = jax.random.normal(key, (n, n), jnp.float32)
     spd = (g @ g.T) / n + 4.0 * jnp.eye(n, dtype=jnp.float32)
-    # chain by feeding c + eps·f(c) back (keeps SPD/shape; eps negligible;
-    # not DCE-able), per the no-single-dispatch-timing rule
-    t = _chain_time(lambda c: c + 1e-30 * xpotrf(c)[0], spd, chain=5)
+    t = _marginal_chain_time(lambda c: xpotrf(c)[0], spd, chain=5)
     gf = (n**3 / 3.0) / t / 1e9
     # f32 roofline: the MXU runs f32 at ~peak/2 with HIGHEST-precision
     # passes; target 50% of that (factorizations are panel-bound)
     yield {"metric": f"solver_potrf_f32_n{n}_gflops",
            "value": round(gf, 1), "unit": "GFLOP/s",
            "vs_baseline": round(gf / (0.25 * peak * 1e3), 4),
-           "note": "within ~2x of the measured dependent-op latency "
-                   "floor for ANY panel-sequential factorization on "
-                   "this chip (solver/blocked.py docstring; own-engine "
-                   "blocked build measured 7.6 ms vs XLA 7.2)"}
-    t = _chain_time(lambda c: c + 1e-30 * xgetrf(c)[0], g, chain=5)
+           "note": "one-launch left-looking Pallas engine "
+                   "(solver/onelaunch.py): 1.3x XLA cholesky; includes "
+                   "one 64 MB elementwise chain-perturbation pass"}
+    t = _marginal_chain_time(lambda c: xgetrf(c)[0], g, chain=5)
     gf = (2.0 * n**3 / 3.0) / t / 1e9
     yield {"metric": f"solver_getrf_n{n}_gflops",
            "value": round(gf, 1), "unit": "GFLOP/s",
-           "vs_baseline": round(gf / (0.25 * peak * 1e3), 4),
-           "note": "pivot-scan experiment puts a blocked own-engine "
-                   "getrf at 10-20 ms ~ XLA parity "
-                   "(solver/blocked.py docstring)"}
+           "vs_baseline": round(gf / (0.25 * peak * 1e3), 4)}
     ne = 2048
     spd_e = spd[:ne, :ne]
-    t = _chain_time(lambda c: c + 1e-30 * xsyevd(c)[1], spd_e, chain=2)
+    t = _marginal_chain_time(lambda c: xsyevd(c)[1], spd_e, chain=2,
+                             reps=2)
     yield {"metric": f"solver_syevd_n{ne}_ms",
            "value": round(t * 1e3, 1), "unit": "ms",
            "vs_baseline": round((4.0 * ne**3 / 3.0) / t / 1e9 / 1000, 4),
-           "note": "SBR/tridiag/QDWH alternatives all reproduce ~130 ms "
-                   "from the same dependent-op constants (xsyevd "
-                   "docstring, solver/dense.py)"}
+           "note": "marginal-cost timing (the round-4 130 ms figure "
+                   "carried ~2.4x of harness inflation)"}
     # lane-packed batched small-n factorization vs vmapped XLA
     from tpumathlib.dx.solver import potrf_batched_packed
 

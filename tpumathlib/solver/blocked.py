@@ -45,6 +45,16 @@ that architectural ceiling, which is why ``solver.dense.xpotrf`` keeps
 the XLA lowering as default and this module is the documented,
 opt-in engine (``solver.potrf_blocked``).
 
+ROUND-5 CORRECTION: the per-op constants above were measured through a
+chain harness that carried the full matrix as the fori carry — which
+round 5 showed adds an HBM round trip + donation-defeating copy PER
+LINK, inflating every number ~2.4x (XLA's "7.2 ms" cholesky is really
+2.2 ms under marginal-cost timing). The conclusion flips: a ONE-launch
+left-looking kernel (solver/onelaunch.py) factors n=4096 in 1.70 ms =
+13.5 TFLOP/s, 1.3x XLA, and is now the default xpotrf engine at
+n >= 2048. This module remains as the per-panel reference
+implementation and the record of the (corrected) analysis.
+
 GETRF (partial-pivoted LU) CARRIES THE SAME WALL PLUS PIVOTING — the
 round-3 verdict's "measure before investing" experiment, run end of
 round 4 on chip (kernel: fori-loop LU column steps on a (512,128) VMEM

@@ -53,9 +53,26 @@ def _finite_info(x, diag_only: bool = False) -> jnp.ndarray:
 
 # ---------------- Cholesky ----------------
 
+def _use_onelaunch(a) -> bool:
+    """Route large single f32 SPD factors through the one-launch Pallas
+    engine (solver/onelaunch.py): measured 1.70 ms vs XLA's 2.19 ms at
+    n=4096 on the v5e (13.5 vs 10.5 TFLOP/s, marginal-cost chained
+    timing)."""
+    return (jax.default_backend() == "tpu" and a.ndim == 2
+            and a.dtype == jnp.float32 and a.shape[0] == a.shape[1]
+            and a.shape[0] >= 2048 and a.shape[0] % 256 == 0)
+
+
 @functools.partial(jax.jit, static_argnames=("uplo",))
 def xpotrf(a, uplo: str = "L"):
     """Cholesky: A = L Lᴴ (uplo=L) or Uᴴ U. Returns (factor, info)."""
+    if _use_onelaunch(a):
+        from tpumathlib.solver.onelaunch import potrf_onelaunch
+
+        f = potrf_onelaunch(a)
+        if uplo.upper() == "U":
+            f = jnp.swapaxes(f, -1, -2)
+        return f, _finite_info(f, diag_only=True)
     if uplo.upper() == "U":
         l = jnp.linalg.cholesky(jnp.swapaxes(a, -1, -2).conj())
         f = jnp.swapaxes(l, -1, -2).conj()
