@@ -341,14 +341,21 @@ def bench_image():
     from tpumathlib.benchmarks import bench_j2k, bench_jpeg
 
     j = bench_jpeg()
-    k = bench_j2k()
-    return [
+    j2 = bench_jpeg(h=1536, w=2048)     # >=2 MP point: amortizes the
+    k = bench_j2k()                     # per-image fixed costs that
+    return [                            # dominate 512x512 (round-4 weak #4)
         {"metric": "jpeg_decode_512rgb_mps",
          "value": round(j["decode_mps"], 3), "unit": "MP/s",
          "vs_baseline": round(j["decode_mps"] / 50.0, 5)},
         {"metric": "jpeg_encode_512rgb_mps",
          "value": round(j["encode_mps"], 3), "unit": "MP/s",
          "vs_baseline": round(j["encode_mps"] / 50.0, 5)},
+        {"metric": "jpeg_decode_3mp_mps",
+         "value": round(j2["decode_mps"], 3), "unit": "MP/s",
+         "vs_baseline": round(j2["decode_mps"] / 50.0, 5)},
+        {"metric": "jpeg_encode_3mp_mps",
+         "value": round(j2["encode_mps"], 3), "unit": "MP/s",
+         "vs_baseline": round(j2["encode_mps"] / 50.0, 5)},
         {"metric": "j2k_decode_256gray_mps",
          "value": round(k["decode_mps"], 3), "unit": "MP/s",
          "vs_baseline": round(k["decode_mps"] / 50.0, 5)},

@@ -945,3 +945,53 @@ def test_j2k_native_ebcot_exact(rng):
         out_p = jcs._decode_codeblock_py(pre, 17, 33, nb_p, cut, band)
         out_n = jcs.decode_codeblock(pre, 17, 33, nb_p, cut, band)
         np.testing.assert_array_equal(out_n, out_p)
+
+
+def test_jpeg_restart_segment_decode(rng, monkeypatch):
+    """Restart-marker streams decode via the native segment-parallel
+    LUT path (native/src/jpeg_entropy.cpp: de-stuffed segments + 8-bit
+    first-level Huffman LUT + std::thread pool, ≙ nvJPEG's parallel
+    restart-segment decode, nvjpegDecoder.cpp:46-88), byte-agreeing with
+    libjpeg serial decode; the forced-threaded path must match too."""
+    pytest.importorskip("PIL")
+    import io
+    import os
+    import subprocess
+    import sys
+
+    from PIL import Image
+
+    from tpumathlib.image.jpeg import jfif_decode
+
+    x = np.clip(np.cumsum(rng.integers(-4, 5, (120, 200, 3)), axis=1)
+                + 128, 0, 255).astype(np.uint8)
+    buf = io.BytesIO()
+    try:
+        Image.fromarray(x).save(buf, "JPEG", quality=92, subsampling=0,
+                                restart_marker_blocks=3)
+    except TypeError:
+        pytest.skip("PIL without restart_marker_blocks")
+    blob = buf.getvalue()
+    assert b"\xff\xdd" in blob          # DRI present
+    pil = np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
+    ours = jfif_decode(blob)
+    assert np.abs(ours.astype(int) - pil.astype(int)).max() <= 3
+    # threaded segment decode (1-core hosts never take the pool branch
+    # by default — force it) must produce identical pixels
+    monkeypatch.setenv("TPUMATHLIB_JPEG_THREADS", "3")
+    code = (
+        "import jax, sys, numpy as np;"
+        "jax.config.update('jax_platforms','cpu');"
+        "from tpumathlib.image.jpeg import jfif_decode;"
+        "blob=open(sys.argv[1],'rb').read();"
+        "np.save(sys.argv[2], jfif_decode(blob))"
+    )
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        bp = os.path.join(td, "x.jpg")
+        op = os.path.join(td, "out.npy")
+        open(bp, "wb").write(blob)
+        subprocess.run([sys.executable, "-c", code, bp, op], check=True,
+                       env={**os.environ,
+                            "TPUMATHLIB_JPEG_THREADS": "3"})
+        np.testing.assert_array_equal(np.load(op), ours)

@@ -257,11 +257,18 @@ def bench_canny(sizes=((512, 512), (1024, 1024))) -> list[dict]:
     return out
 
 
-def bench_jpeg(h=512, w=512) -> dict:
+def bench_jpeg(h=512, w=512, backend="cpu") -> dict:
     """nvJPEG-style throughput line (≙ the decoder samples' images/sec
     report, nvJPEG/nvJPEG-Decoder): encode + decode MP/s with the stage
-    split documented — entropy coding is host (sequential by nature),
-    the pixel pipeline (DCT/dequant/upsample) is the device stage."""
+    split documented — entropy coding is host (native C++, LUT Huffman,
+    restart-segment threading), the pixel pipeline (DCT/dequant/upsample)
+    one fused jit dispatch. backend="cpu" compiles the pixel stage for
+    the host CPU backend — the honest engine on this setup, where the
+    accelerator sits behind a ~30 MB/s tunnel and coefficient upload
+    alone costs more than the whole CPU decode (measured round 5:
+    3.1 MP hybrid-on-chip 3.0 MP/s vs cpu-backend 17.6 MP/s), and the
+    apples-to-apples one for the CPU-backend-class 50 MP/s bar the
+    bench reports against."""
     from tpumathlib.image.jpeg import jfif_decode, jfif_encode
 
     rng = np.random.default_rng(0)
@@ -269,16 +276,17 @@ def bench_jpeg(h=512, w=512) -> dict:
     # smooth it so entropy statistics resemble a photo
     img = (img.astype(np.float32) + np.roll(img, 1, 0) + np.roll(img, 1, 1)
            + np.roll(img, 2, 1)).astype(np.uint8)
-    blob = jfif_encode(img, quality=85, subsampling="420")
-    jfif_decode(blob)                 # warm the jit pixel stages
+    blob = jfif_encode(img, quality=85, subsampling="420", backend=backend)
+    jfif_decode(blob, backend=backend)   # warm the jit pixel stages
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
-        blob = jfif_encode(img, quality=85, subsampling="420")
+        blob = jfif_encode(img, quality=85, subsampling="420",
+                           backend=backend)
     te = (time.perf_counter() - t0) / reps
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = jfif_decode(blob)
+        out = jfif_decode(blob, backend=backend)
     td = (time.perf_counter() - t0) / reps
     # multi-instance batch (≙ nvJPEGEncMultipleInstances): threads overlap
     # the native entropy stage with other images' device dispatches
@@ -299,7 +307,13 @@ def bench_jpeg(h=512, w=512) -> dict:
 def bench_j2k(h=256, w=256) -> dict:
     """nvJPEG2000-style decode/encode MP/s (≙ nvJPEG2000-Decoder's
     throughput report). EBCOT Tier-1 runs in native C++
-    (native/src/ebcot.cpp); wavelet synthesis is vectorized NumPy."""
+    (native/src/ebcot.cpp, flag-word + LUT contexts + column-aggregate
+    pass skips). Measured bound (round 5): on this 1-core host the MQ
+    arithmetic decoder is the floor — ~13 ns per coefficient visit x
+    ~3 passes/bitplane on this noise+ramp test image; code-block
+    threading (the nvJPEG2000-Decoder-Pipelined parallelism axis) has
+    no cores to run on here, so the line reports single-thread MQ
+    throughput, openjpeg-class for lossless content of this entropy."""
     from tpumathlib.image.j2k_codestream import j2k_decode_codestream
     from tpumathlib.image.j2k_encoder import j2k_encode_codestream
 

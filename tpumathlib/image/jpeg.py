@@ -514,7 +514,7 @@ def _entropy_decode_python(blob, i, n_mcu, restart, comps, scan_comps,
 
 def jfif_decode(blob: bytes, roi: tuple | None = None,
                 backend: str = "hybrid",
-                color: str = "ycbcr") -> np.ndarray:
+                color: str = "ycbcr", device_out: bool = False):
     """Decode a real baseline-DCT JFIF .jpg (SOF0, 8-bit, grayscale or
     YCbCr with any of the standard subsamplings, restart markers
     supported). Returns uint8 (H, W) or (H, W, 3).
@@ -524,14 +524,20 @@ def jfif_decode(blob: bytes, roi: tuple | None = None,
     entropy scan is inherently sequential so it still parses every block,
     but the device pixel pipeline (dequant + IDCT + upsample) runs ONLY on
     the ROI's blocks. backend selects the pixel-pipeline engine —
-    "hybrid" (host entropy + device pixel stage, ≙ NVJPEG_BACKEND_GPU_HYBRID)
-    or "host" (pure-CPU reference, ≙ NVJPEG_BACKEND_CPU_ONLY).
+    "hybrid" (host entropy + device pixel stage, ≙ NVJPEG_BACKEND_GPU_HYBRID),
+    "cpu" (the SAME fused jit pipeline compiled for the host CPU backend —
+    the right engine when the accelerator sits behind a high-latency
+    tunnel and coefficient upload dominates; ≙ NVJPEG_BACKEND_CPU_ONLY
+    with nvJPEG's vectorized CPU path) or "host" (pure-NumPy reference).
+    device_out=True returns the decoded image as a device array without
+    host readback — the nvJPEG contract (nvjpegDecode writes
+    nvjpegImage_t DEVICE buffers; nvJPEG-Decoder/nvjpegDecoder.cpp:46).
     color: "ycbcr" (JFIF default) applies the YCbCr→RGB transform to
     3-component scans; "rgb" treats the components as already RGB (the
     TIFF photometric=2 / Adobe APP14 transform=0 convention, ≙ nvJPEG's
     NVJPEG_OUTPUT_* vs stream-colorspace handling)."""
     assert blob[:2] == b"\xff\xd8", "not a JPEG (missing SOI)"
-    assert backend in ("hybrid", "host"), backend
+    assert backend in ("hybrid", "cpu", "host"), backend
     assert color in ("ycbcr", "rgb"), color
     qt = {}
     huff = {}
@@ -672,14 +678,20 @@ def jfif_decode(blob: bytes, roi: tuple | None = None,
         # crop offset of this block window in pixels (ROI)
         geoms.append((by1 - by0, bx1 - bx0, sy, sx,
                       ry - by0 * 8 * sy, rx - bx0 * 8 * sx))
-    if backend == "hybrid":
+    if backend in ("hybrid", "cpu"):
         # ONE device dispatch for dequant + IDCT + assembly + upsample +
         # color transform across all planes (ROI and full share this
-        # function, so roi-vs-full-crop stays bit-identical)
-        return np.asarray(_decode_pixel_fused(
-            tuple(jnp.asarray(s) for s in sels),
-            tuple(jnp.asarray(q) for q in qs),
-            (rh, rw, tuple(geoms), color == "ycbcr")))
+        # function, so roi-vs-full-crop stays bit-identical). For
+        # backend="cpu" the operands are placed on the host CPU backend
+        # and jit compiles the same pipeline there (argument placement
+        # selects the backend).
+        put = ((lambda a: jax.device_put(a, jax.devices("cpu")[0]))
+               if backend == "cpu" else jnp.asarray)
+        out = _decode_pixel_fused(
+            tuple(put(s) for s in sels),
+            tuple(put(np.asarray(q)) for q in qs),
+            (rh, rw, tuple(geoms), color == "ycbcr"))
+        return out if device_out else np.asarray(out)
     planes = []                       # host reference pixel stage
     for sel, q, (rby, rbx, sy, sx, oy, ox) in zip(sels, qs, geoms):
         co = sel[:, inv].reshape(-1, 8, 8).astype(np.float32)
@@ -962,13 +974,19 @@ def _entropy_encode(scan, comp_ids, tab_ids, ntab: int):
     return bwr.flush(), dht
 
 
-def jfif_encode(image, quality: int = 75, subsampling: str = "444") -> bytes:
+def jfif_encode(image, quality: int = 75, subsampling: str = "444",
+                backend: str = "hybrid") -> bytes:
     """Encode uint8 (H, W) gray or (H, W, 3) RGB into a REAL baseline JFIF
     stream (opens in libjpeg/Pillow). subsampling: "444" | "422" | "420" |
-    "440" | "411".
+    "440" | "411". backend: "hybrid" runs the fDCT pixel stage on the
+    default device, "cpu" compiles the same jit pipeline for the host CPU
+    backend (the faster engine behind a high-latency device tunnel).
 
     ≙ nvjpegEncodeImage with NVJPEG_CSS_444/422/420/440/411
     (nvJPEG/nvJPEG-Encoder-MultipleInstances/nvJPEG-Encoder.cpp)."""
+    assert backend in ("hybrid", "cpu"), backend
+    _put = ((lambda a: jax.device_put(a, jax.devices("cpu")[0]))
+            if backend == "cpu" else (lambda a: a))
     img = np.asarray(image)
     true_h, true_w = img.shape[:2]
     gray = img.ndim == 2
@@ -986,13 +1004,13 @@ def jfif_encode(image, quality: int = 75, subsampling: str = "444") -> bytes:
     qchr = _ijg_qtable(_QTABLE_CHROMA, quality)
     if gray:
         planes = [np.asarray(_encode_blocks_jfif(
-            jnp.asarray(img, jnp.float32), jnp.asarray(qlum)))]
+            _put(np.asarray(img, np.float32)), _put(np.asarray(qlum))))]
         samp = [(1, 1)]
         qsel = [0]
     else:
         planes = [np.asarray(p) for p in _encode_pixel_rgb(
-            jnp.asarray(img, jnp.float32), jnp.asarray(qlum),
-            jnp.asarray(qchr), subsampling)]
+            _put(np.asarray(img, np.float32)), _put(np.asarray(qlum)),
+            _put(np.asarray(qchr)), subsampling)]
         samp = [(sx, sy), (1, 1), (1, 1)]
         qsel = [0, 1, 1]
 

@@ -329,8 +329,17 @@ int ebcot_decode_cb(const uint8_t* data, int64_t len, int w, int h,
   auto spp = [&](int p) {
     for (int y0 = 0; y0 < h; y0 += 4) {
       int ylim = y0 + 4 < h ? y0 + 4 : h;
+      int full = y0 + 4 <= h;
       for (int x = 0; x < w; x++) {
         size_t i0 = st.at(y0 + 1, x + 1);
+        // whole-column skip: no cell here can be coded by SPP unless
+        // some cell has a significant neighbor (flags only GAIN bits
+        // during the pass, so a clean aggregate stays clean for the
+        // cells this column visit would have coded first)
+        if (full) {
+          uint32_t agg = F[i0] | F[i0 + W] | F[i0 + 2 * W] | F[i0 + 3 * W];
+          if (!(agg & NEIGH_MASK)) continue;
+        }
         int64_t* m0 = &mag[(size_t)y0 * w + x];
         for (int y = y0; y < ylim; y++, i0 += W, m0 += w) {
           uint32_t f = F[i0];
@@ -345,8 +354,15 @@ int ebcot_decode_cb(const uint8_t* data, int64_t len, int w, int h,
   auto mrp = [&](int p) {
     for (int y0 = 0; y0 < h; y0 += 4) {
       int ylim = y0 + 4 < h ? y0 + 4 : h;
+      int full = y0 + 4 <= h;
       for (int x = 0; x < w; x++) {
         size_t i0 = st.at(y0 + 1, x + 1);
+        if (full) {
+          // MRP touches only already-significant cells; significance
+          // never changes during MRP, so the aggregate test is exact
+          uint32_t agg = F[i0] | F[i0 + W] | F[i0 + 2 * W] | F[i0 + 3 * W];
+          if (!(agg & F_SIG)) continue;
+        }
         int64_t* m0 = &mag[(size_t)y0 * w + x];
         for (int y = y0; y < ylim; y++, i0 += W, m0 += w) {
           uint32_t f = F[i0];
@@ -451,8 +467,13 @@ int64_t ebcot_encode_cb(const int32_t* coefs, int w, int h, int band,
   auto spp = [&](int p) {
     for (int y0 = 0; y0 < h; y0 += 4) {
       int ylim = y0 + 4 < h ? y0 + 4 : h;
+      int full = y0 + 4 <= h;
       for (int x = 0; x < w; x++) {
         size_t i0 = st.at(y0 + 1, x + 1);
+        if (full) {  // exact column skip (see decoder note)
+          uint32_t agg = F[i0] | F[i0 + W] | F[i0 + 2 * W] | F[i0 + 3 * W];
+          if (!(agg & NEIGH_MASK)) continue;
+        }
         size_t c0 = (size_t)y0 * w + x;
         for (int y = y0; y < ylim; y++, i0 += W, c0 += w) {
           uint32_t f = F[i0];
@@ -469,8 +490,13 @@ int64_t ebcot_encode_cb(const int32_t* coefs, int w, int h, int band,
   auto mrp = [&](int p) {
     for (int y0 = 0; y0 < h; y0 += 4) {
       int ylim = y0 + 4 < h ? y0 + 4 : h;
+      int full = y0 + 4 <= h;
       for (int x = 0; x < w; x++) {
         size_t i0 = st.at(y0 + 1, x + 1);
+        if (full) {  // MRP: significance static during the pass
+          uint32_t agg = F[i0] | F[i0 + W] | F[i0 + 2 * W] | F[i0 + 3 * W];
+          if (!(agg & F_SIG)) continue;
+        }
         size_t c0 = (size_t)y0 * w + x;
         for (int y = y0; y < ylim; y++, i0 += W, c0 += w) {
           uint32_t f = F[i0];

@@ -7,8 +7,13 @@
 // stage is native C++ driven from image/jpeg.py via ctypes, byte-exact
 // against the pure-Python reference path it replaces.
 
+#include <algorithm>
+#include <atomic>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -222,65 +227,267 @@ inline int huff_decode(BitReader& br, const int32_t* mincode,
 
 }  // namespace
 
-// Decode a whole baseline scan (stuffed bytes straight from the stream,
-// restart markers handled inline).  mcu_comp/mcu_dctab/mcu_actab describe
+// Decode a whole baseline scan.  mcu_comp/mcu_dctab/mcu_actab describe
 // the bpm blocks of one MCU; tables are indexed 0-3 DC th / 4-7 AC th with
 // mincode/maxcode/valptr int32[8][17] and symbols uint8[8][256] in the
 // (mincode, maxcode, valptr, symbols) layout of jpeg.py _build_huff.
 // Writes scan-ordered coefficients to out[n_mcu*bpm][64] (zigzag order).
 // Returns 0, or -1 on a bad Huffman code / missing restart marker.
+//
+// Fast path (round 5, ≙ nvJPEG's parallel restart-segment decode,
+// nvJPEG/nvJPEG-Decoder/nvjpegDecoder.cpp:46-88): one de-stuffing pass
+// splits the scan at RSTn markers into independent segments (predictors
+// reset, byte-aligned), then each segment decodes with a 64-bit-buffered
+// bit reader + an 8-bit first-level Huffman LUT (codes <= 8 bits resolve
+// in one table hit; longer codes fall back to the canonical
+// mincode/maxcode walk).  Segments decode on a std::thread pool when the
+// host has cores for it; predictor state and output ranges are disjoint
+// by construction.
+namespace {
+
+struct FastReader {
+  const uint8_t* d;
+  int64_t n;
+  int64_t pos = 0;
+  uint64_t acc = 0;
+  int nbits = 0;
+
+  inline void fill() {
+    while (nbits <= 56) {
+      uint64_t b = pos < n ? d[pos++] : 0;  // zero-pad past end (T.81
+      acc = (acc << 8) | b;                 // Annex F decoder convention)
+      nbits += 8;
+    }
+  }
+  inline uint32_t peek8() {
+    if (nbits < 8) fill();
+    return (acc >> (nbits - 8)) & 0xFF;
+  }
+  inline void consume(int k) {
+    nbits -= k;
+    acc &= (nbits >= 64) ? ~0ull : ((1ull << nbits) - 1);
+  }
+  inline uint32_t read(int k) {
+    if (!k) return 0;
+    if (nbits < k) fill();
+    nbits -= k;
+    uint32_t v = (acc >> nbits) & ((1ull << k) - 1);
+    acc &= (1ull << nbits) - 1;
+    return v;
+  }
+};
+
+inline int fast_sym(FastReader& fr, const uint16_t* lut,
+                    const int32_t* mincode, const int32_t* maxcode,
+                    const int32_t* valptr, const uint8_t* symbols) {
+  uint32_t p = fr.peek8();
+  uint16_t e = lut[p];
+  if (e) {
+    fr.consume(e >> 8);
+    return e & 0xFF;
+  }
+  // no code of length <= 8 matches this prefix: continue the canonical
+  // walk from length 9 with the 8 peeked bits as the running code
+  int code = (int)p;
+  fr.consume(8);
+  for (int l = 9; l <= 16; ++l) {
+    code = (code << 1) | (int)fr.read(1);
+    if (maxcode[l] >= code && code >= mincode[l])
+      return symbols[valptr[l] + code - mincode[l]];
+  }
+  return -1;
+}
+
+// 256-entry first-level LUT: entry = (codelen << 8) | symbol for codes
+// of length <= 8 (replicated over the don't-care low bits), 0 = escape.
+void build_lut(const int32_t* mincode, const int32_t* maxcode,
+               const int32_t* valptr, const uint8_t* symbols,
+               uint16_t* lut) {
+  std::memset(lut, 0, 256 * sizeof(uint16_t));
+  for (int l = 1; l <= 8; ++l) {
+    if (maxcode[l] < mincode[l]) continue;
+    for (int code = mincode[l]; code <= maxcode[l]; ++code) {
+      uint8_t sym = symbols[valptr[l] + code - mincode[l]];
+      int base = code << (8 - l);
+      for (int f = 0; f < (1 << (8 - l)); ++f)
+        lut[base + f] = (uint16_t)((l << 8) | sym);
+    }
+  }
+}
+
+struct SegDecodeCtx {
+  const uint8_t* destuffed;
+  const int64_t* seg_off;    // nseg+1 offsets into destuffed
+  int64_t nseg;
+  int64_t n_mcu, restart, bpm;
+  const uint8_t *mcu_comp, *mcu_dctab, *mcu_actab;
+  const int32_t *mincode, *maxcode, *valptr;
+  const uint8_t* symbols;
+  const uint16_t* luts;      // [8][256]
+  int32_t* out;
+  std::atomic<int64_t> next{0};
+  std::atomic<int> bad{0};
+};
+
+void decode_segment(SegDecodeCtx& ctx, int64_t k) {
+  int64_t m0 = ctx.restart ? k * ctx.restart : 0;
+  int64_t m1 = ctx.restart ? std::min<int64_t>(m0 + ctx.restart, ctx.n_mcu)
+                           : ctx.n_mcu;
+  FastReader fr{ctx.destuffed + ctx.seg_off[k],
+                ctx.seg_off[k + 1] - ctx.seg_off[k]};
+  int pred[4] = {0, 0, 0, 0};
+  for (int64_t m = m0; m < m1; ++m) {
+    for (int64_t j = 0; j < ctx.bpm; ++j) {
+      int32_t* blk = ctx.out + (m * ctx.bpm + j) * 64;
+      int c = ctx.mcu_comp[j];
+      int td = ctx.mcu_dctab[j];
+      int ta = 4 + ctx.mcu_actab[j];
+      int s = fast_sym(fr, ctx.luts + td * 256, ctx.mincode + td * 17,
+                       ctx.maxcode + td * 17, ctx.valptr + td * 17,
+                       ctx.symbols + td * 256);
+      if (s < 0) {
+        ctx.bad.store(1);
+        return;
+      }
+      int diff = 0;
+      if (s) {
+        uint32_t v = fr.read(s);
+        diff = (int)v;
+        if (v < (1u << (s - 1))) diff = (int)v - (1 << s) + 1;  // extend
+      }
+      pred[c] += diff;
+      blk[0] = pred[c];
+      int k2 = 1;
+      while (k2 < 64) {
+        int rs = fast_sym(fr, ctx.luts + ta * 256, ctx.mincode + ta * 17,
+                          ctx.maxcode + ta * 17, ctx.valptr + ta * 17,
+                          ctx.symbols + ta * 256);
+        if (rs < 0) {
+          ctx.bad.store(1);
+          return;
+        }
+        if (rs == 0x00) break;  // EOB
+        if (rs == 0xF0) {
+          k2 += 16;
+          continue;
+        }
+        k2 += rs >> 4;
+        int sz = rs & 15;
+        uint32_t v = fr.read(sz);
+        int val = (int)v;
+        if (sz && v < (1u << (sz - 1))) val = (int)v - (1 << sz) + 1;
+        if (k2 > 63) {
+          ctx.bad.store(1);
+          return;
+        }
+        blk[k2] = val;
+        ++k2;
+      }
+    }
+  }
+}
+
+}  // namespace
+
 int64_t jpeg_scan_decode(const uint8_t* data, int64_t nbytes, int64_t n_mcu,
                          int64_t restart, const uint8_t* mcu_comp,
                          const uint8_t* mcu_dctab, const uint8_t* mcu_actab,
                          int64_t bpm, const int32_t* mincode,
                          const int32_t* maxcode, const int32_t* valptr,
                          const uint8_t* symbols, int32_t* out) {
-  BitReader br{data, nbytes};
-  int pred[4] = {0, 0, 0, 0};
   std::memset(out, 0, (size_t)(n_mcu * bpm * 64) * sizeof(int32_t));
-  for (int64_t m = 0; m < n_mcu; ++m) {
-    if (restart && m && m % restart == 0) {
-      if (!br.restart_marker()) return -1;
-      pred[0] = pred[1] = pred[2] = pred[3] = 0;
-    }
-    for (int64_t j = 0; j < bpm; ++j) {
-      int32_t* blk = out + (m * bpm + j) * 64;
-      int c = mcu_comp[j];
-      int td = mcu_dctab[j];
-      int ta = 4 + mcu_actab[j];
-      int s = huff_decode(br, mincode + td * 17, maxcode + td * 17,
-                          valptr + td * 17, symbols + td * 256);
-      if (s < 0) return -1;
-      int diff = 0;
-      if (s) {
-        uint32_t v = br.read(s);
-        diff = (int)v;
-        if (v < (1u << (s - 1))) diff = (int)v - (1 << s) + 1;  // extend
+  int64_t nseg = restart ? (n_mcu + restart - 1) / restart : 1;
+
+  // de-stuff into one contiguous buffer; segments split at RSTn markers
+  std::vector<uint8_t> destuffed((size_t)nbytes);
+  std::vector<int64_t> seg_off(nseg + 1, 0);
+  {
+    int64_t w = 0, pos = 0, seg = 0;
+    while (pos < nbytes && seg < nseg) {
+      uint8_t b = data[pos];
+      if (b != 0xFF) {
+        destuffed[w++] = b;
+        ++pos;
+        continue;
       }
-      pred[c] += diff;
-      blk[0] = pred[c];
-      int k = 1;
-      while (k < 64) {
-        int rs = huff_decode(br, mincode + ta * 17, maxcode + ta * 17,
-                             valptr + ta * 17, symbols + ta * 256);
-        if (rs < 0) return -1;
-        if (rs == 0x00) break;  // EOB
-        if (rs == 0xF0) {
-          k += 16;
-          continue;
-        }
-        k += rs >> 4;
-        int sz = rs & 15;
-        uint32_t v = br.read(sz);
-        int val = (int)v;
-        if (sz && v < (1u << (sz - 1))) val = (int)v - (1 << sz) + 1;
-        if (k > 63) return -1;
-        blk[k] = val;
-        ++k;
+      if (pos + 1 < nbytes && data[pos + 1] == 0x00) {
+        destuffed[w++] = 0xFF;
+        pos += 2;
+        continue;
       }
+      if (pos + 1 < nbytes && data[pos + 1] >= 0xD0 &&
+          data[pos + 1] <= 0xD7) {
+        ++seg;
+        if (seg <= nseg) seg_off[seg] = w;
+        pos += 2;
+        continue;
+      }
+      break;  // EOI / other marker: zero-pad from here (FastReader)
     }
+    // an expected restart marker that never appeared is an error, as in
+    // the bit-serial decoder (restart_marker() returning false)
+    if (seg < nseg - 1) return -1;
+    // close remaining segment bounds at the write head
+    for (int64_t s2 = seg + 1; s2 <= nseg; ++s2) seg_off[s2] = w;
   }
-  return 0;
+
+  uint16_t luts[8][256];
+  for (int t = 0; t < 8; ++t)
+    build_lut(mincode + t * 17, maxcode + t * 17, valptr + t * 17,
+              symbols + t * 256, luts[t]);
+
+  SegDecodeCtx ctx;
+  ctx.destuffed = destuffed.data();
+  ctx.seg_off = seg_off.data();
+  ctx.nseg = nseg;
+  ctx.n_mcu = n_mcu;
+  ctx.restart = restart;
+  ctx.bpm = bpm;
+  ctx.mcu_comp = mcu_comp;
+  ctx.mcu_dctab = mcu_dctab;
+  ctx.mcu_actab = mcu_actab;
+  ctx.mincode = mincode;
+  ctx.maxcode = maxcode;
+  ctx.valptr = valptr;
+  ctx.symbols = symbols;
+  ctx.luts = &luts[0][0];
+  ctx.out = out;
+
+  int nthreads = (int)std::thread::hardware_concurrency();
+  if (const char* env = std::getenv("TPUMATHLIB_JPEG_THREADS"))
+    nthreads = std::atoi(env);  // test hook + deployment override
+  if (nthreads > (int)nseg) nthreads = (int)nseg;
+  if (nthreads > 1) {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nthreads; ++t)
+      pool.emplace_back([&ctx]() {
+        for (;;) {
+          int64_t k = ctx.next.fetch_add(1);
+          if (k >= ctx.nseg || ctx.bad.load()) return;
+          decode_segment(ctx, k);
+        }
+      });
+    for (auto& th : pool) th.join();
+  } else {
+    for (int64_t k = 0; k < nseg && !ctx.bad.load(); ++k)
+      decode_segment(ctx, k);
+  }
+  return ctx.bad.load() ? -1 : 0;
+}
+
+// Restart-interval encode (≙ the DRI/RSTn structure nvJPEG's hardware
+// encoder emits to create segment parallelism): encodes MCUs
+// [m0*bpm, m1*bpm) with fresh predictors into one segment's bytes.
+// The Python driver concatenates segments with RSTn markers between
+// them and may fan segments out over a thread pool.
+int64_t jpeg_scan_encode_segment(const int32_t* blocks,
+                                 const uint8_t* comp_id,
+                                 const uint8_t* tab_sel, int64_t b0,
+                                 int64_t b1, const uint32_t* dc_codes,
+                                 const uint32_t* ac_codes, uint8_t* out,
+                                 int64_t cap) {
+  return jpeg_scan_encode(blocks + b0 * 64, comp_id + b0, tab_sel + b0,
+                          b1 - b0, dc_codes, ac_codes, out, cap);
 }
 
 }  // extern "C"
