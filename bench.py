@@ -156,19 +156,25 @@ def bench_fft(hbm_target):
 
 
 def bench_sparse(hbm_target):
-    from tpumathlib.benchmarks import bench_spmv, bench_spmv_bell, \
-        bench_spmm_bell
+    from tpumathlib.benchmarks import bench_spmv, bench_spmv_autoplan, \
+        bench_spmv_bell, bench_spmm_bell
 
     csr = bench_spmv()
+    auto = bench_spmv_autoplan()
     bell = bench_spmv_bell()
     spmm = bench_spmm_bell()
     return [
         {"metric": "spmv_csr_3.2Mnnz_gbps", "value": round(csr["gbps"], 2),
          "unit": "GB/s", "vs_baseline": round(csr["gbps"] / hbm_target, 4),
-         "note": "unstructured-CSR gather wall (~126M elem/s on this "
-                 "hardware, NOTES_r2); block-structured CSR should "
-                 "convert via sparse.csr_to_blocked_ell and run the "
-                 "170-225 GB/s MXU kernels"},
+         "note": "TRUE-random CSR: the gather wall (~126M elem/s, "
+                 "NOTES_r2) — SpmvAutoPlan keeps this fallback only "
+                 "when plan-time analysis finds no exploitable "
+                 "structure (see spmv_autoplan_csr_gbps)"},
+        {"metric": "spmv_autoplan_csr_gbps", "value": round(auto["gbps"], 1),
+         "unit": "GB/s", "vs_baseline": round(auto["gbps"] / hbm_target, 4),
+         "note": "CSR with latent 128-blocks auto-repacked to the "
+                 "BlockedELL engine at plan time (sparse/autoplan.py "
+                 "≙ cusparseSpMV preprocess)"},
         {"metric": "spmv_blockedell_67Mnnz_gbps",
          "value": round(bell["gbps"], 1), "unit": "GB/s",
          "vs_baseline": round(bell["gbps"] / hbm_target, 4)},

@@ -470,3 +470,61 @@ def test_csr_to_blocked_ell(rng):
     u[idx[:, 0], idx[:, 1]] = 1.0
     with pytest.raises(Exception, match="unstructured"):
         csr_to_blocked_ell(dense_to_csr(u), 128, max_fill=16.0)
+
+
+def test_spmv_auto_plan(rng):
+    """Plan-time CSR pattern analysis + auto-repack (sparse/autoplan.py,
+    ≙ cusparseSpMV_preprocess, cuSPARSE/spmv_csr/spmv_csr_example.c:88):
+    latent 128-block structure routes to the BlockedELL bf16-split
+    engine, regular rows to SELL, true-random stays on the CSR fallback
+    — all three agree with the scipy oracle."""
+    import scipy.sparse as sp
+
+    from tpumathlib.sparse import SpmvAutoPlan
+
+    m = n = 512
+    # (a) latent block structure: 6 dense-ish 128x128 tiles
+    d = np.zeros((m, n), np.float32)
+    for (bi, bj) in ((0, 0), (1, 1), (2, 0), (2, 3), (3, 2), (3, 3)):
+        d[bi*128:(bi+1)*128, bj*128:(bj+1)*128] = rng.normal(
+            size=(128, 128)) * (rng.random((128, 128)) < 0.4)
+    s = sp.csr_matrix(d)
+    a = CSR(jnp.asarray(s.indptr.astype(np.int32)),
+            jnp.asarray(s.indices.astype(np.int32)),
+            jnp.asarray(s.data.astype(np.float32)), (m, n))
+    x = rng.normal(size=n).astype(np.float32)
+    plan = SpmvAutoPlan(a)
+    assert plan.engine == "blockedell", plan.stats
+    got = np.asarray(plan.execute(jnp.asarray(x)))
+    np.testing.assert_allclose(got, d @ x, rtol=0, atol=2e-3 * np.abs(
+        d @ x).max())
+
+    # (b) regular rows, no block structure -> SELL
+    cols = np.sort(rng.choice(n, size=(m, 7), replace=True), axis=1)
+    vals = rng.normal(size=(m, 7)).astype(np.float32)
+    indptr = np.arange(m + 1, dtype=np.int32) * 7
+    a2 = CSR(jnp.asarray(indptr), jnp.asarray(cols.ravel().astype(np.int32)),
+             jnp.asarray(vals.ravel()), (m, n))
+    plan2 = SpmvAutoPlan(a2, max_blowup=4.0)
+    assert plan2.engine == "sell", plan2.stats
+    ref = np.zeros(m)
+    for i in range(m):
+        ref[i] = (vals[i].astype(np.float64) * x[cols[i]]).sum()
+    got2 = np.asarray(plan2.execute(jnp.asarray(x)))
+    np.testing.assert_allclose(got2, ref, atol=1e-4 * max(1.0, np.abs(
+        ref).max()))
+
+    # (c) wildly irregular rows + no blocks -> CSR fallback
+    rl = np.where(np.arange(m) % 64 == 0, 200, 1)
+    indptr3 = np.concatenate([[0], np.cumsum(rl)]).astype(np.int32)
+    nnz3 = int(indptr3[-1])
+    idx3 = rng.integers(0, n, nnz3).astype(np.int32)
+    val3 = rng.normal(size=nnz3).astype(np.float32)
+    a3 = CSR(jnp.asarray(indptr3), jnp.asarray(idx3), jnp.asarray(val3),
+             (m, n))
+    plan3 = SpmvAutoPlan(a3, max_blowup=2.0, sell_max_pad=1.2)
+    assert plan3.engine == "csr", plan3.stats
+    s3 = sp.csr_matrix((val3, idx3, indptr3), shape=(m, n))
+    got3 = np.asarray(plan3.execute(jnp.asarray(x)))
+    np.testing.assert_allclose(got3, s3 @ x, atol=1e-4 * max(1.0, np.abs(
+        s3 @ x).max()))

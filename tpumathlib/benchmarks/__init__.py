@@ -463,3 +463,65 @@ def run_all() -> list[dict]:
 
 if __name__ == "__main__":
     run_all()
+
+
+def bench_spmv_autoplan(mb=64, nb=64, ellw=32, bs=128) -> dict:
+    """SpmvAutoPlan on a CSR that HIDES block structure (≙ the cuSPARSE
+    spmv_csr preprocess step exploiting pattern analysis): plan-time
+    repack routes the gather-wall CSR onto the BlockedELL bf16-split
+    row-form engine. Reports the executed GB/s over the ORIGINAL CSR's
+    bytes (the user-visible speed for their matrix)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpumathlib.sparse import CSR
+    from tpumathlib.sparse.autoplan import SpmvAutoPlan
+    from tpumathlib.sparse.pallas_kernels import SpmvPlan  # noqa: F401
+
+    rng = np.random.default_rng(0)
+    n = nb * bs
+    m = mb * bs
+    # ellw random blocks per block-row, fully dense inside: build the CSR
+    # directly (scipy-free; rows grouped by block row)
+    cols_blk = np.stack([np.sort(rng.choice(nb, ellw, replace=False))
+                         for _ in range(mb)])
+    rowlen = ellw * bs
+    indptr = np.arange(m + 1, dtype=np.int64) * rowlen
+    cidx = (cols_blk[:, None, :, None] * bs
+            + np.arange(bs)[None, None, None, :])      # (mb, 1, ellw, bs)
+    cidx = np.broadcast_to(cidx, (mb, bs, ellw, bs)).reshape(-1)
+    data = rng.normal(size=m * rowlen).astype(np.float32)
+    a = CSR(jnp.asarray(indptr.astype(np.int32)),
+            jnp.asarray(cidx.astype(np.int32)),
+            jnp.asarray(data), (m, n))
+    plan = SpmvAutoPlan(a)
+    assert plan.engine == "blockedell", plan.stats
+    x = jnp.asarray(rng.normal(size=n), jnp.float32)
+
+    chain = 20
+    bellplan = plan._bell
+
+    def run(ah, al, v0):
+        p = SpmvPlan.from_parts(bellplan.cols, ah, al, bellplan.shape,
+                                bellplan.bs)
+
+        def body(_, c):
+            v, s = c
+            y = p.execute(v).astype(v.dtype)[:n]
+            return y, s + y[0]
+
+        _, s = jax.lax.fori_loop(0, chain, body, (x, jnp.float32(0)))
+        return s
+
+    g = jax.jit(run)
+    float(g(bellplan.ah, bellplan.al, x))
+    t = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(g(bellplan.ah, bellplan.al, x))
+        t = min(t, (time.perf_counter() - t0) / chain)
+    nnz = m * rowlen
+    bytes_moved = nnz * 4 + n * 4 + m * 4   # the CSR's own data bytes
+    return {"bench": "spmv_autoplan", "nnz": nnz, "ms": t * 1e3,
+            "gbps": bytes_moved / t / 1e9, "engine": plan.engine,
+            "stats": plan.stats}

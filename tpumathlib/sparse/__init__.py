@@ -24,6 +24,7 @@ from tpumathlib.sparse.containers import CSR, COO, BSR, BlockedELL  # noqa: F401
 from tpumathlib.sparse.ops import (  # noqa: F401
     spmv, spmm, sddmm, axpby, sp_gather, sp_scatter, sp_rot, spvv,
 )
+from tpumathlib.sparse.autoplan import SpmvAutoPlan  # noqa: F401
 from tpumathlib.sparse.spgemm import spgemm, spgemm_mem, SpGemmPlan  # noqa: F401
 from tpumathlib.sparse.spsv import SpSvPlan, spsv, spsm  # noqa: F401
 from tpumathlib.sparse.convert import (  # noqa: F401
