@@ -16,6 +16,16 @@ path for hand-overlapped kernels.
 """
 
 from tpumathlib.mp.grid import Grid, block_cyclic_spec, numroc  # noqa: F401
+from tpumathlib.mp.cyclic import (  # noqa: F401
+    BlockCyclic,
+    gemr2d_12,
+    gemr2d_21,
+    getrf_2d,
+    potrf_2d,
+    summa_gemm,
+    syevd_2d,
+    syrk_2d,
+)
 from tpumathlib.mp.matmul import (  # noqa: F401
     matmul_ag,
     matmul_allreduce,
