@@ -68,6 +68,65 @@ def _chain_time(fn, args, chain, repeats=3):
     return best / chain
 
 
+def _marginal_planar(fn, pr, pi, chain=20, reps=3, repeats=3):
+    """Marginal-cost chain for planar (re, im) -> (re, im) ops — the same
+    de-inflation as _marginal_chain_time (the round-4 tuple-carry chain
+    defeated the pipeline kernels' buffer donation: the shuffled FFT
+    measured 266 GB/s through it vs 565 GB/s marginal, round 5)."""
+    import jax
+    import jax.numpy as jnp
+
+    ts = []
+    for r_ in (1, reps):
+        def run(ar, ai, c0, r_=r_):
+            def body(_, c):
+                rr, ri = ar + c * jnp.asarray(1e-30, ar.dtype), ai
+                for _k in range(r_):
+                    rr, ri = fn(rr, ri)
+                return c + rr[0, 0].astype(jnp.float32) * 1e-30
+            return jax.lax.fori_loop(0, chain, body, c0)
+
+        g = jax.jit(run)
+        float(g(pr, pi, jnp.float32(0)))
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(g(pr, pi, jnp.float32(0)))
+            best = min(best, (time.perf_counter() - t0) / chain)
+        ts.append(best)
+    return max((ts[1] - ts[0]) / (reps - 1), 1e-9)
+
+
+def _slope_chain_time(fn, x, lo=20, hi=220, repeats=5):
+    """Lowest-variance per-op seconds: ONE jitted chain with a TRACED trip
+    count, timed at two lengths — the slope cancels every fixed cost
+    (dispatch, warmup, readback) exactly, and subtracting the slope of an
+    identity-body chain removes the per-link perturbation pass too. Used
+    for the headline GEMM lines (the round-4 carry chain understated the
+    bf16 GEMM 165 -> 189 TF/s measured; a naive output-fed chain is NOT a
+    valid alternative — see the note in _marginal_chain_time)."""
+    import jax
+    import jax.numpy as jnp
+
+    def run(p, c0, nit):
+        def body(_, c):
+            out = fn(p + c * jnp.asarray(1e-30, p.dtype))
+            return c + out[0, 0].astype(jnp.float32) * 1e-30
+        return jax.lax.fori_loop(0, nit, body, c0)
+
+    g = jax.jit(run)
+    ts = {}
+    for nit in (lo, hi):
+        float(g(x, jnp.float32(0), nit))
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(g(x, jnp.float32(0), nit))
+            best = min(best, time.perf_counter() - t0)
+        ts[nit] = best
+    return max((ts[hi] - ts[lo]) / (hi - lo), 1e-9)
+
+
 def bench_fft(hbm_target):
     import jax
     import jax.numpy as jnp
@@ -82,8 +141,8 @@ def bench_fft(hbm_target):
     recs = []
     t_nat = None
     for name, kw in (("natural", {}), ("shuffled", {"reorder": False})):
-        t = _chain_time(lambda c, kw=kw: dif_fft(c[0], c[1], **kw),
-                        (xr, xi), chain=50)
+        t = _marginal_planar(
+            lambda r, i, kw=kw: dif_fft(r, i, **kw), xr, xi)
         if name == "natural":
             t_nat = t
         gbps = 2.0 * batch * n * 8 / t / 1e9
@@ -92,14 +151,18 @@ def bench_fft(hbm_target):
             "value": round(gbps, 1), "unit": "GB/s",
             "vs_baseline": round(gbps / hbm_target, 4),
         })
+    recs[0]["note"] = ("natural-order alternatives measured round 5: "
+                        "reshape-transpose epilogue 119 GB/s, four-step "
+                        "XLA 129 GB/s — the lane-gather epilogue (175) "
+                        "stays; the extra HBM pass is architectural "
+                        "(fft/stockham.py docstring)")
     # bf16-plane fast mode: HALF the stream bytes of the DMA-bound f32
     # path (documented ~4e-3 rel-L2 contract); reported as PROCESSED-
     # EQUIVALENT GB/s (same complex elements/s scale as the f32 lines,
     # i.e. elements x 8 bytes / s) so the speedup reads directly
-    tbf = _chain_time(lambda c: dif_fft(c[0], c[1], reorder=False,
-                                        halfplanes=True),
-                      (xr.astype(jnp.bfloat16), xi.astype(jnp.bfloat16)),
-                      chain=50)
+    tbf = _marginal_planar(
+        lambda r, i: dif_fft(r, i, reorder=False, halfplanes=True),
+        xr.astype(jnp.bfloat16), xi.astype(jnp.bfloat16))
     gbps_bf = 2.0 * batch * n * 8 / tbf / 1e9
     recs.append({"metric": f"fft_c2c_shuffled_bf16_b{batch}_n{n}_gbps",
                  "value": round(gbps_bf, 1), "unit": "GB/s-equiv",
@@ -125,7 +188,7 @@ def bench_fft(hbm_target):
         hr, hi = pr._fwd_planar(c)
         return pc._inv_planar(hr, hi) * (1.0 / n)
 
-    tcyc = _chain_time(cycle, xreal, chain=30)
+    tcyc = _marginal_chain_time(cycle, xreal, chain=20)
     recs.append({"metric": f"fft_r2c_c2r_cycle_b{batch}_n{n}_ms",
                  "value": round(tcyc * 1e3, 3), "unit": "ms",
                  "vs_baseline": round(0.766 / (tcyc * 1e3), 4)})
@@ -138,7 +201,7 @@ def bench_fft(hbm_target):
         hr, hi = prb._fwd_planar(c)
         return pcb._inv_planar(hr, hi) * (1.0 / n)
 
-    tcycb = _chain_time(cycle_bf, xreal, chain=30)
+    tcycb = _marginal_chain_time(cycle_bf, xreal, chain=20)
     recs.append({"metric": f"fft_r2c_c2r_cycle_bf16_b{batch}_n{n}_ms",
                  "value": round(tcycb * 1e3, 3), "unit": "ms",
                  "vs_baseline": round(0.766 / (tcycb * 1e3), 4)})
@@ -194,11 +257,19 @@ def _marginal_chain_time(fn, x, chain=5, reps=3, repeats=3):
     import jax
     import jax.numpy as jnp
 
+    # NOTE: do NOT "feed the output directly into the next application"
+    # for LINEAR ops to avoid the perturbation pass — XLA reassociates
+    # dot(dot(v,B),B) into v@(B@B) and hoists the loop-invariant B@B, so
+    # the extra applications cost ONE gemm regardless of reps (measured:
+    # a direct-fed bf16 GEMM chain reported 4284 "TFLOP/s"). The
+    # perturbation between reps breaks reassociation; it costs one
+    # elementwise pass over the operand per rep (~7-10% overstatement on
+    # a 4096^3 GEMM, conservative direction).
     def make(r):
         def run(p, c0):
             def body(_, c):
                 for _k in range(r):
-                    out = fn(p + c * jnp.float32(1e-30))
+                    out = fn(p + c * jnp.asarray(1e-30, p.dtype))
                     c = c + out[0, 0].astype(jnp.float32) * 1e-30
                 return c
             return jax.lax.fori_loop(0, chain, body, c0)
@@ -314,8 +385,30 @@ def bench_comp(hbm_target):
         flip = (jnp.sum(p[:64], dtype=jnp.uint32) & 1).astype(jnp.int32)
         return x ^ flip
 
-    td = _chain_time(dec_chain, (packed, leaders), chain=10)
-    tc = _chain_time(com_chain, v, chain=10)
+    # slope timing (traced trip count, two lengths — cancels the fixed
+    # dispatch/readback terms AND the fori-carry round trip that
+    # understated the round-4 lines)
+    def _slope(fn, args, lo=4, hi=24):
+        def run(c, nit):
+            out = jax.lax.fori_loop(0, nit, lambda _, c: fn(c), c)
+            leaves = jax.tree_util.tree_leaves(out)
+            return sum(jnp.sum(jnp.abs(l).astype(jnp.float32))
+                       for l in leaves)
+
+        g = jax.jit(run)
+        ts = {}
+        for nit in (lo, hi):
+            float(g(args, nit))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(g(args, nit))
+                best = min(best, time.perf_counter() - t0)
+            ts[nit] = best
+        return max((ts[hi] - ts[lo]) / (hi - lo), 1e-9)
+
+    td = _slope(dec_chain, (packed, leaders))
+    tc = _slope(com_chain, v)
     gbps_d = 4.0 * n / td / 1e9
     gbps_c = 4.0 * n / tc / 1e9
     return [
@@ -388,9 +481,10 @@ def bench_gemm(peak):
     # fused gelu+bias epilogue through the Lt engine (heuristic routes the
     # elementwise epilogue into XLA's GEMM emitter — zero-cost fusion)
     desc = lt.MatmulDesc(epilogue=lt.Epilogue.GELU_BIAS)
-    tf = _chain_time(
+    sbase = _slope_chain_time(lambda x: x, a)
+    tf = _slope_chain_time(
         lambda x: lt.matmul(desc, x, b, bias=bias,
-                            out_dtype=jnp.bfloat16), a, chain=300)
+                            out_dtype=jnp.bfloat16), a) - sbase
     fused = {
         "metric": f"gemm_bf16_gelu_bias_{m}x{n}x{k}_tflops",
         "value": round(2.0 * m * n * k / tf / 1e12, 2),
@@ -398,8 +492,10 @@ def bench_gemm(peak):
         "vs_baseline": round(2.0 * m * n * k / tf / 1e12 / target, 4),
     }
     # headline: plain bf16 GEMM through the public L3 surface
-    t = _chain_time(lambda x: level3.gemm(1.0, x, b).astype(jnp.bfloat16),
-                    a, chain=300)
+    # (marginal-cost chain: the carry chain's 32 MB round trip per link
+    # understated the round-4 number ~10%)
+    t = _slope_chain_time(
+        lambda x: level3.gemm(1.0, x, b).astype(jnp.bfloat16), a) - sbase
     tflops = 2.0 * m * n * k / t / 1e12
     return fused, {
         "metric": f"gemm_bf16_{m}x{n}x{k}_tflops",

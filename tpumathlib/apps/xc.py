@@ -592,7 +592,18 @@ _FUNCTIONALS = {
     # generic complement rule: E_x^DFT = (1−α−β)·E_x + β·E_x^{SR}(ω)
     "cam-b3lyp": ("gga", _f_cam_b3lyp),
     # HSE06: PBE − 0.25·PBE^{SR}(0.11) exchange + full PBE correlation
-    # (≙ 0.75 ωPBE-SR + PBE-LR), screened exchange α=0.25 SR-only
+    # (≙ 0.75 ωPBE-SR + PBE-LR), screened exchange α=0.25 SR-only.
+    # PARITY CAVEAT (applies to hse06 / lc-wpbe / lc-wpbeh): the SR-GGA
+    # exchange hole here is ITYH-on-PBE (exact erfc-attenuated LDA hole
+    # at the PBE-modified Fermi momentum), NOT the Henderson-Janesko-
+    # Scuseria wPBE hole libxc/Gaussian/Psi4 use. Both agree exactly in
+    # the omega->0 and omega->inf limits and at s=0; totals deviate at
+    # intermediate reduced gradients (|dE| grows with the fraction of
+    # density at s ~ 1-3). HJS was NOT implemented this round because
+    # the normative coefficient tables (JCP 128, 194105, Tables I-III)
+    # and any libxc oracle are unavailable in this zero-egress image —
+    # transcribing them from memory risks a silently wrong functional,
+    # which is strictly worse than this documented substitution.
     "hse06": ("gga", lambda ra, rb, saa, sab, sbb, xp=jnp:
               f_pbe_x(ra, rb, saa, sab, sbb, xp)
               - 0.25 * _F_PBE_SR_HSE(ra, rb, saa, sab, sbb, xp)

@@ -55,6 +55,18 @@ The stage-A/B split keeps a single-direction-roll variant possible
 (sums/diffs swapped across the m-bit, absorbed into shuffle_perm), but
 with compute fully hidden it cannot buy wall-clock and is not used.
 
+ROUND-5 RE-MEASUREMENT (marginal-cost chained timing — the round-3/4
+tuple-carry chain defeated the kernel's buffer donation and understated
+everything ~2x): shuffled 0.475 ms = 565 GB/s total HBM traffic (69% of
+the 819 GB/s spec) at batch=n=4096; natural (gather epilogue) 1.533 ms
+= 175 GB/s. The verdict-suggested alternatives were built and measured:
+a reshape+tile-relabel+transpose XLA epilogue runs 119 GB/s and an
+XLA-composed four-step (64x64 3M-matmul) natural-order path 129 GB/s —
+both LOSE to the lane-gather epilogue, so the gather stays and the
+natural-order gap remains architectural (the second HBM pass; in-kernel
+permuted stores need 4-byte DMA granules, measured off the table in
+round 3).
+
 Validated against numpy.fft in tests; ≙ cuFFT 1d_c2c exec semantics
 (cuFFT/1d_c2c/1d_c2c_example.cpp:50-69) and the cuFFTDx block-FFT
 performance harness (MathDx/cuFFTDx/03_block_fft_performance).
