@@ -60,7 +60,8 @@ def _use_onelaunch(a) -> bool:
     timing)."""
     return (jax.default_backend() == "tpu" and a.ndim == 2
             and a.dtype == jnp.float32 and a.shape[0] == a.shape[1]
-            and a.shape[0] >= 2048 and a.shape[0] % 256 == 0)
+            and 2048 <= a.shape[0] <= 12288    # panel strip must fit VMEM
+            and a.shape[0] % 256 == 0)
 
 
 @functools.partial(jax.jit, static_argnames=("uplo",))

@@ -46,6 +46,10 @@ cancels every per-iteration harness term):
     XLA cholesky        2.19 ms   10.5 TFLOP/s
     round-4 per-panel   2.12 ms   10.8 TFLOP/s
 
+and at n=8192 (sweeps amortize against the O(n^3) update):
+
+    one-launch kernel   7.69 ms   23.8 TFLOP/s   (1.57x XLA's 12.1 ms)
+
 rel err 5.9e-7 vs the f64 oracle; upper triangle exactly zero. Two
 conclusions the round-4 numbers hid: (a) the single launch beats both
 XLA and the per-panel engine by ~1.3x, and (b) the round-4 bench chain
