@@ -327,6 +327,18 @@ def bench_solver(peak):
     yield {"metric": f"solver_getrf_n{n}_gflops",
            "value": round(gf, 1), "unit": "GFLOP/s",
            "vs_baseline": round(gf / (0.25 * peak * 1e3), 4)}
+    # no-pivot algorithm selection (≙ CUSOLVER_ALG no-pivot /
+    # cusolverMpGetrf pivot-off) through the one-launch engine; input is
+    # diagonally dominant per the no-pivot validity contract
+    gdd = g + n * jnp.eye(n, dtype=jnp.float32)
+    t = _marginal_chain_time(lambda c: xgetrf(c, pivot=False)[0], gdd,
+                             chain=5)
+    gf = (2.0 * n**3 / 3.0) / t / 1e9
+    yield {"metric": f"solver_getrf_nopivot_n{n}_gflops",
+           "value": round(gf, 1), "unit": "GFLOP/s",
+           "vs_baseline": round(gf / (0.25 * peak * 1e3), 4),
+           "note": "one-launch left-looking block LU "
+                   "(solver/onelaunch.py), no-pivot path"}
     ne = 2048
     spd_e = spd[:ne, :ne]
     t = _marginal_chain_time(lambda c: xsyevd(c)[1], spd_e, chain=2,

@@ -342,6 +342,16 @@ def test_potrf_onelaunch(rng):
     rel = np.abs(l - lr).max() / np.abs(lr).max()
     assert rel < 5e-5, rel
     assert np.abs(np.triu(l, 1)).max() == 0.0
+    # one-launch no-pivot LU (chip: n=4096 1.92 ms = 23.8 TFLOP/s)
+    from tpumathlib.solver.onelaunch import getrf_onelaunch
+
+    ag = g + n * np.eye(n)
+    lu = np.asarray(getrf_onelaunch(jnp.asarray(ag, jnp.float32)),
+                    np.float64)
+    lt = np.tril(lu, -1) + np.eye(n)
+    ut = np.triu(lu)
+    rel = np.abs(lt @ ut - ag).max() / np.abs(ag).max()
+    assert rel < 5e-5, rel
 
 
 def test_stebz_stein_device(rng):

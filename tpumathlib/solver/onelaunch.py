@@ -81,6 +81,12 @@ _NB = 128     # Cholesky sweep block (one VPU tile)
 _P = 256      # panel width = DMA tile edge
 
 
+def _rem32(a, b):
+    # lax.rem is promotion-strict; under the test suite's x64 config fori
+    # indices and Python literals land on mixed int32/int64 widths
+    return jax.lax.rem(jnp.asarray(a, jnp.int32), jnp.asarray(b, jnp.int32))
+
+
 def _split(v):
     # in-kernel Dekker split — safe in Mosaic (no excess-precision fold;
     # see fft/stockham.py:_split_bf16)
@@ -128,8 +134,10 @@ def _onelaunch_kernel(n: int):
         total = s * nch
 
         def tile_copy(slot, t):
+            slot = jnp.asarray(slot, jnp.int32)   # x64: bare ints -> i64
+            t = jnp.asarray(t, jnp.int32)
             kb = t // nch
-            r = s + jax.lax.rem(t, nch)
+            r = s + _rem32(t, nch)
             return pltpu.make_async_copy(
                 o_hbm.at[pl.ds(r * _P, _P), pl.ds(kb * _P, _P)],
                 tiles.at[slot], lsem.at[slot])
@@ -141,16 +149,16 @@ def _onelaunch_kernel(n: int):
         pltpu.make_async_copy(a_hbm.at[:, pl.ds(s0, _P)], panel, psem).wait()
 
         def upd_body(t, _):
-            slot = jax.lax.rem(t, 2)
+            slot = _rem32(t, 2)
 
             @pl.when(t + 1 < total)
             def _():
-                tile_copy(jax.lax.rem(t + 1, 2), t + 1).start()
+                tile_copy(_rem32(t + 1, 2), t + 1).start()
 
             tile_copy(slot, t).wait()
             tile = tiles[slot]
             th, tl = _split(tile)
-            r_rel = jax.lax.rem(t, nch)     # 0 => this tile IS the
+            r_rel = _rem32(t, nch)          # 0 => this tile IS the
                                             # diagonal-row block of kb
 
             @pl.when(r_rel == 0)
@@ -243,9 +251,269 @@ def _onelaunch_call(n: int):
 
 
 @jax.jit
+def _potrf_onelaunch_f32(a):
+    n = a.shape[0]
+    return _onelaunch_call(n)(a.astype(jnp.float32))
+
+
 def potrf_onelaunch(a):
     """Cholesky factor (lower) of one large f32 SPD matrix through the
-    single-launch left-looking kernel. n must be a multiple of 256."""
+    single-launch left-looking kernel. n must be a multiple of 256.
+
+    The kernel is pure f32/int32; trace under 32-bit promotion so the
+    test suite's x64 config cannot leak i64 indices into Mosaic (whose
+    memref ops are 32-bit-only)."""
     n = a.shape[0]
     assert a.shape == (n, n) and n % _P == 0, a.shape
-    return _onelaunch_call(n)(a.astype(jnp.float32))
+    with jax.enable_x64(False):
+        return _potrf_onelaunch_f32(a)
+
+
+# ---------------------------------------------------------------------------
+# One-launch left-looking block LU (no pivoting) — ≙ cusolverDnXgetrf with
+# CUSOLVER_ALG no-pivot / cusolverMpGetrf's pivot-off path
+# (cuSOLVER/Xgetrf/cusolver_Xgetrf_example.cu:134-185). Valid for
+# diagonally-dominant / SPD-like systems, like the reference's path.
+#
+# Structure per 256-wide column strip (grid step s, strip resident in VMEM):
+#   1. load strip A[:, s0:s0+256] (FULL height: rows < s0 become U rows)
+#   2. for kb < s:  U_kb = invL_P[kb] @ strip[kb]   (side-buffer DMA), then
+#      strip[r > kb] -= L[r, kb] @ U_kb  for every later 256-row block,
+#      streaming L tiles from the factored output (3-pass bf16 split)
+#   3. factor panel rows [s0:): per 128-block, the no-pivot elimination
+#      sweep, then inv(L11)/inv(U11) as 128 descending elementary
+#      outer-product steps each (W -= col_k (x) W[k, :] — pure VPU
+#      broadcasts, no dependent MXU chain), trsm below (A21 inv(U11)),
+#      U12 = inv(L11) A12, within-panel trailing update
+#   4. compose the (256,256) inv(L_panel) from the two 128-block inverses
+#      (2 MXU products), store it to the side buffer + store the strip
+def _lu128(d):
+    """No-pivot LU of a (128,128) tile -> compact L\\U (multipliers below
+    the diagonal, U on/above)."""
+    nb = d.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+    for j in range(nb):
+        piv = d[j:j + 1, j:j + 1]
+        mult = jnp.where(row_i[:, :1] > j, d[:, j:j + 1] / piv, 0.0)
+        urow = jnp.where(lane > j, d[j:j + 1, :], 0.0)
+        d = d - mult * urow
+        d = jnp.where((row_i > j) & (lane == j),
+                      jnp.broadcast_to(mult, d.shape), d)
+    return d
+
+
+def _inv_unit_lower128(lu):
+    """inv(unit-lower(lu)) via descending elementary outer products:
+    W <- (I - m_k e_k^T) W, m_k = subdiagonal column k."""
+    nb = lu.shape[0]
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+    w = jnp.eye(nb, dtype=lu.dtype)
+    for k in range(nb - 2, -1, -1):
+        mk = jnp.where(row_i[:, :1] > k, lu[:, k:k + 1], 0.0)
+        w = w - mk * w[k:k + 1, :]
+    return w
+
+
+def _inv_upper128(lu):
+    """inv(upper(lu)): column-scaled elementary factors + diagonal."""
+    nb = lu.shape[0]
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
+    dinv = 1.0 / jnp.sum(jnp.where(row_i == lane, lu, 0.0), axis=1,
+                         keepdims=True)          # (nb,1) 1/U[k,k]
+    w = jnp.eye(nb, dtype=lu.dtype)
+    # Utilde = U D^{-1} (columns scaled): c_k = strict-upper col k / U[k,k]
+    dinv_lane = jnp.swapaxes(dinv, 0, 1)          # (1, nb): 1/U[k,k] by k
+    for k in range(nb - 1, 0, -1):
+        ck = jnp.where(row_i[:, :1] < k,
+                       lu[:, k:k + 1] * dinv_lane[:, k:k + 1], 0.0)
+        w = w - ck * w[k:k + 1, :]
+    # inv(U) = D^{-1} inv(Utilde): scale ROWS by 1/U[k,k]
+    return w * dinv
+
+
+def _getrf_kernel(n: int):
+    K = n // _P
+    K2 = n // _NB
+
+    def kernel(a_hbm, o_hbm, inv_hbm, panel, tiles, invbuf,
+               uh, ul, lsem, psem, osem, vsem):
+        s = pl.program_id(0)
+        s0 = s * _P
+
+        def strip_store(stage):
+            return pltpu.make_async_copy(
+                panel, o_hbm.at[:, pl.ds(stage * _P, _P)], osem)
+
+        def inv_store(stage):
+            return pltpu.make_async_copy(
+                invbuf, inv_hbm.at[pl.ds(stage * _P, _P)], vsem)
+
+        @pl.when(s > 0)
+        def _():
+            strip_store(s - 1).wait()
+            inv_store(s - 1).wait()
+
+        pltpu.make_async_copy(a_hbm.at[:, pl.ds(s0, _P)], panel, psem).start()
+        pltpu.make_async_copy(a_hbm.at[:, pl.ds(s0, _P)], panel, psem).wait()
+
+        # 2. left-looking update over previous panels
+        def kb_body(kb, _):
+            # inv(L_panel[kb]) from the side buffer
+            pltpu.make_async_copy(inv_hbm.at[pl.ds(kb * _P, _P)],
+                                  invbuf, vsem).start()
+            pltpu.make_async_copy(inv_hbm.at[pl.ds(kb * _P, _P)],
+                                  invbuf, vsem).wait()
+            urows = jnp.dot(invbuf[...], panel[pl.ds(kb * _P, _P)],
+                            preferred_element_type=jnp.float32,
+                            precision=_HI)
+            panel[pl.ds(kb * _P, _P)] = urows
+            us = _split(urows)
+            uh[...] = us[0]
+            ul[...] = us[1]
+            nch = K - kb - 1        # row blocks below kb
+
+            def tile_copy(slot, t):
+                slot = jnp.asarray(slot, jnp.int32)   # x64: ints -> i64
+                r = jnp.asarray(kb + 1 + t, jnp.int32)
+                return pltpu.make_async_copy(
+                    o_hbm.at[pl.ds(r * _P, _P), pl.ds(kb * _P, _P)],
+                    tiles.at[slot], lsem.at[slot])
+
+            tile_copy(0, 0).start()
+
+            def upd_body(t, _):
+                slot = _rem32(t, 2)
+
+                @pl.when(t + 1 < nch)
+                def _():
+                    tile_copy(_rem32(t + 1, 2), t + 1).start()
+
+                tile_copy(slot, t).wait()
+                th, tl = _split(tiles[slot])
+                dn = (((1,), (0,)), ((), ()))
+                upd = jax.lax.dot_general(
+                    th, uh[...], dn, preferred_element_type=jnp.float32)
+                upd = upd + jax.lax.dot_general(
+                    th, ul[...], dn, preferred_element_type=jnp.float32)
+                upd = upd + jax.lax.dot_general(
+                    tl, uh[...], dn, preferred_element_type=jnp.float32)
+                r = kb + 1 + t
+                cur = panel[pl.ds(r * _P, _P)]
+                panel[pl.ds(r * _P, _P)] = cur - upd
+                return _
+
+            jax.lax.fori_loop(0, nch, upd_body, None)
+            return _
+
+        jax.lax.fori_loop(0, s, kb_body, None)
+
+        # 3. factor panel rows [s0:)
+        winvl = [None, None]
+        for ib in range(_P // _NB):
+            jc = ib * _NB
+            j0 = s0 + jc
+            lu = _lu128(panel[pl.ds(j0, _NB), jc:jc + _NB])
+            panel[pl.ds(j0, _NB), jc:jc + _NB] = lu
+            wl = _inv_unit_lower128(lu)
+            wu = _inv_upper128(lu)
+            winvl[ib] = wl
+            c0 = 2 * s + ib + 1
+
+            def trsm_body(r2, _):
+                blk = panel[pl.ds(r2 * _NB, _NB), jc:jc + _NB]
+                panel[pl.ds(r2 * _NB, _NB), jc:jc + _NB] = jnp.dot(
+                    blk, wu, preferred_element_type=jnp.float32,
+                    precision=_HI)
+                return _
+
+            jax.lax.fori_loop(c0, K2, trsm_body, None)
+            for jb in range(ib + 1, _P // _NB):
+                jn = jb * _NB
+                u12 = jnp.dot(wl, panel[pl.ds(j0, _NB), jn:jn + _NB],
+                              preferred_element_type=jnp.float32,
+                              precision=_HI)
+                panel[pl.ds(j0, _NB), jn:jn + _NB] = u12
+
+                def inpanel_body(r2, _):
+                    blk = panel[pl.ds(r2 * _NB, _NB), jc:jc + _NB]
+                    cur = panel[pl.ds(r2 * _NB, _NB), jn:jn + _NB]
+                    panel[pl.ds(r2 * _NB, _NB), jn:jn + _NB] = (
+                        cur - jnp.dot(blk, u12,
+                                      preferred_element_type=jnp.float32,
+                                      precision=_HI))
+                    return _
+
+                jax.lax.fori_loop(2 * s + ib + 1, K2, inpanel_body, None)
+
+        # 4. compose inv of the (256,256) unit-lower panel diagonal:
+        #    [[W1, 0], [-W2 L21 W1, W2]]
+        l21 = panel[pl.ds(s0 + _NB, _NB), 0:_NB]
+        low = -jnp.dot(winvl[1], jnp.dot(l21, winvl[0],
+                                         preferred_element_type=jnp.float32,
+                                         precision=_HI),
+                       preferred_element_type=jnp.float32, precision=_HI)
+        invbuf[0:_NB, 0:_NB] = winvl[0]
+        invbuf[0:_NB, _NB:_P] = jnp.zeros((_NB, _NB), jnp.float32)
+        invbuf[_NB:_P, 0:_NB] = low
+        invbuf[_NB:_P, _NB:_P] = winvl[1]
+        inv_store(s).start()
+        strip_store(s).start()
+
+        @pl.when(s == K - 1)
+        def _():
+            strip_store(s).wait()
+            inv_store(s).wait()
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _getrf_call(n: int):
+    return pl.pallas_call(
+        _getrf_kernel(n),
+        grid=(n // _P,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)],
+        out_shape=[jax.ShapeDtypeStruct((n, n), jnp.float32),
+                   jax.ShapeDtypeStruct((n, _P), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((n, _P), jnp.float32),        # strip
+            pltpu.VMEM((2, _P, _P), jnp.float32),    # L tile slots
+            pltpu.VMEM((_P, _P), jnp.float32),       # inv panel block
+            pltpu.VMEM((_P, _P), jnp.bfloat16),      # U_kb hi
+            pltpu.VMEM((_P, _P), jnp.bfloat16),      # U_kb lo
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # the strip + side buffers + the unrolled sweeps' temporaries
+            # exceed the default 16 MB scoped budget by ~0.7 MB at n=4096
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret_mode(),
+    )
+
+
+@jax.jit
+def _getrf_onelaunch_f32(a):
+    n = a.shape[0]
+    lu, _inv = _getrf_call(n)(a.astype(jnp.float32))
+    return lu
+
+
+def getrf_onelaunch(a):
+    """No-pivot LU (compact L\\U, unit-lower L) of one large f32 matrix in
+    a single kernel launch. n must be a multiple of 256. The caller owns
+    the no-pivot validity contract (diagonal dominance), as with the
+    reference's no-pivot algorithm selection. Traced under 32-bit
+    promotion (see potrf_onelaunch)."""
+    n = a.shape[0]
+    assert a.shape == (n, n) and n % _P == 0, a.shape
+    with jax.enable_x64(False):
+        return _getrf_onelaunch_f32(a)
