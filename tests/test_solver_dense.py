@@ -342,16 +342,43 @@ def test_potrf_onelaunch(rng):
     rel = np.abs(l - lr).max() / np.abs(lr).max()
     assert rel < 5e-5, rel
     assert np.abs(np.triu(l, 1)).max() == 0.0
-    # one-launch no-pivot LU (chip: n=4096 1.92 ms = 23.8 TFLOP/s)
+    # one-launch no-pivot LU (chip: n=4096 1.92 ms = 23.8 TFLOP/s).
+    # Diagonal dominance is just barely satisfied (multipliers O(1)) —
+    # this is the regime where the round-5 _inv_unit_lower128 ordering
+    # bug produced garbage while g + n*I hid it.
     from tpumathlib.solver.onelaunch import getrf_onelaunch
 
-    ag = g + n * np.eye(n)
+    ag = g + np.diag(1.05 * np.abs(g).sum(axis=1))
     lu = np.asarray(getrf_onelaunch(jnp.asarray(ag, jnp.float32)),
                     np.float64)
     lt = np.tril(lu, -1) + np.eye(n)
     ut = np.triu(lu)
     rel = np.abs(lt @ ut - ag).max() / np.abs(ag).max()
     assert rel < 5e-5, rel
+
+
+@pytest.mark.skipif(not (os.environ.get("TPUMATHLIB_TEST_TPU")
+                         or os.environ.get("TPUMATHLIB_TEST_SLOW")),
+                    reason="three 128-step unrolled sweeps per block "
+                           "trace in minutes in interpret mode; "
+                           "chip-verified round 5")
+def test_qr_onelaunch(rng):
+    """ONE-pallas_call blocked Householder QR + orgqr
+    (solver/qr_onelaunch.py): CholeskyQR2 panels + Householder
+    reconstruction (Ballard et al.), compact-WY streamed updates.
+    Verifies reconstruction, orthogonality, triangularity."""
+    from tpumathlib.solver.qr_onelaunch import qr_onelaunch
+
+    n = 512
+    a = rng.normal(size=(n, n)).astype(np.float32)
+    q, r = qr_onelaunch(jnp.asarray(a))
+    q = np.asarray(q, np.float64)
+    r = np.asarray(r, np.float64)
+    rel = np.abs(q @ r - a).max() / np.abs(a).max()
+    assert rel < 5e-5, rel
+    orth = np.abs(q.T @ q - np.eye(n)).max()
+    assert orth < 5e-5, orth
+    assert np.abs(np.tril(r, -1)).max() == 0.0
 
 
 def test_stebz_stein_device(rng):

@@ -304,12 +304,19 @@ def _lu128(d):
 
 
 def _inv_unit_lower128(lu):
-    """inv(unit-lower(lu)) via descending elementary outer products:
-    W <- (I - m_k e_k^T) W, m_k = subdiagonal column k."""
+    """inv(unit-lower(lu)) via elementary outer products,
+    W <- (I - m_k e_k^T) W, m_k = subdiagonal column k.
+
+    ORDER MATTERS: L = (I+m_0 e_0^T)···(I+m_{n-2}e^T) (ascending), so
+    inv(L) = (I-m_{n-2}e^T)···(I-m_0 e_0^T) — the k-th factor must be
+    applied in ASCENDING k so the largest k lands leftmost. The
+    round-5 descending version returned 2I-L (= inv only to first
+    order in the multipliers); it slipped through because the no-pivot
+    getrf tests used g + n·I whose multipliers are O(1/n)."""
     nb = lu.shape[0]
     row_i = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
     w = jnp.eye(nb, dtype=lu.dtype)
-    for k in range(nb - 2, -1, -1):
+    for k in range(nb - 1):
         mk = jnp.where(row_i[:, :1] > k, lu[:, k:k + 1], 0.0)
         w = w - mk * w[k:k + 1, :]
     return w
