@@ -339,6 +339,18 @@ def bench_solver(peak):
            "vs_baseline": round(gf / (0.25 * peak * 1e3), 4),
            "note": "one-launch left-looking block LU "
                    "(solver/onelaunch.py), no-pivot path"}
+    # QR (factor + materialized Q) through the one-launch CholeskyQR2 +
+    # Householder-reconstruction engine (solver/qr_onelaunch.py);
+    # flop model 8/3 n^3 = geqrf + square orgqr, the Xgeqrf+Xorgqr pair
+    from tpumathlib.solver.dense import xgeqrf
+
+    t = _marginal_chain_time(lambda c: xgeqrf(c)[0], g, chain=3)
+    gf = (8.0 * n**3 / 3.0) / t / 1e9
+    yield {"metric": f"solver_geqrf_orgqr_n{n}_gflops",
+           "value": round(gf, 1), "unit": "GFLOP/s",
+           "vs_baseline": round(gf / (0.25 * peak * 1e3), 4),
+           "note": "one-launch CholQR2+Householder-reconstruction "
+                   "geqrf+orgqr; XLA qr = 13.2 ms at this shape"}
     ne = 2048
     spd_e = spd[:ne, :ne]
     t = _marginal_chain_time(lambda c: xsyevd(c)[1], spd_e, chain=2,

@@ -19,7 +19,10 @@ from tpumathlib.solver.dense import (  # noqa: F401
     potrf_batched,
 )
 from tpumathlib.solver.blocked import potrf_blocked  # noqa: F401
-from tpumathlib.solver.onelaunch import potrf_onelaunch  # noqa: F401
+from tpumathlib.solver.onelaunch import (getrf_onelaunch,  # noqa: F401
+                                         potrf_onelaunch)
+from tpumathlib.solver.qr_onelaunch import (geqrf_onelaunch,  # noqa: F401
+                                            orgqr_onelaunch, qr_onelaunch)
 from tpumathlib.solver.jacobi import gesvdj, syevj, sygvj, gesvdj_batched, syevj_batched  # noqa: F401
 from tpumathlib.solver.irs import irs_gesv  # noqa: F401
 from tpumathlib.solver.tridiag_eig import (  # noqa: F401

@@ -154,7 +154,21 @@ def xgetrs(lu, piv, b):
 @jax.jit
 def xgeqrf(a):
     """QR: returns (q, r, info) — the X-API's householder storage is
-    materialized as (Q, R) (TPU keeps Q explicit; ormqr applies it)."""
+    materialized as (Q, R) (TPU keeps Q explicit; ormqr applies it).
+
+    Large f32 squares route through the single-launch CholeskyQR2 +
+    Householder-reconstruction engine (solver/qr_onelaunch.py; measured
+    numbers in its module docstring — XLA's qr runs n=4096 in 13.2 ms).
+    Its panel contract: f32 panel condition <~ 4e3 — pathological
+    inputs degrade R (finite, flagged by info only when non-finite);
+    call with a pre-equilibrated matrix or slice to force the XLA
+    lowering when that matters.
+    """
+    if _use_onelaunch(a) and a.shape[0] <= 8192:   # QR VMEM budget
+        from tpumathlib.solver.qr_onelaunch import qr_onelaunch
+
+        q, r = qr_onelaunch(a)
+        return q, r, _finite_info(r, diag_only=True)
     q, r = jnp.linalg.qr(a, mode="reduced")
     return q, r, _finite_info(r, diag_only=True)
 
@@ -195,9 +209,10 @@ def xsyevd(a, uplo: str = "L", vectors: bool = True):
     Returns (w, v, info); v=None when vectors=False (jobz=N).
 
     LARGE-N FLOOR ANALYSIS (the solver/blocked.py exercise applied to
-    syevd; every number measured on this v5e+tunnel, round 4): XLA's
-    QDWH-eig lowering runs n=2048 f32 in 129-136 ms (0.084x the bench's
-    25%-of-peak bar). Every alternative formulation is bounded by the
+    syevd; measured on this v5e+tunnel — round-5 re-measurement with
+    marginal-cost chained timing: XLA's QDWH-eig lowering runs n=2048
+    f32 in 97.1 ms; the round-4 129-136 ms figure carried the
+    matrix-carry harness inflation). Every alternative formulation is bounded by the
     same dependent-op constants (~33 us per dependent in-kernel MXU
     matmul, ~51 us per dependent XLA-level dot, 246 us per pallas
     launch — NOTES_r4):
