@@ -995,3 +995,57 @@ def test_jpeg_restart_segment_decode(rng, monkeypatch):
                        env={**os.environ,
                             "TPUMATHLIB_JPEG_THREADS": "3"})
         np.testing.assert_array_equal(np.load(op), ours)
+
+
+def test_jpeg_native_pixel_backend(rng):
+    """backend="native" (C++ pixel stage, native/src/jpeg_pixel.cpp —
+    dequant/IDCT/upsample/color on decode, color/pool/FDCT/quant on
+    encode; ≙ NVJPEG_BACKEND_CPU_ONLY) agrees with the jit pixel
+    pipeline to ±2 LSB on decode across all CSS modes (float summation
+    order can flip a round-half-even boundary in BOTH the per-plane and
+    the color rounding), and its encoded
+    streams are spec-conformant (Pillow opens them within the nearest-
+    vs-fancy chroma-upsampling envelope)."""
+    import io
+
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    from tpumathlib import native
+    from tpumathlib.image.jpeg import jfif_decode, jfif_encode
+
+    try:
+        native.lib()
+    except Exception:
+        pytest.skip("native runtime unavailable")
+
+    for (h, w), sub in (((120, 130), "444"), ((128, 96), "420"),
+                        ((97, 65), "422"), ((64, 48), "411"),
+                        ((80, 56), "440")):
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        img = (img.astype(np.float32) + np.roll(img, 1, 0)
+               + np.roll(img, 1, 1)).astype(np.uint8)
+        blob = jfif_encode(img, quality=85, subsampling=sub,
+                           backend="cpu")
+        d_jit = np.asarray(jfif_decode(blob, backend="cpu")).astype(int)
+        d_nat = np.asarray(jfif_decode(blob, backend="native")).astype(int)
+        assert np.abs(d_jit - d_nat).max() <= 2, sub
+        # native-encoded stream: conformant + self-consistent decode
+        b_nat = jfif_encode(img, quality=85, subsampling=sub,
+                            backend="native")
+        pil = np.asarray(Image.open(io.BytesIO(b_nat))).astype(int)
+        ours = np.asarray(jfif_decode(b_nat, backend="native")).astype(int)
+        # control: the jit-encoded stream shows the same pillow gap
+        # (fancy-upsampling), so bound native by the control + slack
+        ctrl = np.abs(np.asarray(Image.open(io.BytesIO(blob))).astype(int)
+                      - d_jit).max()
+        assert np.abs(pil - ours).max() <= max(ctrl + 4, 6), sub
+        # jit decode of the native stream matches native decode to ±1
+        d2 = np.asarray(jfif_decode(b_nat, backend="cpu")).astype(int)
+        assert np.abs(d2 - ours).max() <= 2, sub
+
+    gray = rng.integers(0, 256, (96, 88), dtype=np.uint8)
+    b = jfif_encode(gray, quality=90, backend="native")
+    d1 = np.asarray(jfif_decode(b, backend="cpu")).astype(int)
+    d2 = np.asarray(jfif_decode(b, backend="native")).astype(int)
+    assert np.abs(d1 - d2).max() <= 2

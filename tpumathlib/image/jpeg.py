@@ -276,6 +276,43 @@ def _decode_pixel_fused(sels, qs, meta):
     return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
 
 
+def _decode_pixel_native(lib, sels, qs, geoms, rh, rw, ycc):
+    """backend="native" pixel stage: the same dequant + IDCT + upsample +
+    color pipeline as _decode_pixel_fused, run in C++ next to the entropy
+    stage (native/src/jpeg_pixel.cpp; ≙ NVJPEG_BACKEND_CPU_ONLY). Agrees
+    with the jit pipeline to ±2 LSB (float summation order across the
+    two round-half-even stages)."""
+    planes = []
+    geom = np.zeros((len(sels), 6), np.int64)
+    for i, (sel, q, (rby, rbx, sy, sx, oy, ox)) in enumerate(
+            zip(sels, qs, geoms)):
+        plane = np.empty((rby * 8) * (rbx * 8), np.float32)
+        rc = lib.jpeg_idct_plane(
+            np.ascontiguousarray(sel, np.int32),
+            np.ascontiguousarray(q, np.float32).reshape(-1),
+            rby, rbx, plane)
+        if rc != 0:
+            raise RuntimeError("jpeg_idct_plane failed")
+        geom[i] = (rby * 8, rbx * 8, sy, sx, oy, ox)
+        planes.append(plane)
+    ncomp = len(planes)
+    if ncomp == 1:
+        out = np.empty(rh * rw, np.uint8)
+        rc = lib.jpeg_color_out(planes[0], planes[0], planes[0],
+                                geom.reshape(-1), 1, rh, rw, 0, out)
+        shape = (rh, rw)
+    elif ncomp == 3:
+        out = np.empty(rh * rw * 3, np.uint8)
+        rc = lib.jpeg_color_out(planes[0], planes[1], planes[2],
+                                geom.reshape(-1), 3, rh, rw, int(ycc), out)
+        shape = (rh, rw, 3)
+    else:
+        return None        # 2/4-component scans: jit pipeline handles
+    if rc != 0:
+        raise RuntimeError("jpeg_color_out failed")
+    return out.reshape(shape)
+
+
 def _entropy_decode_native(blob, i, n_mcu, restart, comps, scan_comps,
                            huff):
     """Whole-scan Huffman decode in native C++ (stuffed bytes + restart
@@ -525,10 +562,13 @@ def jfif_decode(blob: bytes, roi: tuple | None = None,
     but the device pixel pipeline (dequant + IDCT + upsample) runs ONLY on
     the ROI's blocks. backend selects the pixel-pipeline engine —
     "hybrid" (host entropy + device pixel stage, ≙ NVJPEG_BACKEND_GPU_HYBRID),
-    "cpu" (the SAME fused jit pipeline compiled for the host CPU backend —
-    the right engine when the accelerator sits behind a high-latency
-    tunnel and coefficient upload dominates; ≙ NVJPEG_BACKEND_CPU_ONLY
-    with nvJPEG's vectorized CPU path) or "host" (pure-NumPy reference).
+    "cpu" (the SAME fused jit pipeline compiled for the host CPU backend),
+    "native" (C++ pixel stage next to the entropy engine,
+    native/src/jpeg_pixel.cpp — the fastest engine when the accelerator
+    sits behind a high-latency tunnel and coefficient upload dominates;
+    ≙ NVJPEG_BACKEND_CPU_ONLY with nvJPEG's vectorized CPU path; falls
+    back to "cpu" without the native runtime) or "host" (pure-NumPy
+    reference).
     device_out=True returns the decoded image as a device array without
     host readback — the nvJPEG contract (nvjpegDecode writes
     nvjpegImage_t DEVICE buffers; nvJPEG-Decoder/nvjpegDecoder.cpp:46).
@@ -537,7 +577,7 @@ def jfif_decode(blob: bytes, roi: tuple | None = None,
     TIFF photometric=2 / Adobe APP14 transform=0 convention, ≙ nvJPEG's
     NVJPEG_OUTPUT_* vs stream-colorspace handling)."""
     assert blob[:2] == b"\xff\xd8", "not a JPEG (missing SOI)"
-    assert backend in ("hybrid", "cpu", "host"), backend
+    assert backend in ("hybrid", "cpu", "host", "native"), backend
     assert color in ("ycbcr", "rgb"), color
     qt = {}
     huff = {}
@@ -678,6 +718,14 @@ def jfif_decode(blob: bytes, roi: tuple | None = None,
         # crop offset of this block window in pixels (ROI)
         geoms.append((by1 - by0, bx1 - bx0, sy, sx,
                       ry - by0 * 8 * sy, rx - bx0 * 8 * sx))
+    if backend == "native":
+        lib = _native_lib()
+        ycc3 = len(comps) == 3 and color == "ycbcr"
+        out = (_decode_pixel_native(lib, sels, qs, geoms, rh, rw, ycc3)
+               if lib is not None else None)
+        if out is not None:
+            return jnp.asarray(out) if device_out else out
+        backend = "cpu"   # no native runtime / odd scan: jit pipeline
     if backend in ("hybrid", "cpu"):
         # ONE device dispatch for dequant + IDCT + assembly + upsample +
         # color transform across all planes (ROI and full share this
@@ -928,8 +976,17 @@ def _entropy_encode(scan, comp_ids, tab_ids, ntab: int):
     fdc = np.zeros((2, 256), np.int64)
     fac = np.zeros((2, 256), np.int64)
     sym_seq = None
+    sym_recs = None
     if lib is not None:
-        lib.jpeg_symbol_freq(scan, comp_ids, tab_ids, n, fdc, fac)
+        # single fused block walk: symbol records + frequencies at once
+        # (the two-pass freq-then-encode form re-derived every symbol)
+        cap = scan.shape[0] * 70 + 70
+        sym_recs = np.empty(cap, np.uint32)
+        nsym = lib.jpeg_scan_symbols(scan, comp_ids, tab_ids, n,
+                                     fdc, fac, sym_recs, cap)
+        if nsym < 0:
+            raise RuntimeError("jpeg_scan_symbols: overflow")
+        sym_recs = sym_recs[:nsym]
     else:
         pred = [0, 0, 0, 0]
         sym_seq = []
@@ -959,10 +1016,10 @@ def _entropy_encode(scan, comp_ids, tab_ids, ntab: int):
                 ac_codes[t, sym] = (ln << 16) | code
         cap = scan.size * 8 + 4096
         out = np.empty(cap, np.uint8)
-        nb = lib.jpeg_scan_encode(scan, comp_ids, tab_ids, n,
-                                  dc_codes, ac_codes, out, cap)
+        nb = lib.jpeg_emit_symbols(sym_recs, len(sym_recs),
+                                   dc_codes, ac_codes, out, cap)
         if nb < 0:
-            raise RuntimeError("jpeg_scan_encode: missing code/overflow")
+            raise RuntimeError("jpeg_emit_symbols: missing code/overflow")
         return out[:nb].tobytes(), dht
     bwr = _BitWriter()
     for t, syms in sym_seq:
@@ -984,7 +1041,7 @@ def jfif_encode(image, quality: int = 75, subsampling: str = "444",
 
     ≙ nvjpegEncodeImage with NVJPEG_CSS_444/422/420/440/411
     (nvJPEG/nvJPEG-Encoder-MultipleInstances/nvJPEG-Encoder.cpp)."""
-    assert backend in ("hybrid", "cpu"), backend
+    assert backend in ("hybrid", "cpu", "native"), backend
     _put = ((lambda a: jax.device_put(a, jax.devices("cpu")[0]))
             if backend == "cpu" else (lambda a: a))
     img = np.asarray(image)
@@ -1002,7 +1059,46 @@ def jfif_encode(image, quality: int = 75, subsampling: str = "444",
 
     qlum = _ijg_qtable(_QTABLE, quality)
     qchr = _ijg_qtable(_QTABLE_CHROMA, quality)
-    if gray:
+    lib = _native_lib() if backend == "native" else None
+    if lib is not None:
+        # C++ pixel stage (native/src/jpeg_pixel.cpp): color + pool +
+        # FDCT + quant next to the entropy engine, same numerics as the
+        # jit pipeline to ±1 quantized LSB.
+        qlf = np.ascontiguousarray(qlum, np.float32).reshape(-1)
+        if gray:
+            nby, nbx = h // 8, w // 8
+            co = np.empty((nby * nbx, 64), np.int32)
+            rc = lib.jpeg_fdct_plane(
+                np.ascontiguousarray(img, np.float32).reshape(-1),
+                qlf, nby, nbx, co)
+            if rc != 0:
+                raise RuntimeError("jpeg_fdct_plane failed")
+            planes = [co]
+            samp = [(1, 1)]
+            qsel = [0]
+        else:
+            yp = np.empty(h * w, np.float32)
+            cb = np.empty((h // sy) * (w // sx), np.float32)
+            cr = np.empty_like(cb)
+            rc = lib.jpeg_rgb_ycc_pool(
+                np.ascontiguousarray(img).reshape(-1), h, w, sx, sy,
+                yp, cb, cr)
+            if rc != 0:
+                raise RuntimeError("jpeg_rgb_ycc_pool failed")
+            qcf = np.ascontiguousarray(qchr, np.float32).reshape(-1)
+            planes = []
+            for p, q, (ph_, pw_) in ((yp, qlf, (h, w)),
+                                     (cb, qcf, (h // sy, w // sx)),
+                                     (cr, qcf, (h // sy, w // sx))):
+                nby, nbx = ph_ // 8, pw_ // 8
+                co = np.empty((nby * nbx, 64), np.int32)
+                rc = lib.jpeg_fdct_plane(p, q, nby, nbx, co)
+                if rc != 0:
+                    raise RuntimeError("jpeg_fdct_plane failed")
+                planes.append(co)
+            samp = [(sx, sy), (1, 1), (1, 1)]
+            qsel = [0, 1, 1]
+    elif gray:
         planes = [np.asarray(_encode_blocks_jfif(
             _put(np.asarray(img, np.float32)), _put(np.asarray(qlum))))]
         samp = [(1, 1)]

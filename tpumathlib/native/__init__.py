@@ -176,6 +176,46 @@ def _declare(l):
                                    np.ctypeslib.ndpointer(np.uint8),
                                    np.ctypeslib.ndpointer(np.int32)]
     l.jpeg_scan_decode.restype = c.c_int64
+    l.jpeg_scan_symbols.argtypes = [np.ctypeslib.ndpointer(np.int32),
+                                    np.ctypeslib.ndpointer(np.uint8),
+                                    np.ctypeslib.ndpointer(np.uint8),
+                                    c.c_int64,
+                                    np.ctypeslib.ndpointer(np.int64),
+                                    np.ctypeslib.ndpointer(np.int64),
+                                    np.ctypeslib.ndpointer(np.uint32),
+                                    c.c_int64]
+    l.jpeg_scan_symbols.restype = c.c_int64
+    l.jpeg_emit_symbols.argtypes = [np.ctypeslib.ndpointer(np.uint32),
+                                    c.c_int64,
+                                    np.ctypeslib.ndpointer(np.uint32),
+                                    np.ctypeslib.ndpointer(np.uint32),
+                                    np.ctypeslib.ndpointer(np.uint8),
+                                    c.c_int64]
+    l.jpeg_emit_symbols.restype = c.c_int64
+    l.jpeg_idct_plane.argtypes = [np.ctypeslib.ndpointer(np.int32),
+                                  np.ctypeslib.ndpointer(np.float32),
+                                  c.c_int64, c.c_int64,
+                                  np.ctypeslib.ndpointer(np.float32)]
+    l.jpeg_idct_plane.restype = c.c_int
+    l.jpeg_color_out.argtypes = [np.ctypeslib.ndpointer(np.float32),
+                                 np.ctypeslib.ndpointer(np.float32),
+                                 np.ctypeslib.ndpointer(np.float32),
+                                 np.ctypeslib.ndpointer(np.int64),
+                                 c.c_int, c.c_int64, c.c_int64, c.c_int,
+                                 np.ctypeslib.ndpointer(np.uint8)]
+    l.jpeg_color_out.restype = c.c_int
+    l.jpeg_rgb_ycc_pool.argtypes = [np.ctypeslib.ndpointer(np.uint8),
+                                    c.c_int64, c.c_int64, c.c_int64,
+                                    c.c_int64,
+                                    np.ctypeslib.ndpointer(np.float32),
+                                    np.ctypeslib.ndpointer(np.float32),
+                                    np.ctypeslib.ndpointer(np.float32)]
+    l.jpeg_rgb_ycc_pool.restype = c.c_int
+    l.jpeg_fdct_plane.argtypes = [np.ctypeslib.ndpointer(np.float32),
+                                  np.ctypeslib.ndpointer(np.float32),
+                                  c.c_int64, c.c_int64,
+                                  np.ctypeslib.ndpointer(np.int32)]
+    l.jpeg_fdct_plane.restype = c.c_int
     l.ebcot_decode_cb.argtypes = [np.ctypeslib.ndpointer(np.uint8), c.c_int64,
                                   c.c_int, c.c_int, c.c_int, c.c_int, c.c_int,
                                   np.ctypeslib.ndpointer(np.int32)]

@@ -100,6 +100,88 @@ void jpeg_symbol_freq(const int32_t* blocks, const uint8_t* comp_id,
   }
 }
 
+// One-pass symbol extraction: walks the scan-ordered blocks ONCE,
+// emitting packed symbol records AND the per-table frequencies (the
+// fused form of jpeg_symbol_freq + the symbol derivation inside
+// jpeg_scan_encode — the optimized-table encoder needs both, and the
+// block walk dominates the cost). Record layout (uint32):
+//   bit 0: is_dc | bit 1: table | bits 2..9: sym | bits 10..14: elen |
+//   bits 15..30: extra (16 bits; elen <= 15 for baseline 8-bit data,
+//   DC diff size <= 11).
+// Returns the record count, or -1 on capacity overflow.
+int64_t jpeg_scan_symbols(const int32_t* blocks, const uint8_t* comp_id,
+                          const uint8_t* tab_sel, int64_t nblocks,
+                          int64_t* fdc, int64_t* fac, uint32_t* syms,
+                          int64_t cap) {
+  int pred[4] = {0, 0, 0, 0};
+  int64_t n = 0;
+  for (int64_t i = 0; i < nblocks; ++i) {
+    const int32_t* blk = blocks + i * 64;
+    int c = comp_id[i];
+    uint32_t t = tab_sel[i];
+    int dc = blk[0];
+    int diff = dc - pred[c];
+    pred[c] = dc;
+    int s = bitlength(diff);
+    fdc[t * 256 + s]++;
+    int extra = diff >= 0 ? diff : diff + (1 << s) - 1;
+    if (n + 70 > cap) return -1;   // max 1 DC + 63 AC + 3 ZRL + EOB
+    syms[n++] = 1u | (t << 1) | ((uint32_t)s << 2) | ((uint32_t)s << 10)
+                | ((uint32_t)(extra & 0xFFFF) << 15);
+    int last = 63;
+    while (last > 0 && blk[last] == 0) --last;
+    int run = 0;
+    for (int k = 1; k <= last; ++k) {
+      int v = blk[k];
+      if (v == 0) {
+        ++run;
+        continue;
+      }
+      while (run >= 16) {
+        fac[t * 256 + 0xF0]++;
+        syms[n++] = (t << 1) | (0xF0u << 2);
+        run -= 16;
+      }
+      int sz = bitlength(v);
+      uint32_t sym = (uint32_t)((run << 4) | sz);
+      fac[t * 256 + sym]++;
+      int ex = v >= 0 ? v : v + (1 << sz) - 1;
+      syms[n++] = (t << 1) | (sym << 2) | ((uint32_t)sz << 10)
+                  | ((uint32_t)(ex & 0xFFFF) << 15);
+      run = 0;
+    }
+    if (last < 63) {
+      fac[t * 256 + 0x00]++;
+      syms[n++] = (t << 1);
+    }
+  }
+  return n;
+}
+
+// Emit the jpeg_scan_symbols record stream with the built code tables.
+// Returns bytes written, or -1 on overflow / missing code.
+int64_t jpeg_emit_symbols(const uint32_t* syms, int64_t nsyms,
+                          const uint32_t* dc_codes,
+                          const uint32_t* ac_codes, uint8_t* out,
+                          int64_t cap) {
+  BitWriter bw{out, cap};
+  for (int64_t i = 0; i < nsyms; ++i) {
+    uint32_t r = syms[i];
+    uint32_t t = (r >> 1) & 1;
+    uint32_t sym = (r >> 2) & 0xFF;
+    int elen = (r >> 10) & 0x1F;
+    uint32_t e = (r & 1) ? dc_codes[t * 256 + sym]
+                         : ac_codes[t * 256 + sym];
+    if (!(e >> 16)) return -1;
+    bw.put(e & 0xFFFF, e >> 16);
+    if (elen) bw.put((r >> 15) & 0xFFFF, elen);
+    if (bw.overflow) return -1;
+  }
+  bw.flush();
+  if (bw.overflow) return -1;
+  return bw.n;
+}
+
 // Scan-ordered blocks -> entropy-coded bytes (stuffed, 1-padded).
 // dc_codes/ac_codes are uint32[2][256] packed (length << 16) | code;
 // length 0 marks a symbol absent from the table (error).  Returns bytes
