@@ -212,31 +212,36 @@ def xsyevd(a, uplo: str = "L", vectors: bool = True):
     syevd; measured on this v5e+tunnel — round-5 re-measurement with
     marginal-cost chained timing: XLA's QDWH-eig lowering runs n=2048
     f32 in 97.1 ms; the round-4 129-136 ms figure carried the
-    matrix-carry harness inflation). Every alternative formulation is bounded by the
-    same dependent-op constants (~33 us per dependent in-kernel MXU
-    matmul, ~51 us per dependent XLA-level dot, 246 us per pallas
-    launch — NOTES_r4):
+    matrix-carry harness inflation, as did the round-4 dependent-op
+    constants the earlier draft of this analysis quoted — real values
+    are ~2.4x lower, see bench._marginal_chain_time):
 
-    - Two-stage SBR (full→band on device, band solve on host) is dead on
-      THIS host: LAPACK ssbev/ssbevd at n=2048, b=128 costs 2.1 s
-      values-only and 8.4-9.1 s with vectors on the 1-core box (ssterf
-      alone is 91 ms), two orders over the 50 ms target; a device bulge
-      chase is a length-n chain of dependent small reflector
-      applications, i.e. the same latency wall as blocked potrf.
-    - Direct tridiagonalization needs 2n dependent reflector
-      applications: 2.2048 x (>=33 us) ~ 135 ms before the trailing
-      updates — at/above the current number by itself.
-    - Re-implementing QDWH-eig on the suite's 33-TFLOP/s split-GEMM
-      engine does not help either: its chol/QR stages are themselves
-      latency-bound (measured amortized dependent chains: chol n=2048
-      6.8 ms, qr 18.8 ms), so ~6 polar iterations x ~8 ms at the top
-      level plus the log-depth recursion on halves reproduces ~130 ms.
+    - Two-stage SBR is dead END-TO-END by direct measurement: even with
+      a FREE full→tridiagonal reduction, the device tridiagonal solve
+      (solver/stebz.py bisection + twisted-factorization inverse
+      iteration, the suite's own engine) measures 271 ms marginal at
+      n=2048 values+vectors on this chip — 2.8x the whole-problem XLA
+      time on its own. The host alternative (LAPACK ssbevd) is 8.4-9.1 s
+      with vectors on this 1-core box.
+    - Direct one-launch tridiagonalization (the solver/onelaunch.py
+      treatment that won for potrf/getrf/geqrf) does not transfer:
+      sytrd's panel GEMVs are a length-n DEPENDENT chain that re-reads
+      the trailing matrix per column (~22 us/column DMA floor at
+      n=2048 ⇒ ≥45 ms for the reduction alone), and its output still
+      needs the ≥271 ms tridiagonal solve above.
+    - Re-implementing QDWH-eig with the one-launch chol/QR engines is
+      the one formulation the corrected constants leave open (~6 polar
+      iterations x ~1-2 ms + log-depth recursion ≈ 30-50 ms optimistic),
+      but its subspace split sizes are data-dependent — every recursion
+      level forces a host readback + shape-specialized recompile, and
+      the 20-165 s remote-compile cost per shape on this tunnel makes
+      the compile amortization regime unreachable for a library call.
 
-    Conclusion: XLA parity IS the architectural ceiling for one-chip
-    large-n syevd here; the device win this suite ships instead is the
-    batched/tridiagonal tier (dx/solver.py syevd_kernel 1.36x XLA,
-    solver/stebz.py bisection+twisted-factorization engine, and
-    solver/tridiag_eig.py method='bisect')."""
+    Conclusion: XLA parity IS the practical ceiling for one-chip
+    large-n syevd on this setup; the device win this suite ships
+    instead is the batched/tridiagonal tier (dx/solver.py syevd_kernel
+    1.36x XLA, solver/stebz.py bisection+twisted-factorization engine,
+    and solver/tridiag_eig.py method='bisect')."""
     from tpumathlib.blas.level2 import herm_full, sym_full
 
     full = (herm_full if jnp.issubdtype(a.dtype, jnp.complexfloating) else sym_full)
